@@ -1,0 +1,478 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.util.{Exact, Sql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory over the TPC-H-ish testdata tables.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2
+  * (reference sites cited per query). Spark-first: declarative
+  * DataFrame plans, broadcast hints for dimension joins, decimal-exact
+  * aggregation (see [[graft.util.Exact]]) so results hash-match the
+  * DuckDB oracle bit-for-bit.
+  */
+object Relational {
+
+  /** S1/P3/P5 — projected, filtered parquet scan with pushdown.
+    * Ref: spark_etl.py:47-64 (schema'd scan), enhanced_spark_etl.py:421-424.
+    * Filter + projection reach the parquet reader (PushedFilters/ReadSchema).
+    */
+  val scanProject = QueryDef(
+    "q_scan_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'""")
+  )
+
+  /** P7/P12 — compound boolean predicate: between, isin, OR.
+    * Ref: enhanced_spark_etl.py:735-737,761-764; spark_etl.py:76-77.
+    */
+  val filterCompound = QueryDef(
+    "q_filter_compound",
+    (s, d) =>
+      Tables.orders(s, d)
+        .filter(
+          col("o_orderstatus").isin("O", "F") &&
+            col("o_totalprice").between(1000.0, 200000.0) &&
+            (col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders
+            WHERE o_orderstatus IN ('O','F')
+              AND o_totalprice BETWEEN 1000.0 AND 200000.0
+              AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')""")
+  )
+
+  /** P11 — distinct (dedup on projected key columns).
+    * Ref: etl.py:62 (drop_duplicates), data_validator.py:406-415.
+    */
+  val distinctKeys = QueryDef(
+    "q_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+  )
+
+  /** A1/A2 — grouped stats: count / exact sum / exact avg / exact stddev.
+    * Ref: spark_etl.py:87-89 (per-type stats), 149-161 (district hourly).
+    */
+  val aggGroupStats = QueryDef(
+    "q_agg_group_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.davg(col("l_extendedprice")).as("avg_price"),
+          Exact.dstddev(col("l_discount")).as("std_disc")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             ${Sql.SUMD("l_quantity")} AS sum_qty,
+             ${Sql.AVGD("l_extendedprice")} AS avg_price,
+             ${Sql.STDDEVD("l_discount")} AS std_disc
+             FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+  )
+
+  /** J1 — broadcast hash join: fact x small dim, grouped revenue.
+    * Ref: spark_etl.py:87-92 (stats enrichment join). `broadcast(part)`
+    * keeps the 100 TB plan shuffle-free on the fact side.
+    */
+  val joinBroadcast = QueryDef(
+    "q_join_broadcast",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue")),
+    Some(s"""SELECT p_brand, COUNT(*) AS n,
+             ${Sql.SUMD2("l_extendedprice", "1.0 - l_discount")} AS revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             GROUP BY p_brand""")
+  )
+
+  /** J4 — star join across 4 dims: fact->orders->customer->nation->region.
+    * Ref: app.py:90-93, warehouse_loader.py:317-320. Dims broadcast; the
+    * only shuffle left is the final small groupBy.
+    */
+  val joinStar = QueryDef(
+    "q_join_star",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          Exact.dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_lines,
+             ${Sql.SUMD2("l_extendedprice", "1.0 - l_discount")} AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name""")
+  )
+
+  /** J2/J8 — left outer join + null-surviving aggregation.
+    * Ref: enhanced_spark_etl.py:432-437, real_data_schema.sql:197-198.
+    */
+  val joinLeft = QueryDef(
+    "q_join_left",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_matched"),
+          Exact.dsum(col("l_quantity")).as("sum_qty")),
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+             COUNT(l_orderkey) AS n_matched,
+             ${Sql.SUMD("l_quantity")} AS sum_qty
+             FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             GROUP BY o_orderstatus""")
+  )
+
+  /** Semi join (EXISTS). Ref: SURVEY §2.3 note — validation diffs use
+    * semi/anti; Spark `left_semi` avoids materializing the right side.
+    */
+  val joinSemi = QueryDef(
+    "q_join_semi",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""")
+  )
+
+  /** Anti join (NOT EXISTS). */
+  val joinAnti = QueryDef(
+    "q_join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')""")
+  )
+
+  /** O2/O3 — deterministic top-k (TakeOrderedAndProject).
+    * Ref: enhanced_spark_etl.py:689-702. Ties broken by key so the
+    * selected set is unique in both engines.
+    */
+  val topK = QueryDef(
+    "q_topk_customers",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), Exact.dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+        .limit(10),
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+             ${Sql.SUMD("o_totalprice")} AS total_spend
+             FROM orders GROUP BY o_custkey
+             ORDER BY total_spend DESC, o_custkey LIMIT 10""")
+  )
+
+  /** A22 — HAVING on an aggregate (subquery-in-FROM shape).
+    * Ref: app.py:48-57,183-196.
+    */
+  val havingFilter = QueryDef(
+    "q_having",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .filter(col("n") > 500),
+    Some(s"""SELECT l_suppkey, COUNT(*) AS n,
+             ${Sql.SUMD2("l_extendedprice", "1.0 - l_discount")} AS revenue
+             FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 500""")
+  )
+
+  /** A23 — CASE grading over aggregates. Ref: app.py:115-120. */
+  val caseGrade = QueryDef(
+    "q_case_grade",
+    (s, d) => {
+      val avgBal = Exact.davg(col("c_acctbal"))
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"), avgBal.as("avg_bal"))
+        .withColumn("grade",
+          when(col("avg_bal") > 5000.0, "Excellent")
+            .when(col("avg_bal") > 2500.0, "Good")
+            .when(col("avg_bal") > 0.0, "Fair")
+            .otherwise("Poor"))
+    },
+    Some(s"""SELECT n_name, n_cust, avg_bal,
+             CASE WHEN avg_bal > 5000.0 THEN 'Excellent'
+                  WHEN avg_bal > 2500.0 THEN 'Good'
+                  WHEN avg_bal > 0.0 THEN 'Fair'
+                  ELSE 'Poor' END AS grade
+             FROM (SELECT n_name, COUNT(*) AS n_cust,
+                          ${Sql.AVGD("c_acctbal")} AS avg_bal
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey
+                   GROUP BY n_name)""")
+  )
+
+  /** A3/A6 — conditional aggregation: sum(when), count_if, countDistinct.
+    * Ref: spark_etl.py:172-187, enhanced_spark_etl.py:156-165.
+    */
+  val conditionalAgg = QueryDef(
+    "q_conditional_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))).as("urgent_total"),
+          sum(when(col("o_totalprice") > 300000.0, 1).otherwise(0)).as("n_large"),
+          countDistinct(col("o_custkey")).as("n_cust")),
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+             ${Sql.SUMD("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_total,
+             SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS n_large,
+             COUNT(DISTINCT o_custkey) AS n_cust
+             FROM orders GROUP BY o_orderstatus""")
+  )
+
+  /** A7 — per-column null counts in one pass. Ref: enhanced_spark_etl.py:167-170. */
+  val nullCounts = QueryDef(
+    "q_null_counts",
+    (s, d) => {
+      val df = Tables.customer(s, d)
+      df.select(df.columns.toSeq.map(c =>
+        sum(col(c).isNull.cast("int")).as(s"nulls_$c")): _*)
+    },
+    Some("""SELECT SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_custkey,
+            SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nulls_c_name,
+            SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_nationkey,
+            SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls_c_acctbal,
+            SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nulls_c_mktsegment
+            FROM customer""")
+  )
+
+  /** A9 — global min/max/count/countDistinct. Ref: spark_etl.py:274-276.
+    * (At 100 TB the distinct count swaps to approx_count_distinct; exact
+    * here because the oracle must match.)
+    */
+  val globalStats = QueryDef(
+    "q_global_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          Exact.dsum(col("l_extendedprice")).as("total_price")),
+    Some(s"""SELECT COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders,
+             MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+             ${Sql.SUMD("l_extendedprice")} AS total_price
+             FROM lineitem""")
+  )
+
+  /** A19 — re-aggregation of an aggregate + derived rate.
+    * Ref: enhanced_spark_etl.py:682-691.
+    */
+  val reAgg = QueryDef(
+    "q_reagg_rate",
+    (s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"))
+      perOrder
+        .groupBy("n_lines")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("n_returned")).as("returned_lines"))
+        .withColumn("return_rate_pct",
+          round(col("returned_lines") * 100.0 / (col("n_lines") * col("n_orders")), 6))
+    },
+    Some("""SELECT n_lines, COUNT(*) AS n_orders, SUM(n_returned) AS returned_lines,
+            ROUND(SUM(n_returned) * 100.0 / (n_lines * COUNT(*)), 6) AS return_rate_pct
+            FROM (SELECT l_orderkey, COUNT(*) AS n_lines,
+                         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+                  FROM lineitem GROUP BY l_orderkey)
+            GROUP BY n_lines""")
+  )
+
+  /** A16 — pivot with pinned column set (deterministic schema).
+    * Ref: enhanced_spark_etl.py:612; SURVEY §7.4 risk 4.
+    */
+  val pivotStatus = QueryDef(
+    "q_pivot_status",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(Exact.dsum(col("o_totalprice")))
+        .na.fill(0.0, Seq("O", "F", "P"))
+        .withColumnRenamed("O", "total_open")
+        .withColumnRenamed("F", "total_filled")
+        .withColumnRenamed("P", "total_pending"),
+    Some(s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+             COALESCE(${Sql.SUMD("CASE WHEN o_orderstatus='O' THEN o_totalprice END")}, 0.0) AS total_open,
+             COALESCE(${Sql.SUMD("CASE WHEN o_orderstatus='F' THEN o_totalprice END")}, 0.0) AS total_filled,
+             COALESCE(${Sql.SUMD("CASE WHEN o_orderstatus='P' THEN o_totalprice END")}, 0.0) AS total_pending
+             FROM orders GROUP BY 1""")
+  )
+
+  /** U1/U2 — union with schema alignment (unionByName).
+    * Ref: enhanced_spark_etl.py:427-430; enhanced_ingestion pd.concat.
+    */
+  val unionBranches = QueryDef(
+    "q_union",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("urgent").as("bucket"))
+      val b = o.filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("large").as("bucket"))
+      a.unionByName(b)
+    },
+    Some("""SELECT o_orderkey, o_totalprice, 'urgent' AS bucket FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, 'large' AS bucket FROM orders
+            WHERE o_totalprice > 450000.0""")
+  )
+
+  /** §2.8 scalar functions — math: abs/sqrt/pow-as-mul/round/sin/cos,
+    * rounded to 6 dp so libm last-ulp differences cannot surface.
+    * Ref: spark_etl.py:95,136-139; enhanced_spark_etl.py:228-244.
+    */
+  val scalarMath = QueryDef(
+    "q_scalar_math",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - lit(1000.0)).as("abs_diff"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+          (col("p_size") * col("p_size")).as("size_sq"),
+          round(sin(col("p_size")), 6).as("sin_size"),
+          round(cos(col("p_size")), 6).as("cos_size"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod")),
+    Some("""SELECT p_partkey,
+            ABS(p_retailprice - 1000.0) AS abs_diff,
+            ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+            p_size * p_size AS size_sq,
+            ROUND(SIN(p_size), 6) AS sin_size,
+            ROUND(COS(p_size), 6) AS cos_size,
+            p_partkey % 7 AS key_mod
+            FROM part""")
+  )
+
+  /** §2.8 scalar functions — string: upper/lower/concat/length/substring/
+    * regexp_replace/rlike. Ref: warehouse_loader.py:181,206;
+    * data_validator.py:59 (pattern rules).
+    */
+  val scalarString = QueryDef(
+    "q_scalar_string",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 3).as("type_prefix"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          col("p_brand").rlike("^Brand#1[0-9]$").cast("int").as("is_brand_1x"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type")),
+    Some("""SELECT p_partkey,
+            UPPER(p_name) AS name_upper,
+            LOWER(p_brand) AS brand_lower,
+            LENGTH(p_name) AS name_len,
+            SUBSTRING(p_type, 1, 3) AS type_prefix,
+            REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+            CASE WHEN REGEXP_MATCHES(p_brand, '^Brand#1[0-9]$') THEN 1 ELSE 0 END AS is_brand_1x,
+            CONCAT_WS('|', p_brand, p_type) AS brand_type
+            FROM part""")
+  )
+
+  /** §2.8 date functions — year/month/day/hour/dayofweek/week/quarter.
+    * Spark dayofweek is Sunday=1; DuckDB dow is Sunday=0 (oracle adds 1).
+    * Ref: spark_etl.py:71-76; enhanced_spark_etl.py:210-212; SURVEY §7.4 risk 7.
+    */
+  val dateParts = QueryDef(
+    "q_date_parts",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+          (dayofweek(col("o_orderdate")).isin(1, 7)).cast("int").as("is_weekend")),
+    Some("""SELECT o_orderkey,
+            EXTRACT(YEAR FROM o_orderdate) AS y,
+            EXTRACT(MONTH FROM o_orderdate) AS m,
+            EXTRACT(DAY FROM o_orderdate) AS dom,
+            EXTRACT(DOW FROM o_orderdate) + 1 AS dow_sun1,
+            EXTRACT(WEEK FROM o_orderdate) AS iso_week,
+            EXTRACT(QUARTER FROM o_orderdate) AS q,
+            DATE_TRUNC('month', o_orderdate) AS month_start,
+            CASE WHEN EXTRACT(DOW FROM o_orderdate) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+            FROM orders""")
+  )
+
+  /** P10 — null-safe guards: when/otherwise + coalesce + nullif.
+    * Ref: spark_etl.py:127-130; enhanced_spark_etl.py:311-322,445.
+    */
+  val nullGuards = QueryDef(
+    "q_null_guards",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0.0, 0.0).otherwise(col("c_acctbal")).as("bal_clamped"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_masked"),
+          greatest(col("c_acctbal"), lit(100.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(5000.0)).as("bal_cap")),
+    Some("""SELECT c_custkey,
+            CASE WHEN c_acctbal < 0.0 THEN 0.0 ELSE c_acctbal END AS bal_clamped,
+            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+            GREATEST(c_acctbal, 100.0) AS bal_floor,
+            LEAST(c_acctbal, 5000.0) AS bal_cap
+            FROM customer""")
+  )
+
+  def all: Seq[QueryDef] = Seq(
+    scanProject, filterCompound, distinctKeys, aggGroupStats, joinBroadcast,
+    joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
+    conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
+    unionBranches, scalarMath, scalarString, dateParts, nullGuards)
+}

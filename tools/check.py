@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+
+Reads <outDir>/<name>/ (Spark parquet output) and <outDir>/oracle_sql.json,
+runs each oracle SQL in DuckDB over the sfDir parquet tables, and compares:
+row count, column names (sorted), and values (rows sorted by all columns).
+Floats compared exactly AND with tolerance so we can see the margin.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a total sort order across mixed/NaN columns
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+def compare(name, spark_df, oracle_df):
+    problems = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}")
+        return problems, None
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count differ: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems, None
+    a, b = canon(spark_df), canon(oracle_df)
+    max_rel = 0.0
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
+            xn = pd.to_numeric(x, errors="coerce")
+            yn = pd.to_numeric(y, errors="coerce")
+            both_nan = xn.isna() & yn.isna()
+            eq = (xn == yn) | both_nan
+            if not eq.all():
+                diff = (xn - yn).abs()
+                denom = yn.abs().clip(lower=1e-12)
+                rel = (diff / denom).max()
+                max_rel = max(max_rel, 0 if math.isnan(rel) else rel)
+                nbad = int((~eq).sum())
+                i = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {nbad} value diffs (exact), max_rel={rel:.3e}, "
+                    f"e.g. row{i}: spark={xn[i]!r} oracle={yn[i]!r}")
+        else:
+            xs, ys = x.astype(str), y.astype(str)
+            eq = xs == ys
+            if not eq.all():
+                nbad = int((~eq).sum())
+                i = (~eq).idxmax()
+                problems.append(f"col {c}: {nbad} value diffs, e.g. row{i}: spark={x[i]!r} oracle={y[i]!r}")
+    return problems, max_rel
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = ["NO SPARK OUTPUT"]
+            continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            results[name] = [f"spark output read failed: {e}"]
+            continue
+        try:
+            oracle_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = [f"ORACLE SQL failed: {e}"]
+            continue
+        problems, max_rel = compare(name, spark_df, oracle_df)
+        results[name] = problems
+    npass = sum(1 for p in results.values() if not p)
+    print(f"=== {npass}/{len(results)} PASS ===")
+    for name, problems in sorted(results.items()):
+        status = "PASS" if not problems else "FAIL"
+        print(f"[{status}] {name}")
+        for p in problems:
+            print(f"    {p}")
+    # also note queries lacking oracle (rows-only)
+    sys.exit(0 if npass == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
