@@ -1,7 +1,457 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.util.{Exact, Sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Time-series / window-function inventory over the `events` table
+  * (SURVEY.md §2.5 W1–W7, §2.4 time-bucket aggs, §2.9 sessionization,
+  * §3.3 dashboard surface).
+  *
+  * events(event_id, ts, user_id, event_type, value, props) stands in for
+  * the reference's sensor-reading stream: user_id ~ sensor_id,
+  * event_type ~ sensor_type, value ~ reading.
+  *
+  * Determinism notes:
+  *  - window order is always (ts, event_id) — event_id breaks µs ties;
+  *  - all window sums/avgs go through DECIMAL(18,4) (order-independent);
+  *  - the oracle casts ts ns→µs to match Spark's truncation.
+  *
+  * Scale notes: every window here partitions by user_id — at 100 TB that
+  * is one shuffle keyed by user, then in-partition sorts; range frames
+  * order by a numeric epoch-seconds key (SURVEY §7.4 risk 1).
+  */
 object Events {
-  def all: Seq[QueryDef] = Seq()
+
+  private val D = Exact.D
+
+  /** Per-user window ordered by time (event_id tiebreak). */
+  private def wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** Oracle-side: ts truncated to µs exactly like Tables.events. */
+  private val OTS = "CAST(ts AS TIMESTAMP)"
+  /** Oracle-side epoch seconds (floor), = Spark's `div 1000000`. */
+  private val OSEC = s"epoch_us($OTS) // 1000000"
+  private val OWIN = s"PARTITION BY user_id ORDER BY $OTS, event_id"
+
+  /** Spark-side epoch seconds as long (floor division, exact). */
+  private def sec: Column = expr("unix_micros(cast(ts as timestamp)) div 1000000")
+
+  /** W1 — rolling 24-row stats per user (avg/min/max/count).
+    * Ref: spark_etl.py:109-116.
+    */
+  val windowRolling = QueryDef(
+    "q_window_rolling",
+    (s, d) => {
+      val w = wUser.rowsBetween(-23, 0)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (sum(col("value").cast(D)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("rolling_avg"),
+        min(col("value")).over(w).as("rolling_min"),
+        max(col("value")).over(w).as("rolling_max"),
+        count(lit(1)).over(w).as("rolling_n"))
+    },
+    Some(s"""SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS rolling_avg,
+             MIN(value) OVER w AS rolling_min,
+             MAX(value) OVER w AS rolling_max,
+             COUNT(*) OVER w AS rolling_n
+             FROM events
+             WINDOW w AS ($OWIN ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")
+  )
+
+  /** W2 — multi-horizon RANGE windows over epoch seconds (1h / 24h).
+    * Ref: enhanced_spark_etl.py:259-278; SURVEY §7.4 risk 1 — range
+    * frames need a numeric order key, so we order by epoch seconds.
+    */
+  val windowRange = QueryDef(
+    "q_window_range",
+    (s, d) => {
+      val base = Tables.events(s, d).withColumn("sec", sec)
+      val w1h  = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-3600, 0)
+      val w24h = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-86400, 0)
+      base.select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w1h).as("n_1h"),
+        (sum(col("value").cast(D)).over(w1h).cast("double") /
+          count(lit(1)).over(w1h)).as("avg_1h"),
+        count(lit(1)).over(w24h).as("n_24h"),
+        (sum(col("value").cast(D)).over(w24h).cast("double") /
+          count(lit(1)).over(w24h)).as("avg_24h"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, value, $OSEC AS sec FROM events)
+             SELECT event_id, user_id,
+             COUNT(*) OVER w1 AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w1 AS DOUBLE)
+               / COUNT(*) OVER w1 AS avg_1h,
+             COUNT(*) OVER w2 AS n_24h,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
+               / COUNT(*) OVER w2 AS avg_24h
+             FROM e
+             WINDOW w1 AS (PARTITION BY user_id ORDER BY sec
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                    w2 AS (PARTITION BY user_id ORDER BY sec
+                           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""")
+  )
+
+  /** W3/W4 — lag/lead features + diff + pct_change.
+    * Ref: spark_etl.py:119-124; enhanced_spark_etl.py:280-287,466-468.
+    */
+  val windowLagLead = QueryDef(
+    "q_window_lag_lead",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(wUser).as("prev_value"),
+        lag(col("value"), 6).over(wUser).as("prev6_value"),
+        lead(col("value"), 1).over(wUser).as("next_value"),
+        (col("value") - lag(col("value"), 1).over(wUser)).as("diff_1"),
+        round(
+          when(lag(col("value"), 1).over(wUser) =!= 0.0,
+            (col("value") - lag(col("value"), 1).over(wUser)) * 100.0 /
+              lag(col("value"), 1).over(wUser)), 6).as("pct_change")),
+    Some(s"""SELECT event_id, user_id, value,
+             LAG(value, 1) OVER w AS prev_value,
+             LAG(value, 6) OVER w AS prev6_value,
+             LEAD(value, 1) OVER w AS next_value,
+             value - LAG(value, 1) OVER w AS diff_1,
+             ROUND(CASE WHEN LAG(value, 1) OVER w <> 0.0
+                   THEN (value - LAG(value, 1) OVER w) * 100.0 / LAG(value, 1) OVER w
+                   END, 6) AS pct_change
+             FROM events WINDOW w AS ($OWIN)""")
+  )
+
+  /** W5 — z-score against per-type global stats (broadcast join back).
+    * Ref: spark_etl.py:87-99,126-133. The stats side is tiny → broadcast;
+    * at 100 TB the fact side never shuffles for this join.
+    */
+  val zscore = QueryDef(
+    "q_zscore",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type")
+        .agg(Exact.davg(col("value")).as("mean_val"),
+          Exact.dstddev(col("value")).as("std_val"))
+      e.join(broadcast(stats), "event_type")
+        .select(
+          col("event_id"), col("event_type"),
+          round(when(col("std_val") > 0.0,
+            (col("value") - col("mean_val")) / col("std_val")).otherwise(0.0), 6)
+            .as("z_score"))
+        .withColumn("is_outlier", (abs(col("z_score")) > 2.0).cast("int"))
+    },
+    Some(s"""WITH stats AS (
+               SELECT event_type, ${Sql.AVGD("value")} AS mean_val,
+                      ${Sql.STDDEVD("value")} AS std_val
+               FROM events GROUP BY event_type)
+             SELECT event_id, e.event_type,
+                    ROUND(CASE WHEN std_val > 0.0
+                          THEN (value - mean_val) / std_val ELSE 0.0 END, 6) AS z_score,
+                    CASE WHEN ABS(ROUND(CASE WHEN std_val > 0.0
+                         THEN (value - mean_val) / std_val ELSE 0.0 END, 6)) > 2.0
+                         THEN 1 ELSE 0 END AS is_outlier
+             FROM events e JOIN stats USING (event_type)""")
+  )
+
+  /** W6 — last value per group via max_by (decorrelated LATERAL).
+    * Ref: enhanced_data_schema.sql:421-433 (J6/W6).
+    */
+  val lastPerGroup = QueryDef(
+    "q_last_per_group",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("value"),
+            format_string("%020d-%010d",
+              expr("unix_micros(cast(ts as timestamp))"), col("event_id"))).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          min(col("ts")).as("first_ts"),
+          count(lit(1)).as("n_events")),
+    Some(s"""SELECT user_id,
+             arg_max(value, printf('%020d-%010d', epoch_us($OTS), event_id)) AS last_value,
+             MAX($OTS) AS last_ts, MIN($OTS) AS first_ts,
+             COUNT(*) AS n_events
+             FROM events GROUP BY user_id""")
+  )
+
+  /** P11 keyed dedup — keep latest full row per user via row_number.
+    * Ref: data_validator.py:406-415 (dedup key), made deterministic.
+    */
+  val dedupLatest = QueryDef(
+    "q_dedup_latest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    },
+    Some(s"""SELECT user_id, event_id, event_type, value FROM events
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY $OTS DESC, event_id DESC) = 1""")
+  )
+
+  /** Ranking — top-3 values per event_type (row_number + rank + dense_rank). */
+  val rankTop3 = QueryDef(
+    "q_rank_top3",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+      Tables.events(s, d)
+        .select(
+          col("event_type"), col("event_id"), col("value"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+    },
+    Some("""SELECT event_type, event_id, value,
+            ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+            QUALIFY ROW_NUMBER() OVER w <= 3""")
+  )
+
+  /** A2/A24 — time-bucket aggregation (hourly per type).
+    * Ref: spark_etl.py:149-161; app.py:140-151.
+    */
+  val hourlyAgg = QueryDef(
+    "q_hourly_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Exact.dsum(col("value")).as("sum_value"),
+          Exact.davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value")),
+    Some(s"""SELECT DATE_TRUNC('hour', $OTS) AS hour_start, event_type,
+             COUNT(*) AS n, ${Sql.SUMD("value")} AS sum_value,
+             ${Sql.AVGD("value")} AS avg_value,
+             MIN(value) AS min_value, MAX(value) AS max_value
+             FROM events GROUP BY 1, 2""")
+  )
+
+  /** A10 — exact percentiles per group (reference uses percentile_approx;
+    * exact `percentile` here so the oracle matches — at 100 TB swap to
+    * approx_percentile). Ref: enhanced_spark_etl.py:548-557.
+    */
+  val percentiles = QueryDef(
+    "q_percentiles",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95")),
+    Some("""SELECT event_type,
+            ROUND(quantile_cont(value, 0.25), 6) AS p25,
+            ROUND(quantile_cont(value, 0.5), 6) AS p50,
+            ROUND(quantile_cont(value, 0.75), 6) AS p75,
+            ROUND(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type""")
+  )
+
+  /** §2.9 — batch sessionization: 30-min-gap sessions per user with
+    * start/end/duration (the fact_anomaly_events shape,
+    * enhanced_data_schema.sql:325-360). Streaming variant lives in
+    * graft.streaming (flatMapGroupsWithState).
+    */
+  val sessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val gap = 1800L
+      val base = Tables.events(s, d).withColumn("sec", sec)
+      val brk = when(col("sec") - lag(col("sec"), 1).over(wUser) > gap, 1).otherwise(0)
+      base
+        .withColumn("brk", brk)
+        .withColumn("session_idx",
+          sum(col("brk")).over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, $OTS AS ts, $OSEC AS sec FROM events),
+             g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+             SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                    COUNT(*) AS n_events, MAX(sec) - MIN(sec) AS duration_sec
+             FROM sx GROUP BY user_id, session_idx""")
+  )
+
+  /** A8 — freshness/staleness vs dataset max ts (scalar subquery).
+    * Ref: enhanced_spark_etl.py:172-183; data_validator freshness decay.
+    */
+  val freshness = QueryDef(
+    "q_freshness",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(s"""SELECT event_type,
+                ROUND(AVG((asof_us - unix_micros(cast(ts as timestamp))) / 3600e6), 6) AS avg_age_h,
+                ROUND(MAX((asof_us - unix_micros(cast(ts as timestamp))) / 3600e6), 6) AS max_age_h,
+                SUM(CASE WHEN asof_us - unix_micros(cast(ts as timestamp)) > 86400e6 * 7
+                    THEN 1 ELSE 0 END) AS n_stale
+                FROM events
+                CROSS JOIN (SELECT MAX(unix_micros(cast(ts as timestamp))) AS asof_us FROM events)
+                GROUP BY event_type""")
+    },
+    Some(s"""SELECT event_type,
+             ROUND(AVG((asof_us - epoch_us($OTS)) / 3600e6), 6) AS avg_age_h,
+             ROUND(MAX((asof_us - epoch_us($OTS)) / 3600e6), 6) AS max_age_h,
+             SUM(CASE WHEN asof_us - epoch_us($OTS) > 86400e6 * 7
+                 THEN 1 ELSE 0 END) AS n_stale
+             FROM events
+             CROSS JOIN (SELECT MAX(epoch_us($OTS)) AS asof_us FROM events)
+             GROUP BY event_type""")
+  )
+
+  /** §3.3 /api/metrics — dashboard scalar KPIs over the trailing 7 days
+    * (relative to data max, so deterministic). Ref: app.py:21-73.
+    */
+  val dashMetrics = QueryDef(
+    "q_dash_metrics",
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""SELECT COUNT(*) AS n_recent,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+                     / COUNT(*), 6) AS error_rate_pct,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+               FROM events
+               WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY""")
+    },
+    Some(s"""SELECT COUNT(*) AS n_recent,
+             COUNT(DISTINCT user_id) AS n_users,
+             ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+                   / COUNT(*), 6) AS error_rate_pct,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+             FROM events
+             WHERE $OTS >= (SELECT MAX($OTS) FROM events) - INTERVAL 7 DAY""")
+  )
+
+  /** §3.3 /api/alerts — HAVING-filtered per-user error rates + severity.
+    * Ref: app.py:178-229 (severity mapping folded into SQL).
+    */
+  val dashAlerts = QueryDef(
+    "q_dash_alerts",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+        .withColumn("error_rate_pct", round(col("n_errors") * 100.0 / col("n"), 6))
+        .filter(col("error_rate_pct") > 25.0)
+        .withColumn("severity",
+          when(col("error_rate_pct") > 40.0, "critical")
+            .when(col("error_rate_pct") > 32.0, "high")
+            .otherwise("medium")),
+    Some("""SELECT user_id, n, n_errors, error_rate_pct,
+            CASE WHEN error_rate_pct > 40.0 THEN 'critical'
+                 WHEN error_rate_pct > 32.0 THEN 'high'
+                 ELSE 'medium' END AS severity
+            FROM (SELECT user_id, COUNT(*) AS n,
+                         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                         ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+                               / COUNT(*), 6) AS error_rate_pct
+                  FROM events GROUP BY user_id)
+            WHERE error_rate_pct > 25.0""")
+  )
+
+  /** M7 — Pearson correlation matrix over pivoted hourly series,
+    * from exact moments. Ref: enhanced_spark_etl.py:607-648.
+    */
+  val hourlyCorr = QueryDef(
+    "q_hourly_corr",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"))
+      hourly.agg(
+        round(Exact.dcorr(col("clicks"), col("views")), 6).as("corr_click_view"),
+        round(Exact.dcorr(col("clicks"), col("errors")), 6).as("corr_click_error"),
+        round(Exact.dcorr(col("views"), col("errors")), 6).as("corr_view_error"))
+    },
+    Some(s"""WITH hourly AS (
+               SELECT DATE_TRUNC('hour', $OTS) AS h,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+                      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+                      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+               FROM events GROUP BY 1)
+             SELECT ROUND(${Sql.CORRD("clicks", "views")}, 6) AS corr_click_view,
+                    ROUND(${Sql.CORRD("clicks", "errors")}, 6) AS corr_click_error,
+                    ROUND(${Sql.CORRD("views", "errors")}, 6) AS corr_view_error
+             FROM hourly""")
+  )
+
+  /** JSONB analog — extract a typed field from the JSON props column.
+    * Ref: enhanced_data_schema.sql:128 (manufacturer_specs JSONB);
+    * SURVEY §1.5 maps JSONB → get_json_object.
+    */
+  val jsonExtract = QueryDef(
+    "q_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")),
+    Some("""SELECT event_type,
+            COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type""")
+  )
+
+  /** A16 on events — hour-of-day × event_type pivot (pinned columns).
+    * Ref: enhanced_spark_etl.py:612, 705-714.
+    */
+  val pivotHourType = QueryDef(
+    "q_pivot_hour_type",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hod", hour(col("ts")))
+        .groupBy("hod")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("click", "n_click")
+        .withColumnRenamed("view", "n_view")
+        .withColumnRenamed("purchase", "n_purchase")
+        .withColumnRenamed("signup", "n_signup")
+        .withColumnRenamed("error", "n_error"),
+    Some(s"""SELECT EXTRACT(HOUR FROM $OTS) AS hod,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+             FROM events GROUP BY 1""")
+  )
+
+  def all: Seq[QueryDef] = Seq(
+    windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
+    dedupLatest, rankTop3, hourlyAgg, percentiles, sessionize, freshness,
+    dashMetrics, dashAlerts, hourlyCorr, jsonExtract, pivotHourType)
 }

@@ -48,6 +48,20 @@ object Exact {
     val n   = count(c).cast(DoubleType)
     when(n > 0, greatest((ssq - s * s / n) / n, lit(0.0)))
   }
+
+  /** Pearson correlation from exact decimal moments (ref M7,
+    * enhanced_spark_etl.py:626-648): every sum is exact, the final
+    * double arithmetic is identical IEEE-754 in both engines.
+    */
+  def dcorr(x: Column, y: Column): Column = {
+    val n   = count(lit(1)).cast(DoubleType)
+    val sx  = dsum(x)
+    val sy  = dsum(y)
+    val sxy = sum(x.cast(D) * y.cast(D)).cast(DoubleType)
+    val sxx = sum(x.cast(D) * x.cast(D)).cast(DoubleType)
+    val syy = sum(y.cast(D) * y.cast(D)).cast(DoubleType)
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
 }
 
 /** DuckDB-oracle SQL fragments matching [[Exact]]. */
@@ -69,5 +83,13 @@ object Sql {
     val ssq = s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
     val n   = s"CAST(COUNT($x) AS DOUBLE)"
     s"CASE WHEN COUNT($x) > 0 THEN GREATEST(($ssq - $s * $s / $n) / $n, 0.0) END"
+  }
+  def CORRD(x: String, y: String): String = {
+    def p(a: String, b: String) =
+      s"CAST(SUM(CAST($a AS DECIMAL(18,4)) * CAST($b AS DECIMAL(18,4))) AS DOUBLE)"
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    s"(($n * ${p(x, y)} - ${SUMD(x)} * ${SUMD(y)}) / " +
+      s"(SQRT($n * ${p(x, x)} - ${SUMD(x)} * ${SUMD(x)}) * " +
+      s"SQRT($n * ${p(y, y)} - ${SUMD(y)} * ${SUMD(y)})))"
   }
 }
