@@ -1,7 +1,115 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.operators.{MinHashDedup, SimHash}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Deduplication operator family over `documents` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (training-data pipeline core).
+  */
 object Dedup {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Exact dedup via normalized fingerprint: every doc mapped to its
+    * group's canonical keep_id (min doc_id), dup flag. One shuffle on
+    * the 16-byte fingerprint — the 100 TB-safe exact-dedup plan.
+    */
+  val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .withColumn("fp", TF.fingerprint(col("text")))
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("keep_id"),
+          (col("doc_id") =!= col("keep_id")).cast("int").as("is_dup"),
+          col("group_size"))
+    },
+    Some(s"""SELECT doc_id,
+             MIN(doc_id) OVER w AS keep_id,
+             CASE WHEN doc_id <> MIN(doc_id) OVER w THEN 1 ELSE 0 END AS is_dup,
+             COUNT(*) OVER w AS group_size
+             FROM (SELECT doc_id, ${TS.fingerprint("text")} AS fp FROM documents)
+             WINDOW w AS (PARTITION BY fp)""")
+  )
+
+  /** Corpus-level dedup summary (docs, distinct texts, dup count). */
+  val dedupSummary = QueryDef(
+    "q_dedup_summary",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fp", TF.fingerprint(col("text")))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups")),
+    Some(s"""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+             COUNT(*) - COUNT(DISTINCT fp) AS n_dups
+             FROM (SELECT ${TS.fingerprint("text")} AS fp FROM documents)""")
+  )
+
+  /** MinHash signatures (16 portable hashes + 4 LSH band keys). */
+  val minhashSignatures = QueryDef(
+    "q_minhash_signatures",
+    (s, d) => MinHashDedup.signatures(Tables.documents(s, d)),
+    Some(MinHashDedup.signaturesSqlDuck())
+  )
+
+  /** MinHash-LSH candidate near-dup pairs (est. Jaccard >= 0.5). */
+  val minhashPairs = QueryDef(
+    "q_minhash_lsh_pairs",
+    (s, d) => MinHashDedup.candidatePairs(
+      MinHashDedup.signatures(Tables.documents(s, d)), 0.5),
+    Some(MinHashDedup.candidatePairsSqlDuck(0.5))
+  )
+
+  /** SimHash 16-bit fingerprints. */
+  val simhashQ = QueryDef(
+    "q_simhash",
+    (s, d) => SimHash.simhash(Tables.documents(s, d)),
+    Some(SimHash.simhashSqlDuck())
+  )
+
+  /** Blocked n-gram Jaccard near-dup pairs: block on (lang, source) —
+    * IVF-style candidate pruning — then exact 3-shingle Jaccard.
+    * |∪| computed as n1+n2-|∩| to avoid engine-specific union
+    * semantics. At 100 TB the blocking keys bound the pair explosion;
+    * unblocked pairwise Jaccard is never run.
+    */
+  val jaccardPairs = QueryDef(
+    "q_jaccard_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TF.shingles(col("text"), 3).as("sh"))
+      val a = base.alias("a")
+      val b = base.alias("b")
+      val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+      val jac = inter / (size(col("a.sh")) + size(col("b.sh")) - inter)
+      a.join(b,
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(jac, 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+    },
+    Some {
+      val sh = TS.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh FROM documents)
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                     AS jaccard
+            FROM s a JOIN s b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.6"""
+    }
+  )
+
+  def all: Seq[QueryDef] = Seq(
+    dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
+    jaccardPairs)
 }

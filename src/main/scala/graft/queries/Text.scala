@@ -1,7 +1,151 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID, quality scoring, token
+  * counting, fingerprinting). All pure Column expressions (codegen'd);
+  * at 100 TB these are narrow per-row transforms with no shuffle except
+  * the final aggregations.
+  */
 object Text {
-  def all: Seq[QueryDef] = Seq()
+
+  /** Token statistics per document: counts, distinct counts, mean token
+    * length, type-token ratio.
+    */
+  val textStats = QueryDef(
+    "q_text_stats",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        round(TF.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        round(TF.distinctTokenCount(col("text")).cast("double") /
+          TF.tokenCount(col("text")), 6).as("ttr")),
+    Some(s"""SELECT doc_id,
+             length(text) AS n_chars_calc,
+             ${TS.tokenCount("text")} AS n_tokens,
+             ${TS.distinctTokenCount("text")} AS n_distinct,
+             ROUND(${TS.avgTokenLen("text")}, 6) AS avg_token_len,
+             ROUND(CAST(${TS.distinctTokenCount("text")} AS DOUBLE)
+                   / ${TS.tokenCount("text")}, 6) AS ttr
+             FROM documents""")
+  )
+
+  /** Quality scoring: stopword ratio, length band, repetition (1 - TTR);
+    * composite score in [0,1] + grade label — the document-quality
+    * filter of a pretraining pipeline.
+    */
+  val textQuality = QueryDef(
+    "q_text_quality",
+    (s, d) => {
+      val nTok  = TF.tokenCount(col("text")).cast("double")
+      val stops = TF.lexiconHits(col("text"), TF.StopwordsEn).cast("double")
+      val ttr   = TF.distinctTokenCount(col("text")).cast("double") / nTok
+      val lenOk = when(nTok.between(10, 1000), 1.0).otherwise(0.0)
+      val score = round(lit(0.4) * ttr + lit(0.3) * least(stops / nTok * 10.0, lit(1.0))
+        + lit(0.3) * lenOk, 6)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        stops.cast("long").as("stop_hits"),
+        round(stops / nTok, 6).as("stop_ratio"),
+        round(ttr, 6).as("ttr"),
+        score.as("quality_score"),
+        when(score >= 0.6, "good").when(score >= 0.4, "fair").otherwise("poor")
+          .as("quality_grade"))
+    },
+    Some {
+      val nTok  = s"CAST(${TS.tokenCount("text")} AS DOUBLE)"
+      val stops = s"CAST(${TS.lexiconHits("text", TF.StopwordsEn)} AS DOUBLE)"
+      val ttr   = s"(CAST(${TS.distinctTokenCount("text")} AS DOUBLE) / $nTok)"
+      val lenOk = s"(CASE WHEN $nTok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)"
+      val score = s"ROUND(0.4 * $ttr + 0.3 * LEAST($stops / $nTok * 10.0, 1.0) + 0.3 * $lenOk, 6)"
+      s"""SELECT doc_id,
+          CAST($stops AS BIGINT) AS stop_hits,
+          ROUND($stops / $nTok, 6) AS stop_ratio,
+          ROUND($ttr, 6) AS ttr,
+          $score AS quality_score,
+          CASE WHEN $score >= 0.6 THEN 'good'
+               WHEN $score >= 0.4 THEN 'fair' ELSE 'poor' END AS quality_grade
+          FROM documents"""
+    }
+  )
+
+  /** Language-ID heuristic: stopword-lexicon hit counts per language,
+    * deterministic argmax (strict-> ordering en>es>de>fr, 'und' when all
+    * zero). The testdata corpus is synthetic word-soup, so the point is
+    * the operator shape, not linguistic accuracy.
+    */
+  val langId = QueryDef(
+    "q_lang_id",
+    (s, d) => {
+      val hits = TF.LangLexicons.map { case (l, lex) =>
+        l -> TF.lexiconHits(col("text"), lex).cast("long")
+      }
+      val Seq(en, es, de, fr) = hits.map(_._2)
+      val pred = when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+        pred.as("pred_lang"))
+    },
+    Some {
+      val h = TF.LangLexicons.map { case (l, lex) =>
+        l -> TS.lexiconHits("text", lex)
+      }.toMap
+      val (en, es, de, fr) = (h("en"), h("es"), h("de"), h("fr"))
+      s"""SELECT doc_id, lang AS labeled_lang,
+          $en AS en_hits, $es AS es_hits, $de AS de_hits, $fr AS fr_hits,
+          CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+               WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+               WHEN $es >= $de AND $es >= $fr THEN 'es'
+               WHEN $de >= $fr THEN 'de'
+               ELSE 'fr' END AS pred_lang
+          FROM documents"""
+    }
+  )
+
+  /** Document fingerprinting: whitespace-normalized md5 (exact-dedup
+    * key) + 64-bit prefix.
+    */
+  val fingerprintQ = QueryDef(
+    "q_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        substring(TF.fingerprint(col("text")), 1, 16).as("fp64")),
+    Some(s"""SELECT doc_id, ${TS.fingerprint("text")} AS fp,
+             substring(${TS.fingerprint("text")}, 1, 16) AS fp64
+             FROM documents""")
+  )
+
+  /** Corpus token frequency top-k (explode + count + deterministic
+    * top-20). At 100 TB: map-side combine then a single small top-k —
+    * Spark plans TakeOrderedAndProject, no global sort.
+    */
+  val tokenTopK = QueryDef(
+    "q_token_topk",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+        .limit(20),
+    Some(s"""SELECT token, COUNT(*) AS cnt
+             FROM (SELECT unnest(${TS.tokens("text")}) AS token FROM documents)
+             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""")
+  )
+
+  def all: Seq[QueryDef] =
+    Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK)
 }
