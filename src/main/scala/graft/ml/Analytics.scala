@@ -1,0 +1,114 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector, Vectors => MlVectors}
+import org.apache.spark.ml.regression.RandomForestRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib analytics (SURVEY §2.11 M1–M8), kept in MLlib rather than
+  * re-implemented in Catalyst.
+  *
+  * Deviations from the reference, by design:
+  *  - one model over the whole data instead of a driver-side loop of
+  *    per-type fits (enhanced_spark_etl.py:353 — SURVEY §3.1 step 6);
+  *  - the anomaly score is a real distance-to-centroid, replacing the
+  *    reference's `hash(str(features)) % 100 / 100` placeholder
+  *    (enhanced_spark_etl.py:401-411, F3) — deterministic and meaningful;
+  *  - seeds pinned everywhere (42).
+  */
+object Analytics {
+
+  /** KMeans over the embedding vectors (M1+M3): returns the input with
+    * `cluster` and squared `dist2` to the assigned centroid.
+    */
+  def kmeansWithDistance(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val df = embeddings.withColumn("features",
+      array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(df)
+    val centers = model.clusterCenters
+    val dist2 = udf((v: Vector, c: Int) => MlVectors.sqdist(v, centers(c)))
+    model.transform(df)
+      .withColumn("dist2", dist2(col("features"), col("cluster")))
+  }
+
+  /** Cluster summary (A5): sizes + inertia per cluster. */
+  def clusterSummary(embeddings: DataFrame, k: Int = 10): DataFrame =
+    kmeansWithDistance(embeddings, k)
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("dist2")), 4).as("inertia"),
+        countDistinct(col("label")).as("n_labels"))
+
+  /** M8 fixed: flag the top-`pct` fraction by distance-to-centroid. */
+  def anomalyTag(embeddings: DataFrame, k: Int = 10, pct: Double = 0.05): DataFrame = {
+    val scored = kmeansWithDistance(embeddings, k)
+    val thresh = scored.stat.approxQuantile("dist2", Array(1.0 - pct), 0.001)(0)
+    scored.withColumn("is_ml_anomaly", (col("dist2") >= thresh).cast("int"))
+  }
+
+  /** M2: standardize event-level features; returns per-feature mean/std
+    * of the scaled output (sanity: ~0 / ~1).
+    */
+  def scaledFeatureStats(events: DataFrame): DataFrame = {
+    val feats = events.select(
+      col("value"),
+      hour(col("ts")).cast("double").as("hod"),
+      dayofweek(col("ts")).cast("double").as("dow"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("value", "hod", "dow")).setOutputCol("f")
+      .setHandleInvalid("skip")
+      .transform(feats)
+    val scaled = new StandardScaler().setWithMean(true).setWithStd(true)
+      .setInputCol("f").setOutputCol("fs")
+      .fit(assembled).transform(assembled)
+    val toArr = udf((v: Vector) => v.toArray)
+    scaled.select(posexplode(toArr(col("fs"))).as(Seq("feature_idx", "v")))
+      .groupBy("feature_idx")
+      .agg(round(avg(col("v")), 6).as("scaled_mean"),
+        round(stddev_samp(col("v")), 6).as("scaled_std"))
+  }
+
+  /** M4+M5+M6: next-hour event-count forecast. Features are lag counts
+    * (W3) + calendar; pipeline = assembler → RF; evaluated with RMSE on
+    * a deterministic time split (last 20% of hours).
+    */
+  def forecastRmse(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("h")
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("lag1", lag(col("n"), 1).over(w))
+      .withColumn("lag24", lag(col("n"), 24).over(w))
+      .withColumn("target", lead(col("n"), 1).over(w))
+      .withColumn("hod", hour(col("h")).cast("double"))
+      .na.drop()
+    val Array(minH, maxH) = hourly.agg(
+      min(unix_timestamp(col("h"))), max(unix_timestamp(col("h"))))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    val cut = minH + ((maxH - minH) * 0.8).toLong
+    val train = hourly.filter(unix_timestamp(col("h")) <= cut)
+    val test  = hourly.filter(unix_timestamp(col("h")) > cut)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("n", "lag1", "lag24", "hod"))
+        .setOutputCol("f"),
+      new RandomForestRegressor().setFeaturesCol("f").setLabelCol("target")
+        .setNumTrees(20).setMaxDepth(5).setSeed(42L)))
+    val model = pipe.fit(train)
+    val pred = model.transform(test)
+    val rmse = new RegressionEvaluator().setLabelCol("target")
+      .setPredictionCol("prediction").setMetricName("rmse").evaluate(pred)
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((math.round(rmse * 10000) / 10000.0, train.count(), test.count()))
+      .toDF("rmse", "n_train", "n_test")
+  }
+}
