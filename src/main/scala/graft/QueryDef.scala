@@ -25,7 +25,8 @@ object QueryRegistry {
       queries.Warehouse.all ++
       queries.Validation.all ++
       queries.Ml.all ++
-      queries.Multimodal.all
+      queries.Multimodal.all ++
+      queries.Streaming.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

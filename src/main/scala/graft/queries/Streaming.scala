@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Streaming paths run to completion over the bounded testdata
+  * (Trigger.AvailableNow → memory sink) so the SAME code that serves an
+  * unbounded source is held to the batch DuckDB oracle.
+  */
+object Streaming {
+
+  /** Watermarked tumbling 1-hour aggregate, complete mode. */
+  val streamHourly = QueryDef(
+    "q_stream_hourly",
+    (s, d) => {
+      val agg = Streams.hourlyAgg(Streams.readEvents(s, d))
+      Streams.runToTable(agg, "stream_hourly", "complete")
+        .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
+    },
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2"""))
+
+  /** flatMapGroupsWithState sessionization (closed sessions; the
+    * trailing per-user session is still open at end-of-stream, so the
+    * oracle excludes each user's last session).
+    */
+  val streamSessionize = QueryDef(
+    "q_stream_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val evs = Streams.readEvents(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[Streams.Ev]
+      val sess = Streams.sessionize(evs, gapSec = 1800L, withTimeout = false)
+      Streams.runToTable(sess.toDF(), "stream_sessions", "append")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+                       FROM events),
+            g AS (SELECT *, CASE WHEN sec - LAG(sec)
+                      OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                    THEN 1 ELSE 0 END AS brk FROM e),
+            sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                     ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)
+                     AS session_idx FROM g),
+            sess AS (SELECT user_id, session_idx,
+                            MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+                            COUNT(*) AS n_events,
+                            MAX(sec) - MIN(sec) AS duration_sec
+                     FROM sx GROUP BY user_id, session_idx)
+            SELECT * FROM sess
+            QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)"""))
+
+  def all: Seq[QueryDef] = Seq(streamHourly, streamSessionize)
+}

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9). The reference has no true
+  * streaming engine — "real-time" there is micro-polling loops
+  * (enhanced_ingestion.py:35-64) + a 30 s dashboard refresh (app.py:815)
+  * + a Postgres row trigger (enhanced_data_schema.sql:566-591). The
+  * idiomatic Spark upgrade:
+  *
+  *  - polling ingest        → `readStream` file source + trigger
+  *  - hourly aggregate fact → watermark + tumbling `window()` agg
+  *  - anomaly/session events→ `flatMapGroupsWithState` (the one
+  *    genuinely stateful op implied by the data model,
+  *    enhanced_data_schema.sql:325-360)
+  *  - row trigger upsert    → `foreachBatch` merge
+  *
+  * All transforms are written against unbounded DataFrames, so the same
+  * code runs batch (for the oracle gate) and streaming (tests use
+  * MemoryStream; production uses a file/kafka source).
+  */
+object Streams {
+
+  /** events.parquet physical schema under nanosAsLong (file streaming
+    * sources require an explicit schema).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of an events parquet directory. ns→µs truncation
+    * matches Tables.events exactly.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob (not a bare file path): the file source requires a directory
+    // or pattern; production points this at a landing directory.
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parque*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour aggregate (the hourly fact of
+    * enhanced_data_schema.sql:279-322) with a 2 h watermark
+    * (data_validator.py:420-429's 24 h freshness bound informs the
+    * delay; 2 h matches the reference's stale threshold intent).
+    * DECIMAL sum keeps the result bit-exact vs the DuckDB oracle.
+    */
+  def hourlyAgg(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** `ts` rides along (not just derived seconds) so the watermark
+    * attribute survives into the stateful operator's input — required
+    * for event-time timeout.
+    */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long) {
+    def sec: Long = Math.floorDiv(ts.getTime, 1000L)
+  }
+  case class OpenSession(start: Long, end: Long, n: Long, idx: Long)
+  case class SessionOut(user_id: Long, session_idx: Long, start_sec: Long,
+      end_sec: Long, n_events: Long, duration_sec: Long)
+
+  /** Gap-based sessionization as `flatMapGroupsWithState`: closed
+    * sessions are emitted, the trailing open session rides in state
+    * across micro-batches and flushes on event-time timeout (when the
+    * watermark passes end+gap). This is the streaming twin of the batch
+    * `q_sessionize` query (same 1800 s gap, same session numbering).
+    *
+    * Scale: state is O(1) per user (one open session), so 10^9 users ≈
+    * a few GB of state store — safe under RocksDB state backend.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800L,
+      withTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evs: Iterator[Ev],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (!state.exists && evs.isEmpty) return Iterator.empty
+      if (evs.isEmpty && state.hasTimedOut) {
+        // watermark passed end+gap: flush the open session
+        val s = state.get
+        state.remove()
+        return Iterator.single(
+          SessionOut(userId, s.idx, s.start, s.end, s.n, s.end - s.start))
+      }
+      val sorted = evs.toArray.sortBy(e => (e.sec, e.event_id))
+      val closed = Array.newBuilder[SessionOut]
+      var open = state.getOption
+      for (e <- sorted) {
+        open match {
+          case Some(s) if e.sec - s.end > gapSec =>
+            closed += SessionOut(userId, s.idx, s.start, s.end, s.n, s.end - s.start)
+            open = Some(OpenSession(e.sec, e.sec, 1, s.idx + 1))
+          case Some(s) =>
+            open = Some(s.copy(end = e.sec, n = s.n + 1))
+          case None =>
+            open = Some(OpenSession(e.sec, e.sec, 1, 0))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        if (withTimeout)
+          state.setTimeoutTimestamp((s.end + gapSec) * 1000 + 1)
+      }
+      closed.result().iterator
+    }
+
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(fn)
+  }
+
+  /** foreachBatch upsert (the Postgres AFTER INSERT trigger rewrite,
+    * enhanced_data_schema.sql:566-591): merge each micro-batch's
+    * per-user latest reading into a status table kept as parquet.
+    * Last-writer-wins on (ts, event_id).
+    */
+  def statusUpsert(batch: DataFrame, statusPath: String): Unit = {
+    val spark = batch.sparkSession
+    val incoming = batch
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("last_ts"),
+        col("s.value").as("last_value"), col("s.event_type").as("last_type"))
+    val existing =
+      try spark.read.parquet(statusPath)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val merged =
+      if (existing.isEmpty) incoming
+      else existing.unionByName(incoming)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("last_ts"), col("last_value"), col("last_type")),
+          col("last_ts")).as("s"))
+        .select(col("user_id"), col("s.last_ts").as("last_ts"),
+          col("s.last_value").as("last_value"), col("s.last_type").as("last_type"))
+    // write-then-swap keeps the read path consistent
+    val tmp = statusPath + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(statusPath)
+  }
+
+  /** Run a streaming DataFrame to completion over bounded input
+    * (Trigger.AvailableNow) into a named memory sink; returns the
+    * collected result. This is how the streaming paths join the batch
+    * oracle gate.
+    */
+  def runToTable(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

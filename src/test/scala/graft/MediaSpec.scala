@@ -1,0 +1,50 @@
+package graft
+
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "tiny"), (1L, "a somewhat longer audio payload"),
+    (2L, "video payload " * 20), (5L, "another video " * 3))
+    .toDF("doc_id", "text")
+
+  test("decode emits one typed metadata row per payload, deterministic") {
+    val d1 = Media.decode(Media.asMedia(docs)).collect().sortBy(_.getLong(0))
+    val d2 = Media.decode(Media.asMedia(docs)).collect().sortBy(_.getLong(0))
+    assert(d1.toSeq === d2.toSeq)
+    assert(d1.length === 4)
+    val r0 = d1(0) // doc 0: "tiny", image
+    assert(r0.getString(1) === "image/png")
+    assert(r0.getInt(2) === 4)
+    assert(r0.getInt(3) === 64 + 4 % 577)
+    // only videos get multiple frames
+    assert(d1.filter(_.getString(1) != "video/mp4").forall(_.getInt(5) === 1))
+  }
+
+  test("sampleFrames explodes every step-th frame of videos only") {
+    val frames = Media.sampleFrames(Media.decode(Media.asMedia(docs)), step = 10)
+    val byDoc = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("frame_idx").as("mx"))
+      .as[(Long, Long, Int)].collect().map { case (k, n, _) => k -> n }.toMap
+    // docs 2 and 5 are mime video/mp4 (doc_id % 3 == 2)
+    assert(byDoc.keySet === Set(2L, 5L))
+    val nf = Media.decode(Media.asMedia(docs))
+      .filter(col("doc_id") === 2L).collect()(0).getInt(5)
+    assert(byDoc(2L) === (nf + 9) / 10)
+  }
+
+  test("resizePlan preserves aspect ratio within the box") {
+    val out = Media.resizePlan(Media.decode(Media.asMedia(docs)), box = 224)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    for ((_, w, h, ow, oh) <- out) {
+      assert(ow <= 224 && oh <= 224)
+      assert(ow == 224 || oh == 224) // long edge hits the box
+      val ar = w.toDouble / h
+      val oar = ow.toDouble / oh
+      assert(math.abs(ar - oar) / ar < 0.05)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Streaming operators: cross-batch session state, event-time timeout
+  * flush, watermarked hourly agg, foreachBatch upsert.
+  */
+class StreamingSpec extends SparkSpec {
+  import org.apache.spark.sql.Encoders
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("sessionize carries open sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val sessions = Streams.sessionize(input.toDS(), gapSec = 1800L,
+      withTimeout = false)
+    val q = sessions.writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").start()
+
+    // batch 1: two events 10 min apart — one open session, nothing out
+    input.addData(Ev(1L, ts(1000L), 1L), Ev(1L, ts(1600L), 2L))
+    q.processAllAvailable()
+    assert(spark.table("t_sessions").count() === 0)
+
+    // batch 2: event 2h later — closes session 0 (state crossed batches)
+    input.addData(Ev(1L, ts(9000L), 3L))
+    q.processAllAvailable()
+    val out = spark.table("t_sessions").as[SessionOut].collect()
+    assert(out.toSeq === Seq(SessionOut(1L, 0L, 1000L, 1600L, 2L, 600L)))
+    q.stop()
+  }
+
+  test("sessionize flushes idle sessions via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Long)]
+    val evs = input.toDF().toDF("ts", "user_id", "event_id")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[Ev]
+    val sessions = Streams.sessionize(evs, gapSec = 1800L, withTimeout = true)
+    val q = sessions.writeStream.format("memory").queryName("t_timeout")
+      .outputMode("append").start()
+
+    input.addData((ts(1000), 7L, 1L))
+    q.processAllAvailable()
+    // another user's much-later event advances the watermark past
+    // user 7's end+gap → the idle session must flush by timeout
+    input.addData((ts(100000), 8L, 2L))
+    q.processAllAvailable()
+    input.addData((ts(200000), 8L, 3L))
+    q.processAllAvailable()
+    val flushed = spark.table("t_timeout").as[SessionOut].collect()
+      .filter(_.user_id == 7L)
+    assert(flushed.toSeq === Seq(SessionOut(7L, 0L, 1000L, 1000L, 1L, 0L)))
+    q.stop()
+  }
+
+  test("hourlyAgg tumbling windows match a hand computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyAgg(df, "1 hour")
+      .writeStream.format("memory").queryName("t_hourly")
+      .outputMode("complete").start()
+    input.addData(
+      (ts(100), "a", 1.5), (ts(200), "a", 2.5),   // hour 0
+      (ts(3700), "a", 10.0),                      // hour 1
+      (ts(150), "b", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("t_hourly")
+      .select("hour_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (ts(0), "a", 2L, 4.0), (ts(3600), "a", 1L, 10.0), (ts(0), "b", 1L, 4.0)))
+    q.stop()
+  }
+
+  test("statusUpsert keeps the latest reading per user across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("status").toString
+    val path = s"$dir/status"
+    val b1 = Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    val b2 = Seq((1L, ts(500), 9.0, "flow", 3L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    Streams.statusUpsert(b1, path)
+    Streams.statusUpsert(b2, path)
+    val out = spark.read.parquet(path)
+      .select("user_id", "last_value").as[(Long, Double)].collect().toSet
+    assert(out === Set((1L, 9.0), (2L, 2.0)))
+  }
+}

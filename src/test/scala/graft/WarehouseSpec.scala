@@ -1,0 +1,44 @@
+package graft
+
+import graft.warehouse.Star
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dim_date spans the full date range with correct calendar attrs") {
+    val span = Seq("2024-02-27", "2024-03-02")
+      .toDF("d").select(to_date(col("d")).as("d"))
+    val dim = Star.buildDimDate(span, "d")
+    assert(dim.count() === 5) // leap year: feb 27,28,29, mar 1,2
+    val leap = dim.filter(col("time_key") === 20240229)
+    assert(leap.count() === 1)
+  }
+
+  test("surrogate keys are dense, stable, and 1:1 with natural keys") {
+    val dim = Star.withSurrogateKey(
+      Seq("b", "a", "c", "a").toDF("nk").distinct(), "sk", col("nk"))
+    val rows = dim.as[(String, Long)].collect().toMap
+    assert(rows === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("scd2Merge closes changed rows and inserts new versions") {
+    val current = Seq(("s1", "North", "2024-01-01", null.asInstanceOf[String], 1),
+      ("s2", "South", "2024-01-01", null.asInstanceOf[String], 1))
+      .toDF("sensor_id", "district", "effective_date", "end_date", "is_current")
+      .select(col("sensor_id"), col("district"),
+        to_date(col("effective_date")).as("effective_date"),
+        to_date(col("end_date")).as("end_date"), col("is_current"))
+    val incoming = Seq(("s1", "East"), ("s3", "West"))
+      .toDF("sensor_id", "district")
+    val merged = Star.scd2Merge(current, incoming, "sensor_id", "2024-06-01")
+    val byKey = merged.select("sensor_id", "district", "is_current")
+      .as[(String, String, Int)].collect().groupBy(_._1)
+    // s1: old North row closed + new current East row
+    assert(byKey("s1").toSet === Set(("s1", "North", 0), ("s1", "East", 1)))
+    // s2: untouched current
+    assert(byKey("s2").toSet === Set(("s2", "South", 1)))
+    // s3: brand-new current
+    assert(byKey("s3").toSet === Set(("s3", "West", 1)))
+  }
+}
