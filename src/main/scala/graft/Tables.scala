@@ -15,6 +15,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The testdata tables are single-row-group parquet files → ONE input
+    * split, so a CPU-heavy narrow stage (shingling, hashing, dot
+    * products) right after the scan would run on one core. Fan out to
+    * the session's parallelism when the scan is under-split; on a real
+    * cluster the scan arrives as many splits and this is skipped.
+    * Only applied to the compute-heavy tables (documents, embeddings):
+    * relational tables hit a shuffle (join/agg) before any heavy
+    * per-row compute, which parallelizes them anyway.
+    */
+  private def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -35,8 +49,8 @@ object Tables {
         org.apache.spark.sql.functions
           .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "embeddings"))
 
   /** Table accessor routing through per-table fixups (events nanos). */
   def table(s: SparkSession, d: String, name: String): DataFrame =

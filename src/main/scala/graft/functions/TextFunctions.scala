@@ -101,22 +101,17 @@ object PortableHash {
   private val HEX = "0123456789abcdef"
 
   /** Spark-dialect: hash of the `lane`-th 8-hex-char window of an md5
-    * hex string expression `h` (lane 0..3).
+    * hex string expression `h` (lane 0..3). Single `conv` call — a
+    * 16-lane signature stays a small expression tree (the earlier
+    * digit-by-digit polynomial blew past janino's method-size limit and
+    * dropped whole plans out of codegen).
     */
   def laneSpark(h: String, lane: Int): String =
-    (0 until 8).map { i =>
-      val pos = lane * 8 + i + 1
-      val mult = math.pow(16, 7 - i).toLong
-      s"(instr('$HEX', substring($h, $pos, 1)) - 1) * ${mult}L"
-    }.mkString("(", " + ", ")")
+    s"cast(conv(substring($h, ${lane * 8 + 1}, 8), 16, 10) as bigint)"
 
   /** DuckDB-dialect equivalent of [[laneSpark]]. */
   def laneDuck(h: String, lane: Int): String =
-    (0 until 8).map { i =>
-      val pos = lane * 8 + i + 1
-      val mult = math.pow(16, 7 - i).toLong
-      s"(strpos('$HEX', substring($h, $pos, 1)) - 1) * $mult"
-    }.mkString("(", " + ", ")")
+    s"CAST(('0x' || substring($h, ${lane * 8 + 1}, 8)) AS BIGINT)"
 
   /** Driver-side reference implementation (for plane generation and
     * tests): identical values to the SQL forms.

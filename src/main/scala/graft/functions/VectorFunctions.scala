@@ -6,21 +6,21 @@ import org.apache.spark.sql.functions._
 /** Vector similarity primitives over `array<float>` embedding columns.
   *
   * Determinism across engines: double addition is order-dependent, so
-  * both the Spark side and the DuckDB oracle evaluate dot products as an
-  * explicit left-to-right 64-term chain (generated below) — identical
-  * IEEE-754 operation sequences, bit-identical results.
-  *
-  * The idiomatic Spark form (`aggregate(zip_with(...))`) folds
-  * left-to-right too and equals the explicit chain; we keep the explicit
-  * generator as the single source of truth for both dialects.
+  * both sides must use the same IEEE-754 operation sequence. The DuckDB
+  * oracle uses an explicit left-to-right 64-term chain; the Spark side
+  * uses `aggregate(zip_with(...))`, whose left fold
+  * ((0+p0)+p1)+... performs the identical addition sequence (0+p0 ≡ p0)
+  * — bit-identical results, but a small expression tree that stays
+  * inside whole-stage codegen (the explicit 64-term chain repeated for
+  * dot/norm/norm blew up codegen method size).
   */
 object VectorFunctions {
   val Dim = 64
 
-  /** Spark Column: dot(a, b) as a left-assoc 64-term sum (codegen'd). */
+  /** Spark Column: dot(a, b) as a left-to-right fold (codegen-friendly). */
   def dotSpark(a: String, b: String): Column =
-    expr((0 until Dim).map(i =>
-      s"cast($a[$i] as double) * cast($b[$i] as double)").mkString("(", " + ", ")"))
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      s"cast(0.0 as double), (acc, v) -> acc + v)")
 
   def normSpark(a: String): Column = sqrt(dotSpark(a, a))
 
@@ -51,11 +51,13 @@ object VectorFunctions {
   def hyperplaneLiteral(p: Int): IndexedSeq[String] =
     hyperplane(p).map(w => f"$w%.3f")
 
-  /** Spark: dot(embedding, plane_p) with inline literal weights. */
+  /** Spark: dot(embedding, plane_p) with inline literal weights — same
+    * left-to-right fold as [[dotSpark]].
+    */
   def planeDotSpark(a: String, p: Int): Column = {
-    val ws = hyperplaneLiteral(p)
-    expr((0 until Dim).map(i =>
-      s"cast($a[$i] as double) * ${ws(i)}").mkString("(", " + ", ")"))
+    val ws = hyperplaneLiteral(p).mkString("array(", ", ", ")")
+    expr(s"aggregate(zip_with($a, cast($ws as array<double>), " +
+      s"(x, w) -> cast(x as double) * w), cast(0.0 as double), (acc, v) -> acc + v)")
   }
 
   def planeDotDuck(a: String, p: Int): String = {

@@ -24,20 +24,30 @@ object MinHashDedup {
   val NumBands: Int = NumHashes / BandSize // 4
   val ShingleK = 3
 
-  /** doc_id + mh_0..mh_15 + band_0..band_3. */
+  /** doc_id + mh_0..mh_15 + band_0..band_3.
+    *
+    * Shape: explode shingles → per-shingle md5s + lanes → hash-agg
+    * `min` per doc. One traversal of each doc's shingles, map-side
+    * partial aggregation, whole-stage codegen throughout — the shape
+    * that survives 100 TB (the earlier nested-transform version
+    * re-inlined the shingle array into all 16 lane expressions).
+    */
   def signatures(docs: DataFrame): DataFrame = {
-    val withSh = docs.withColumn("sh", TF.shingles(col("text"), ShingleK))
-    val withMd5 = (0 until NumSeeds).foldLeft(withSh) { (df, s2) =>
-      df.withColumn(s"md5_$s2", transform(col("sh"), x => md5(concat(x, lit(s"#$s2")))))
-    }
-    val sigCols = for (s2 <- 0 until NumSeeds; l <- 0 until NumLanes) yield
-      expr(s"array_min(transform(md5_$s2, h -> ${PortableHash.laneSpark("h", l)}))")
-        .as(s"mh_${s2 * NumLanes + l}")
-    val withSig = withMd5.select(col("doc_id") +: sigCols: _*)
-    (0 until NumBands).foldLeft(withSig) { (df, b) =>
-      val cols = (0 until BandSize).map(i => col(s"mh_${b * BandSize + i}"))
-      df.withColumn(s"band_$b", md5(concat_ws(",", cols: _*)))
-    }
+    val exploded = docs.select(col("doc_id"),
+      explode(TF.shingles(col("text"), ShingleK)).as("x"))
+    val hashed = exploded.select(col("doc_id") +:
+      (0 until NumSeeds).map(s2 =>
+        md5(concat(col("x"), lit(s"#$s2"))).as(s"h_$s2")): _*)
+    val mins = (for (s2 <- 0 until NumSeeds; l <- 0 until NumLanes) yield
+      min(expr(PortableHash.laneSpark(s"h_$s2", l)))
+        .as(s"mh_${s2 * NumLanes + l}"))
+    val sig = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sig.select(col("doc_id") +:
+      (0 until NumHashes).map(i => col(s"mh_$i")) ++:
+      (0 until NumBands).map { b =>
+        val cols = (0 until BandSize).map(i => col(s"mh_${b * BandSize + i}"))
+        md5(concat_ws(",", cols: _*)).as(s"band_$b")
+      }: _*)
   }
 
   /** DuckDB SQL producing the identical signature relation. */

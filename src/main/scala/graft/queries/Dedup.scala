@@ -81,18 +81,27 @@ object Dedup {
   val jaccardPairs = QueryDef(
     "q_jaccard_pairs",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      // Inverted-index shape: explode shingles and self-join on the
+      // shingle ITSELF (+ the lang/source block), then count matches
+      // per pair. Intersection counting becomes a hash-agg over only
+      // the co-occurring pairs — no O(block²) pair materialization, no
+      // array payloads through the shuffle. At 100 TB this is the only
+      // viable exact-Jaccard plan (skewed hot shingles → AQE skew join).
+      val ex = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           TF.shingles(col("text"), 3).as("sh"))
-      val a = base.alias("a")
-      val b = base.alias("b")
-      val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
-      val jac = inter / (size(col("a.sh")) + size(col("b.sh")) - inter)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("sh")).as("n_sh"), explode(col("sh")).as("x"))
+      val a = ex.alias("a")
+      val b = ex.alias("b")
       a.join(b,
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(jac, 6).as("jaccard"))
+          col("a.x") === col("b.x") && col("a.lang") === col("b.lang") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).cast("double").as("ni"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.6)
     },
     Some {

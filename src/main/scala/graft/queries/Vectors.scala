@@ -73,13 +73,19 @@ object Vectors {
   val nearDupPairs = QueryDef(
     "q_embed_neardup",
     (s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "label", "embedding")
+      // norms precomputed per vector (narrow, once) — each joined pair
+      // then costs ONE dot product instead of three; IEEE-identical to
+      // the oracle's inline sqrt(dot(a,a)) since it's the same op order.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          VF.normSpark("embedding").as("nrm"))
       val a = e.alias("a")
       val b = e.alias("b")
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"),
-          round(VF.cosineSpark("a.embedding", "b.embedding"), 6).as("cosine"))
+          round(VF.dotSpark("a.embedding", "b.embedding") /
+            (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
         .filter(col("cosine") >= 0.35)
     },
     Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
