@@ -26,7 +26,9 @@ object QueryRegistry {
       queries.Validation.all ++
       queries.Ml.all ++
       queries.Multimodal.all ++
-      queries.Streaming.all
+      queries.Streaming.all ++
+      queries.TimeSeries.all ++
+      queries.Dashboard.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

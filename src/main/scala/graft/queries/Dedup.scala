@@ -118,7 +118,35 @@ object Dedup {
     }
   )
 
+  /** SimHash near-dup pairs: XOR + popcount Hamming distance over the
+    * 16-bit signatures, blocked by (lang, source). The signature join
+    * moves 8-byte longs, not documents — with 64-bit signatures and a
+    * banded prefix join this is the classic web-scale near-dup design.
+    */
+  val simhashNeardup = QueryDef(
+    "q_simhash_neardup",
+    (s, d) => {
+      val sig = SimHash.simhash(Tables.documents(s, d))
+        .join(Tables.documents(s, d).select("doc_id", "lang", "source"), "doc_id")
+      val a = sig.alias("a")
+      val b = sig.alias("b")
+      a.join(b,
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+    Some(s"""WITH sig AS (${SimHash.simhashSqlDuck("documents")}),
+             s AS (SELECT sig.doc_id, simhash, lang, source
+                   FROM sig JOIN documents USING (doc_id))
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    bit_count(xor(a.simhash, b.simhash)) AS hamming
+             FROM s a JOIN s b
+               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs)
+    jaccardPairs, simhashNeardup)
 }

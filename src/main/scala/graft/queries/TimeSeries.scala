@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.util.Sql
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** True EMA + trend/volatility classification (SURVEY §2.5 W7, §2.10
+  * F-custom / §7.3): the reference fakes EMA as a plain rolling mean
+  * (enhanced_spark_etl.py:293-295); this is the real recursive EMA.
+  */
+object TimeSeries {
+
+  private val D = DecimalType(18, 4)
+
+  /** Per-user exponential moving average (α = 0.2), final value.
+    *
+    * EMA is inherently sequential (ema_t = α·x_t + (1-α)·ema_{t-1}),
+    * so it cannot be a plain window aggregate; it IS expressible as a
+    * left fold over the time-ordered values — `aggregate` over
+    * `array_sort(collect_list(...))`. Both engines fold left-to-right
+    * with the same constants → bit-identical. Scale: state per user is
+    * one array of its events — bounded by per-user history, which a
+    * 100 TB deployment would cap with a time window (here the testdata
+    * is already bounded); the shuffle is one hash partition by user.
+    */
+  val ema = QueryDef(
+    "q_ema",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("value"))).as("evs"))
+        .select(col("user_id"),
+          expr("""round(aggregate(
+                    slice(transform(array_sort(evs), e -> e.value), 2, size(evs) - 1),
+                    transform(array_sort(evs), e -> e.value)[0],
+                    (acc, x) -> acc * cast(0.8 as double) + x * cast(0.2 as double)
+                  ), 6)""").as("ema"),
+          size(col("evs")).as("n_events")),
+    Some("""SELECT user_id,
+                   ROUND(list_reduce(
+                     array_agg(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                     (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)
+                   ), 6) AS ema,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id"""))
+
+  /** W7 — rolling trend strength + volatility classification
+    * (enhanced_spark_etl.py:297-308; spark_etl.py:168-169): deviation
+    * vs ±1σ/2σ of the trailing 24 readings → 5-way label; std/avg
+    * ratio → volatility band. Exact decimal moments keep every
+    * comparison identical across engines.
+    */
+  val trendClassify = QueryDef(
+    "q_trend_classify",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-23, 0)
+      val sw  = sum(col("value").cast(D)).over(w).cast("double")
+      val ssq = sum(col("value").cast(D) * col("value").cast(D)).over(w).cast("double")
+      val n   = count(lit(1)).over(w).cast("double")
+      val avg = sw / n
+      val std = when(n > 1,
+        sqrt(greatest((ssq - sw * sw / n) / (n - lit(1.0)), lit(0.0)))).otherwise(0.0)
+      val diff = col("value") - avg
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        when(std > 0 && diff > std * 2, "rising_strong")
+          .when(std > 0 && diff > std, "rising")
+          .when(std > 0 && diff < std * -2, "falling_strong")
+          .when(std > 0 && diff < -std, "falling")
+          .otherwise("stable").as("trend"),
+        when(avg =!= 0.0 && std / abs(avg) > 0.5, "high")
+          .when(avg =!= 0.0 && std / abs(avg) > 0.2, "medium")
+          .otherwise("low").as("volatility"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                       FROM events),
+            st AS (SELECT event_id, user_id, value,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sw,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS ssq,
+                     CAST(COUNT(*) OVER w AS DOUBLE) AS n
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+            m AS (SELECT event_id, user_id, value, sw / n AS avg,
+                    CASE WHEN n > 1
+                         THEN SQRT(GREATEST((ssq - sw * sw / n) / (n - 1.0), 0.0))
+                         ELSE 0.0 END AS std
+                  FROM st)
+            SELECT event_id, user_id,
+              CASE WHEN std > 0 AND value - avg > std * 2 THEN 'rising_strong'
+                   WHEN std > 0 AND value - avg > std THEN 'rising'
+                   WHEN std > 0 AND value - avg < std * -2 THEN 'falling_strong'
+                   WHEN std > 0 AND value - avg < -std THEN 'falling'
+                   ELSE 'stable' END AS trend,
+              CASE WHEN avg <> 0.0 AND std / ABS(avg) > 0.5 THEN 'high'
+                   WHEN avg <> 0.0 AND std / ABS(avg) > 0.2 THEN 'medium'
+                   ELSE 'low' END AS volatility
+            FROM m"""))
+
+  /** §3.1 full-pipeline replay on the S11 generator — the BASELINE
+    * throughput workload (14,400 rows → gold rollup). Rows-only check
+    * (the fixture is generated, not a parquet table).
+    */
+  val pipelineReplay = QueryDef(
+    "q_pipeline_replay",
+    (s, _) => graft.pipeline.Replay.run(s),
+    None)
+
+  def all: Seq[QueryDef] = Seq(ema, trendClassify, pipelineReplay)
+}

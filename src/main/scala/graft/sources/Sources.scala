@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink inventory (SURVEY §2.1 S1–S13).
+  *
+  * The reference reads CSV (pandas/PySpark), writes partitioned parquet
+  * to a bronze/silver/gold medallion layout, appends to Postgres, and
+  * dumps JSON reports. Spark-native equivalents below; JDBC (S8/S9) is
+  * `df.write.format("jdbc")` — exercised nowhere here because the
+  * environment has no database, but the warehouse tables are parquet
+  * Spark SQL tables which serve the same star-schema role (SURVEY §1.5).
+  */
+object Sources {
+
+  /** S1: CSV scan with explicit schema (spark_etl.py:47-64). Explicit
+    * schemas are mandatory at scale — inference (S2) reads the data
+    * twice and can flip types between runs.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S2: CSV scan with inference + timestamp format
+    * (enhanced_spark_etl.py:118-122) — test/dev convenience only.
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+
+  /** S3: latest-file discovery (enhanced_spark_etl.py:824-831 globs and
+    * picks by mtime). Driver-side listing is fine — it's metadata, not
+    * data.
+    */
+  def latestFile(dir: String, prefix: String): Option[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+    files.filter(f => f.isFile && f.getName.startsWith(prefix))
+      .sortBy(-_.lastModified()).headOption.map(_.getAbsolutePath)
+  }
+
+  /** S5/S6: Hive-style partitioned parquet write (year=/month=/day=
+    * bronze layout, etl.py:163-171 + enhanced_spark_etl.py:778-782).
+    * Readers filtering on the partition columns prune directories —
+    * the scan never touches other days' files.
+    */
+  def writePartitioned(df: DataFrame, path: String, tsCol: String = "timestamp"): Unit =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("year", "month", "day")
+      .parquet(path)
+
+  /** S7: coalesced sink for small aggregate outputs
+    * (enhanced_spark_etl.py:785-793) — `coalesce` is a narrow
+    * repartition, no shuffle; never coalesce(1) a large fact table.
+    */
+  def writeCoalesced(df: DataFrame, path: String, n: Int = 10): Unit =
+    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S13: JSON report sink (enhanced_spark_etl.py:795-812). Reports are
+    * per-run small — single file is correct.
+    */
+  def writeJsonReport(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** S12: size-gated cache (enhanced_spark_etl.py:134-140 caches only
+    * when <10M rows). The count is a real action — only worth it when
+    * the plan is reused several times afterwards.
+    */
+  def cacheIfSmall(df: DataFrame, maxRows: Long = 10_000_000L): DataFrame = {
+    if (df.count() < maxRows) df.cache() else df
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.{Generator, Sources}
+import graft.pipeline.Replay
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  test("S1/S2: CSV round-trip, explicit schema beats inference") {
+    val dir = tmp()
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+      .write.option("header", "true").csv(s"$dir/csv")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val exp = Sources.readCsv(spark, s"$dir/csv", schema)
+    assert(exp.schema === schema)
+    assert(exp.count() === 2)
+    val inf = Sources.readCsvInferred(spark, s"$dir/csv")
+    assert(inf.count() === 2)
+  }
+
+  test("S5/S6: partitioned write prunes partitions on read") {
+    val dir = tmp()
+    val df = Seq(
+      ("2025-05-01 10:00:00", 1.0), ("2025-05-02 11:00:00", 2.0),
+      ("2025-06-01 12:00:00", 3.0))
+      .toDF("t", "v").select(to_timestamp(col("t")).as("timestamp"), col("v"))
+    Sources.writePartitioned(df, s"$dir/part")
+    val back = spark.read.parquet(s"$dir/part")
+    assert(back.count() === 3)
+    val pruned = back.filter(col("month") === 5)
+    assert(pruned.count() === 2)
+    // partition filter must reach the scan, not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("month"), plan)
+  }
+
+  test("S7/S13: coalesced parquet and JSON report sinks") {
+    val dir = tmp()
+    val df = (1 to 100).toDF("n").repartition(8)
+    Sources.writeCoalesced(df, s"$dir/coal", n = 2)
+    val files = new java.io.File(s"$dir/coal").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2)
+    Sources.writeJsonReport(df.agg(sum("n").as("total")), s"$dir/report")
+    assert(spark.read.json(s"$dir/report").collect()(0).getLong(0) === 5050L)
+  }
+
+  test("S3: latest-file discovery picks newest by mtime") {
+    val dir = tmp()
+    val f1 = new java.io.File(dir, "data_1.csv")
+    val f2 = new java.io.File(dir, "data_2.csv")
+    java.nio.file.Files.writeString(f1.toPath, "a")
+    java.nio.file.Files.writeString(f2.toPath, "b")
+    f1.setLastModified(1000000L)
+    f2.setLastModified(2000000L)
+    assert(Sources.latestFile(dir, "data_").get.endsWith("data_2.csv"))
+  }
+
+  test("S11: generator is deterministic, 14,400 rows, sane ranges") {
+    val g1 = Generator.readings(spark)
+    assert(g1.count() === 14400L)
+    val stats = g1.agg(
+      countDistinct(col("sensor_id")).as("sensors"),
+      countDistinct(col("district")).as("districts"),
+      countDistinct(col("sensor_type")).as("types"),
+      avg(col("anomaly_flag")).as("anomaly_rate"),
+      min(col("quality_score")).as("min_q"),
+      max(col("quality_score")).as("max_q")).collect()(0)
+    assert(stats.getLong(0) === 20L)
+    assert(stats.getLong(1) === 5L)
+    assert(stats.getLong(2) === 4L)
+    assert(stats.getDouble(3) > 0.005 && stats.getDouble(3) < 0.05)
+    assert(stats.getDouble(4) >= 0.8 && stats.getDouble(5) <= 1.0)
+    // deterministic across runs
+    val h1 = g1.agg(sum(hash(g1.columns.map(col): _*))).collect()(0).getLong(0)
+    val h2 = Generator.readings(spark)
+      .agg(sum(hash(g1.columns.map(col): _*))).collect()(0).getLong(0)
+    assert(h1 === h2)
+  }
+
+  test("pipeline replay produces the gold rollup with pipeline invariants") {
+    val gold = Replay.run(spark).cache()
+    val n = gold.count()
+    // 5 districts × 4 types co-occur per sensor slot; hours span 30×24
+    assert(n > 0 && n <= 20L * 30 * 24)
+    val agg = gold.agg(
+      sum(col("n_readings")).as("total"),
+      sum(col("n_anomalies")).as("anoms")).collect()(0)
+    assert(agg.getLong(0) === 14400L) // every reading lands in one group
+    assert(agg.getLong(1) > 0)
+  }
+}
