@@ -156,6 +156,80 @@ object Vectors {
     }
   )
 
+  /** IVF-style ANN (the second scale path next to LSH): coarse
+    * quantizer = per-label centroids (exact decimal means, rounded to
+    * 8 dp so both engines hold identical cell centers), every vector
+    * assigned to its nearest centroid by L2², queries probe ONLY their
+    * own cell and brute-score it. At 100 TB: centroids are a broadcast
+    * (k × dim doubles), assignment is a map-only stage, and the probe
+    * join shuffles each query to one cell instead of the whole corpus.
+    */
+  val annIvf = QueryDef(
+    "q_ann_ivf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+          .cast("double") / count(lit(1)), 8).as("c"))
+        .groupBy(col("label").as("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cvec"))
+      val dist2 = expr("""aggregate(
+          zip_with(embedding, cvec, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+          cast(0.0 as double), (acc, t) -> acc + t)""")
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell"), dist2.as("d2"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val a = assigned.filter(col("vec_id") < 20).alias("a")
+      val b = assigned.alias("b")
+      val wTop = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+      a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+          col("a.cell").as("cell"),
+          round(VF.cosineSpark("a.embedding", "b.embedding"), 6).as("cosine"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+    },
+    Some {
+      val d2terms = (0 until VF.Dim).map(i =>
+        s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - cvec[${i + 1}]) * " +
+          s"(CAST(e.embedding[${i + 1}] AS DOUBLE) - cvec[${i + 1}])")
+        .mkString("(", " + ", ")")
+      s"""WITH cent AS (
+            SELECT label AS cell,
+                   array_agg(c ORDER BY pos) AS cvec
+            FROM (SELECT label, g.i AS pos,
+                    ROUND(CAST(SUM(CAST(CAST(embedding[g.i + 1] AS DOUBLE) AS DECIMAL(28,20))) AS DOUBLE)
+                      / COUNT(*), 8) AS c
+                  FROM embeddings, generate_series(0, ${VF.Dim - 1}) AS g(i)
+                  GROUP BY label, g.i)
+            GROUP BY label),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, cent.cell,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                        ORDER BY $d2terms, cent.cell) AS rn
+              FROM embeddings e CROSS JOIN cent)
+            WHERE rn = 1)
+          SELECT qid, nid, cell, cosine, rn FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS nid, a.cell AS cell,
+                   ROUND(${VF.cosineDuck("a.embedding", "b.embedding")}, 6) AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                     ORDER BY ROUND(${VF.cosineDuck("a.embedding", "b.embedding")}, 6) DESC,
+                              b.vec_id ASC) AS rn
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20)
+          WHERE rn <= 3"""
+    })
+
   def all: Seq[QueryDef] = Seq(
-    knnBrute, centroids, nearDupPairs, annLshBuckets, annLshTopk)
+    knnBrute, centroids, nearDupPairs, annLshBuckets, annLshTopk, annIvf)
 }
