@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions — the scale contract, not just results.
+  * These lock in the plan properties that make the engine viable at
+  * 100 TB: predicate pushdown + column pruning at the scan, broadcast
+  * joins for dims, partial (map-side) aggregation, whole-stage codegen
+  * on the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect() // materialize THIS plan so AQE finalizes + codegen stages appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project: filter pushed to scan, columns pruned") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // pruned read schema: none of the 11 unused lineitem columns
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"), p)
+  }
+
+  test("q_filter_compound: In/range predicates reach the scan") {
+    val p = plan("q_filter_compound")
+    assert(p.contains("PushedFilters") && p.contains("In(o_orderstatus"), p)
+  }
+
+  test("q_join_broadcast and star join broadcast the small side") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_star").contains("BroadcastHashJoin"))
+  }
+
+  test("q_hourly_agg: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q_hourly_agg")
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    for (q <- Seq("q_scan_project", "q_hourly_agg", "q_window_rolling",
+      "q_minhash_signatures")) {
+      val p = plan(q)
+      // "*(n) " prefixes mark operators inside a WholeStageCodegen stage
+      assert(p.contains("*(1)"), s"$q lost codegen:\n$p")
+    }
+  }
+
+  test("q_topk_customers plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
