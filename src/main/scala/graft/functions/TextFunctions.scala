@@ -30,7 +30,18 @@ object TextFunctions {
 
   /** Count of tokens in a fixed lexicon (for stopword ratio / lang-ID). */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(lexicon.map(lit): _*)))
+    lexiconHitsA(tokens(text), lexicon)
+
+  // `*A` variants take an already-computed token array column. Higher-
+  // order functions are interpreted (no codegen, no common-subexpression
+  // elimination), so queries using several token metrics should tokenize
+  // ONCE into a column and derive metrics from it.
+  def avgTokenLenA(ts: Column): Column =
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+
+  def lexiconHitsA(ts: Column, lexicon: Seq[String]): Column =
+    size(filter(ts, t => t.isin(lexicon.map(lit): _*)))
 
   /** Normalized-whitespace, lowercased document fingerprint (exact dedup
     * key). Ref model: content-defined fingerprinting; md5 is available

@@ -18,14 +18,18 @@ object Text {
   val textStats = QueryDef(
     "q_text_stats",
     (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
-        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TF.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
-        round(TF.avgTokenLen(col("text")), 6).as("avg_token_len"),
-        round(TF.distinctTokenCount(col("text")).cast("double") /
-          TF.tokenCount(col("text")), 6).as("ttr")),
+      // tokenize once per doc: HOF token metrics are interpreted, so the
+      // token array is staged as a column and metrics derive from it
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_calc"),
+          TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("n_chars_calc"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+          round(TF.avgTokenLenA(col("tk")), 6).as("avg_token_len"))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+          col("n_distinct"), col("avg_token_len"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr")),
     Some(s"""SELECT doc_id,
              length(text) AS n_chars_calc,
              ${TS.tokenCount("text")} AS n_tokens,
@@ -43,20 +47,25 @@ object Text {
   val textQuality = QueryDef(
     "q_text_quality",
     (s, d) => {
-      val nTok  = TF.tokenCount(col("text")).cast("double")
-      val stops = TF.lexiconHits(col("text"), TF.StopwordsEn).cast("double")
-      val ttr   = TF.distinctTokenCount(col("text")).cast("double") / nTok
+      val nTok  = size(col("tk")).cast("double")
+      val stops = col("stop_hits").cast("double")
+      val ttr   = size(array_distinct(col("tk"))).cast("double") / nTok
       val lenOk = when(nTok.between(10, 1000), 1.0).otherwise(0.0)
       val score = round(lit(0.4) * ttr + lit(0.3) * least(stops / nTok * 10.0, lit(1.0))
         + lit(0.3) * lenOk, 6)
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        stops.cast("long").as("stop_hits"),
-        round(stops / nTok, 6).as("stop_ratio"),
-        round(ttr, 6).as("ttr"),
-        score.as("quality_score"),
-        when(score >= 0.6, "good").when(score >= 0.4, "fair").otherwise("poor")
-          .as("quality_grade"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          TF.lexiconHitsA(col("tk"), TF.StopwordsEn).cast("long").as("stop_hits"))
+        .select(
+          col("doc_id"),
+          col("stop_hits"),
+          round(stops / nTok, 6).as("stop_ratio"),
+          round(ttr, 6).as("ttr"),
+          score.as("quality_score"))
+        .withColumn("quality_grade",
+          when(col("quality_score") >= 0.6, "good")
+            .when(col("quality_score") >= 0.4, "fair").otherwise("poor"))
     },
     Some {
       val nTok  = s"CAST(${TS.tokenCount("text")} AS DOUBLE)"
@@ -83,19 +92,20 @@ object Text {
   val langId = QueryDef(
     "q_lang_id",
     (s, d) => {
-      val hits = TF.LangLexicons.map { case (l, lex) =>
-        l -> TF.lexiconHits(col("text"), lex).cast("long")
-      }
-      val Seq(en, es, de, fr) = hits.map(_._2)
+      val Seq(en, es, de, fr) =
+        Seq("en_hits", "es_hits", "de_hits", "fr_hits").map(col)
       val pred = when(en + es + de + fr === 0, "und")
         .when(en >= es && en >= de && en >= fr, "en")
         .when(es >= de && es >= fr, "es")
         .when(de >= fr, "de")
         .otherwise("fr")
-      Tables.documents(s, d).select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
-        pred.as("pred_lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          TF.LangLexicons.map { case (l, lex) =>
+            TF.lexiconHitsA(col("tk"), lex).cast("long").as(s"${l}_hits")
+          }: _*)
+        .withColumn("pred_lang", pred)
     },
     Some {
       val h = TF.LangLexicons.map { case (l, lex) =>
