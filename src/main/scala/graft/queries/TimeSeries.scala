@@ -109,5 +109,52 @@ object TimeSeries {
     (s, _) => graft.pipeline.Replay.run(s),
     None)
 
-  def all: Seq[QueryDef] = Seq(ema, trendClassify, pipelineReplay)
+  /** Anomaly EVENTS (fact_anomaly_events, enhanced_data_schema.sql:
+    * 325-360): contiguous runs of anomalous readings per sensor rolled
+    * up to one row with start/end/duration/peak/severity. Gaps-and-
+    * islands: island id = rn_all − rn_anomalous, constant within a run.
+    * Batch twin of the streaming sessionizer; one shuffle by user.
+    */
+  val anomalyEvents = QueryDef(
+    "q_anomaly_events",
+    (s, d) => {
+      val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val anom = Tables.events(s, d)
+        .withColumn("rn_all", row_number().over(wAll))
+        .filter(col("value") > 75.0)
+        .withColumn("rn_anom", row_number().over(wAll))
+        .withColumn("island", col("rn_all") - col("rn_anom"))
+      anom.groupBy("user_id", "island")
+        .agg(
+          min(col("ts")).as("event_start"),
+          max(col("ts")).as("event_end"),
+          count(lit(1)).as("n_readings"),
+          max(col("value")).as("peak_value"),
+          (expr("unix_micros(cast(max(ts) as timestamp))") -
+            expr("unix_micros(cast(min(ts) as timestamp))")).as("duration_us"))
+        .withColumn("severity",
+          when(col("peak_value") > 95, "critical")
+            .when(col("peak_value") > 88, "high")
+            .when(col("peak_value") > 80, "medium").otherwise("low"))
+        .drop("island")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_all
+                 FROM events),
+            a AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_anom
+                  FROM e WHERE value > 75.0),
+            g AS (SELECT user_id, rn_all - rn_anom AS island,
+                         MIN(ts) AS event_start, MAX(ts) AS event_end,
+                         COUNT(*) AS n_readings, MAX(value) AS peak_value,
+                         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+                  FROM a GROUP BY user_id, rn_all - rn_anom)
+            SELECT user_id, event_start, event_end, n_readings, peak_value,
+                   duration_us,
+                   CASE WHEN peak_value > 95 THEN 'critical'
+                        WHEN peak_value > 88 THEN 'high'
+                        WHEN peak_value > 80 THEN 'medium'
+                        ELSE 'low' END AS severity
+            FROM g"""))
+
+  def all: Seq[QueryDef] = Seq(ema, trendClassify, pipelineReplay, anomalyEvents)
 }
