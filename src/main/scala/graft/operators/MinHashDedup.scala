@@ -113,21 +113,33 @@ object MinHashDedup {
   }
 }
 
-/** SimHash document fingerprinting: 16-bit signature from token-hash
-  * bit votes. Near-dup docs differ in few bits (Hamming distance).
+/** SimHash document fingerprinting: 60-bit signature from token-hash
+  * bit votes (two 32-bit md5 lanes supply 60 independent bit votes).
+  * Near-dup docs differ in few bits (Hamming distance).
+  *
+  * 60 bits splits evenly into 4 × 15-bit bands: by pigeonhole, any pair
+  * at Hamming distance ≤ 3 agrees exactly on at least one band, so
+  * near-dup candidate generation is an equi-join on (band_idx,
+  * band_val) — the classic web-scale design (no O(n²) pair join).
   */
 object SimHash {
-  val Bits = 16
+  val Bits = 60
+  val BandBits = 15
+  val NumBands: Int = Bits / BandBits // 4 bands => pigeonhole for Hamming <= NumBands-1
 
-  /** doc_id, simhash (long), n_tokens. */
+  /** doc_id, simhash (long; bits 0..59). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
       explode(array_distinct(TF.tokens(col("text")))).as("tok"))
-    val hashed = toks.withColumn("h",
-      expr(PortableHash.laneSpark("md5(concat(tok, '#0'))", 0)))
-    val votes = (0 until Bits).map(i =>
-      sum(when(expr(s"(h div ${1L << i}) % 2") === 1, 1).otherwise(-1)).as(s"v_$i"))
+    val hashed = toks
+      .withColumn("hx", md5(concat(col("tok"), lit("#0"))))
+      .withColumn("h0", expr(PortableHash.laneSpark("hx", 0)))
+      .withColumn("h1", expr(PortableHash.laneSpark("hx", 1)))
+    val votes = (0 until Bits).map { i =>
+      val (h, b) = if (i < 32) ("h0", i) else ("h1", i - 32)
+      sum(when(expr(s"($h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
     val agg = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val sig = (0 until Bits).map(i =>
       when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
@@ -135,16 +147,23 @@ object SimHash {
   }
 
   def simhashSqlDuck(docsRel: String = "documents"): String = {
-    val h = PortableHash.laneDuck("md5(tok || '#0')", 0)
-    val votes = (0 until Bits).map(i =>
-      s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v_$i").mkString(", ")
+    val votes = (0 until Bits).map { i =>
+      val (h, b) = if (i < 32) ("h0", i) else ("h1", i - 32)
+      s"SUM(CASE WHEN ($h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v_$i"
+    }.mkString(", ")
     val sig = (0 until Bits).map(i =>
       s"CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash
         FROM (SELECT doc_id, $votes
-              FROM (SELECT doc_id, $h AS h
-                    FROM (SELECT doc_id, unnest(list_distinct(${TS.tokens("text")})) AS tok
-                          FROM $docsRel))
+              FROM (SELECT doc_id, ${PortableHash.laneDuck("hx", 0)} AS h0,
+                           ${PortableHash.laneDuck("hx", 1)} AS h1
+                    FROM (SELECT doc_id, md5(tok || '#0') AS hx
+                          FROM (SELECT doc_id, unnest(list_distinct(${TS.tokens("text")})) AS tok
+                                FROM $docsRel)))
               GROUP BY doc_id)"""
   }
+
+  /** The 15-bit band value of `sigCol` for band `b` (Spark dialect). */
+  def bandSpark(sigCol: String, b: Int): String =
+    s"($sigCol div ${1L << (b * BandBits)}) % ${1 << BandBits}"
 }

@@ -48,7 +48,7 @@ object Dashboard {
         SELECT user_id,
                COUNT(*) AS n_readings,
                ROUND(${Sql.AVGD("q")}, 6) AS avg_quality,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                ROUND(${Sql.AVGD("q")} *
                  (1.0 - CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
                         / COUNT(*)), 6) AS reliability,

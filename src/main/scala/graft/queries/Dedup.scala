@@ -118,25 +118,40 @@ object Dedup {
     }
   )
 
-  /** SimHash near-dup pairs: XOR + popcount Hamming distance over the
-    * 16-bit signatures, blocked by (lang, source). The signature join
-    * moves 8-byte longs, not documents — with 64-bit signatures and a
-    * banded prefix join this is the classic web-scale near-dup design.
+  /** SimHash near-dup pairs: XOR + popcount Hamming ≤ 3 over 60-bit
+    * signatures. Candidate generation is a banded EQUI-join: the 60-bit
+    * sig splits into 4 × 15-bit bands, and by pigeonhole any pair at
+    * Hamming ≤ 3 agrees exactly on ≥ 1 band — so candidates come from a
+    * hash-partitioned join on (band_idx, band_val, lang, source), never
+    * an O(block²) pair product. The (lang, source) block keys also bound
+    * semantics to within-block pairs (matching the oracle).
     */
   val simhashNeardup = QueryDef(
     "q_simhash_neardup",
     (s, d) => {
       val sig = SimHash.simhash(Tables.documents(s, d))
         .join(Tables.documents(s, d).select("doc_id", "lang", "source"), "doc_id")
-      val a = sig.alias("a")
-      val b = sig.alias("b")
+      val banded = sig.select(
+        col("doc_id"), col("simhash"), col("lang"), col("source"),
+        explode(array((0 until SimHash.NumBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            expr(SimHash.bandSpark("simhash", b)).as("band_val"))): _*)).as("bd"))
+        .select(col("doc_id"), col("simhash"), col("lang"), col("source"),
+          col("bd.band_idx"), col("bd.band_val"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
       a.join(b,
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct() // a pair can collide in several bands
     },
+    // Oracle: small-scale blocked all-pairs is fine for DuckDB; the
+    // pigeonhole guarantees the banded Spark plan finds the same pairs.
     Some(s"""WITH sig AS (${SimHash.simhashSqlDuck("documents")}),
              s AS (SELECT sig.doc_id, simhash, lang, source
                    FROM sig JOIN documents USING (doc_id))

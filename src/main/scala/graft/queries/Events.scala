@@ -286,8 +286,8 @@ object Events {
     Some(s"""WITH e AS (SELECT user_id, event_id, $OTS AS ts, $OSEC AS sec FROM events),
              g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-             sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                             ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+             sx AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
              SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
                     COUNT(*) AS n_events, MAX(sec) - MIN(sec) AS duration_sec
              FROM sx GROUP BY user_id, session_idx""")
@@ -312,8 +312,8 @@ object Events {
     Some(s"""SELECT event_type,
              ROUND(AVG((asof_us - epoch_us($OTS)) / 3600e6), 6) AS avg_age_h,
              ROUND(MAX((asof_us - epoch_us($OTS)) / 3600e6), 6) AS max_age_h,
-             SUM(CASE WHEN asof_us - epoch_us($OTS) > 86400e6 * 7
-                 THEN 1 ELSE 0 END) AS n_stale
+             CAST(SUM(CASE WHEN asof_us - epoch_us($OTS) > 86400e6 * 7
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
              FROM events
              CROSS JOIN (SELECT MAX(epoch_us($OTS)) AS asof_us FROM events)
              GROUP BY event_type""")
@@ -338,7 +338,7 @@ object Events {
              COUNT(DISTINCT user_id) AS n_users,
              ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
                    / COUNT(*), 6) AS error_rate_pct,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
              FROM events
              WHERE $OTS >= (SELECT MAX($OTS) FROM events) - INTERVAL 7 DAY""")
   )
@@ -365,7 +365,7 @@ object Events {
                  WHEN error_rate_pct > 32.0 THEN 'high'
                  ELSE 'medium' END AS severity
             FROM (SELECT user_id, COUNT(*) AS n,
-                         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
                          ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
                                / COUNT(*), 6) AS error_rate_pct
                   FROM events GROUP BY user_id)
@@ -417,7 +417,7 @@ object Events {
           min(col("k")).as("min_k"),
           max(col("k")).as("max_k")),
     Some("""SELECT event_type,
-            COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+            COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
             FROM (SELECT event_type,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)
@@ -442,11 +442,11 @@ object Events {
         .withColumnRenamed("signup", "n_signup")
         .withColumnRenamed("error", "n_error"),
     Some(s"""SELECT EXTRACT(HOUR FROM $OTS) AS hod,
-             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
              FROM events GROUP BY 1""")
   )
 

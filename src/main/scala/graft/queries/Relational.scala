@@ -256,7 +256,7 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_cust")),
     Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
              ${Sql.SUMD("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_total,
-             SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS n_large,
+             CAST(SUM(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
              COUNT(DISTINCT o_custkey) AS n_cust
              FROM orders GROUP BY o_orderstatus""")
   )
@@ -269,11 +269,11 @@ object Relational {
       df.select(df.columns.toSeq.map(c =>
         sum(col(c).isNull.cast("int")).as(s"nulls_$c")): _*)
     },
-    Some("""SELECT SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_custkey,
-            SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nulls_c_name,
-            SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS nulls_c_nationkey,
-            SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS nulls_c_acctbal,
-            SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS nulls_c_mktsegment
+    Some("""SELECT CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_custkey,
+            CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_name,
+            CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_nationkey,
+            CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_acctbal,
+            CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_c_mktsegment
             FROM customer""")
   )
 
@@ -315,7 +315,7 @@ object Relational {
         .withColumn("return_rate_pct",
           round(col("returned_lines") * 100.0 / (col("n_lines") * col("n_orders")), 6))
     },
-    Some("""SELECT n_lines, COUNT(*) AS n_orders, SUM(n_returned) AS returned_lines,
+    Some("""SELECT n_lines, COUNT(*) AS n_orders, CAST(SUM(n_returned) AS BIGINT) AS returned_lines,
             ROUND(SUM(n_returned) * 100.0 / (n_lines * COUNT(*)), 6) AS return_rate_pct
             FROM (SELECT l_orderkey, COUNT(*) AS n_lines,
                          SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned

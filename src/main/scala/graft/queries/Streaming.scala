@@ -43,9 +43,9 @@ object Streaming {
             g AS (SELECT *, CASE WHEN sec - LAG(sec)
                       OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
                     THEN 1 ELSE 0 END AS brk FROM e),
-            sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+            sx AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
                      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING)
-                     AS session_idx FROM g),
+                     AS BIGINT) AS session_idx FROM g),
             sess AS (SELECT user_id, session_idx,
                             MIN(sec) AS start_sec, MAX(sec) AS end_sec,
                             COUNT(*) AS n_events,

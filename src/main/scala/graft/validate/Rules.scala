@@ -74,7 +74,7 @@ object Validator {
   def reportSqlDuck(rel: String, rules: Seq[ValidationRule]): String =
     rules.map { r =>
       s"""SELECT '${r.name}' AS rule_name, '${r.severity}' AS severity,
-          SUM(CASE WHEN ${r.sqlPredicate} THEN 1 ELSE 0 END) AS n_violations,
+          CAST(SUM(CASE WHEN ${r.sqlPredicate} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
           ROUND(SUM(CASE WHEN ${r.sqlPredicate} THEN 1 ELSE 0 END) * 1.0
                 / COUNT(*), 6) AS violation_rate,
           COUNT(*) AS n_rows,
@@ -88,9 +88,9 @@ object Validator {
       .mkString("CASE ", " ", " ELSE 0.0 END")
     s"""SELECT ROUND(1.0 - SUM($w * violation_rate) / SUM($w), 6) AS overall_score,
         COUNT(*) AS n_rules,
-        SUM(1 - passed) AS n_failed_rules,
-        SUM(CASE WHEN severity = 'critical' THEN 1 - passed ELSE 0 END)
-          AS n_critical_failures
+        CAST(SUM(1 - passed) AS BIGINT) AS n_failed_rules,
+        CAST(SUM(CASE WHEN severity = 'critical' THEN 1 - passed ELSE 0 END)
+          AS BIGINT) AS n_critical_failures
         FROM (${reportSqlDuck(rel, rules)})"""
   }
 }

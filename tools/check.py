@@ -31,6 +31,15 @@ def compare(name, spark_df, oracle_df):
         problems.append(f"row count differ: spark={len(spark_df)} oracle={len(oracle_df)}")
         return problems, None
     a, b = canon(spark_df), canon(oracle_df)
+    # dtype-kind-strict: the driver hashes canonical values, so int64 vs
+    # float64 (e.g. DuckDB SUM(int)->HUGEINT->float64) mismatches even when
+    # values are numerically equal. Width-only differences (int32 vs int64)
+    # canonicalize identically, so compare the dtype KIND, not the width.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb and not ({ka, kb} <= {"i", "u"}):
+            problems.append(
+                f"col {c}: DTYPE kind mismatch spark={a[c].dtype} oracle={b[c].dtype}")
     max_rel = 0.0
     for c in a.columns:
         x, y = a[c], b[c]
