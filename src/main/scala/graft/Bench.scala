@@ -1,24 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One JSON line on stdout:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Methodology: the whole suite runs once untimed (JVM/codegen/IO warmup
+  * — first-query JIT and parquet-footer caching would otherwise be
+  * charged to whichever query runs first), then each query is timed
+  * `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the per-query MEDIAN
+  * is reported. Medians make the run robust to one-off scheduler /
+  * GC interference; the reported total is the sum of medians.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+
+    // Warmup pass: the full suite, untimed.
+    suite.foreach { case (_, fn) => once(fn) }
+
+    val results = suite.map { case (name, fn) =>
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        once(fn)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

@@ -26,7 +26,10 @@ object Tables {
     */
   private def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Metadata-only check: file listing, no RDD conversion / no job.
+    // Under-split == fewer input files than cores (the testdata tables
+    // are single-file); a multi-file cluster layout skips the shuffle.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -14,6 +14,13 @@ object Dashboard {
 
   /** /api/sensors (app.py:103-133): per-sensor reliability = avg
     * quality × (1 − anomaly rate), CASE grade, 7-day window, ordered.
+    *
+    * The 7-day cutoff uses a SCALAR SUBQUERY (like q_dash_metrics,
+    * Events.dashMetrics), NOT `max(ts) OVER ()`: an empty-partition
+    * global window funnels the whole events table through ONE task
+    * before the filter, which is the first thing to die at 100× scale.
+    * Spark plans the subquery as a tiny separate agg whose result is
+    * folded into a pushable filter.
     */
   val dashSensors = QueryDef(
     "q_dash_sensors",
@@ -22,8 +29,7 @@ object Dashboard {
       s.sql(s"""
         WITH e AS (SELECT user_id, event_type,
                           cast(get_json_object(props, '$$.k') as double) / 100.0 AS q,
-                          ts,
-                          max(ts) OVER () AS max_ts
+                          ts
                    FROM events)
         SELECT user_id,
                COUNT(*) AS n_readings,
@@ -37,13 +43,12 @@ object Dashboard {
                     WHEN ${Sql.AVGD("q")} > 0.4 THEN 'Fair'
                     ELSE 'Poor' END AS grade
         FROM e
-        WHERE ts >= max_ts - INTERVAL 7 DAYS
+        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAYS
         GROUP BY user_id""")
     },
     Some(s"""WITH e AS (SELECT user_id, event_type,
                           CAST(json_extract_string(props, '$$.k') AS DOUBLE) / 100.0 AS q,
-                          CAST(ts AS TIMESTAMP) AS ts,
-                          MAX(CAST(ts AS TIMESTAMP)) OVER () AS max_ts
+                          CAST(ts AS TIMESTAMP) AS ts
                    FROM events)
         SELECT user_id,
                COUNT(*) AS n_readings,
@@ -57,7 +62,7 @@ object Dashboard {
                     WHEN ${Sql.AVGD("q")} > 0.4 THEN 'Fair'
                     ELSE 'Poor' END AS grade
         FROM e
-        WHERE ts >= max_ts - INTERVAL 7 DAY
+        WHERE ts >= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY
         GROUP BY user_id"""))
 
   /** /api/patterns (app.py:135-157): hourly profile of one type. */

@@ -66,10 +66,13 @@ object Sources {
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
   /** S12: size-gated cache (enhanced_spark_etl.py:134-140 caches only
-    * when <10M rows). The count is a real action — only worth it when
-    * the plan is reused several times afterwards.
+    * when <10M rows). Gated on Catalyst plan statistics (file sizes /
+    * CBO estimates) — metadata only, NO scan: paying a full count() to
+    * decide "too big to cache" would itself be the expensive scan the
+    * gate exists to avoid. 10M rows × ~100B/row ≈ 1 GiB default gate.
     */
-  def cacheIfSmall(df: DataFrame, maxRows: Long = 10_000_000L): DataFrame = {
-    if (df.count() < maxRows) df.cache() else df
+  def cacheIfSmall(df: DataFrame, maxBytes: Long = 1L << 30): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) df.cache() else df
   }
 }

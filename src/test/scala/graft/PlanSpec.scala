@@ -51,4 +51,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_topk_customers")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
+    val p = plan("q_dash_sensors")
+    // max(ts) OVER () would plan Window over an Exchange SinglePartition,
+    // funneling the whole table through one task. The scalar-subquery
+    // form must leave NO Window node in the plan.
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Subquery") || p.contains("subquery"), p)
+  }
 }
