@@ -75,7 +75,17 @@ object Replay {
         round(Exact.dsum(when(col("is_peak_hour") === 1, col("value"))
           .otherwise(0.0)), 4).as("peak_volume"))
 
-  /** The full chain on the generated fixture. */
-  def run(spark: SparkSession): DataFrame =
-    districtHourly(withAnomalyScores(withFeatures(Generator.readings(spark))))
+  /** Fixture landing path — the replay's "bronze" write. The oracle
+    * reads the same parquet via DuckDB read_parquet, so both engines
+    * consume byte-identical input (TimeSeries.pipelineReplay oracle).
+    */
+  val FixturePath = "/tmp/graft_fixture/replay_readings"
+
+  /** The full chain on the generated fixture: land to parquet (bronze),
+    * then one declarative plan over the landed table.
+    */
+  def run(spark: SparkSession): DataFrame = {
+    Generator.readings(spark).write.mode("overwrite").parquet(FixturePath)
+    districtHourly(withAnomalyScores(withFeatures(spark.read.parquet(FixturePath))))
+  }
 }

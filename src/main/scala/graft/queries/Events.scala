@@ -64,38 +64,65 @@ object Events {
              WINDOW w AS ($OWIN ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""")
   )
 
-  /** W2 — multi-horizon RANGE windows over epoch seconds (1h / 24h).
-    * Ref: enhanced_spark_etl.py:259-278; SURVEY §7.4 risk 1 — range
-    * frames need a numeric order key, so we order by epoch seconds.
+  /** W2 — multi-horizon RANGE windows over epoch seconds, FULL reference
+    * breadth: 5 horizons (1h/6h/24h/7d/30d) × 5 stats (count/avg/std/
+    * min/max) = 25 window columns (enhanced_spark_etl.py:259-278).
+    * SURVEY §7.4 risk 1 — range frames need a numeric order key, so we
+    * order by epoch seconds. All 5 frames share ONE partitioning and
+    * ONE sort: Spark plans 5 Window operators back-to-back over a
+    * single Exchange + Sort (PlanSpec locks this in) — the 25 columns
+    * cost one shuffle, not five.
     */
+  private val rangeHorizons =
+    Seq("1h" -> 3600L, "6h" -> 21600L, "24h" -> 86400L,
+      "7d" -> 604800L, "30d" -> 2592000L)
+
   val windowRange = QueryDef(
     "q_window_range",
     (s, d) => {
       val base = Tables.events(s, d).withColumn("sec", sec)
-      val w1h  = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-3600, 0)
-      val w24h = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-86400, 0)
-      base.select(
-        col("event_id"), col("user_id"),
-        count(lit(1)).over(w1h).as("n_1h"),
-        (sum(col("value").cast(D)).over(w1h).cast("double") /
-          count(lit(1)).over(w1h)).as("avg_1h"),
-        count(lit(1)).over(w24h).as("n_24h"),
-        (sum(col("value").cast(D)).over(w24h).cast("double") /
-          count(lit(1)).over(w24h)).as("avg_24h"))
+      val cols = rangeHorizons.flatMap { case (label, secs) =>
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-secs, 0)
+        val n   = count(lit(1)).over(w)
+        val nd  = n.cast("double")
+        val sw  = sum(col("value").cast(D)).over(w).cast("double")
+        val ssq = sum(col("value").cast(D) * col("value").cast(D)).over(w).cast("double")
+        Seq(
+          n.as(s"n_$label"),
+          (sw / n).as(s"avg_$label"),
+          when(n > 1, sqrt(greatest((ssq - sw * sw / nd) / (nd - lit(1.0)), lit(0.0))))
+            .as(s"std_$label"),
+          min(col("value")).over(w).as(s"min_$label"),
+          max(col("value")).over(w).as(s"max_$label"))
+      }
+      base.select(col("event_id") +: col("user_id") +: cols: _*)
     },
-    Some(s"""WITH e AS (SELECT event_id, user_id, value, $OSEC AS sec FROM events)
-             SELECT event_id, user_id,
-             COUNT(*) OVER w1 AS n_1h,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w1 AS DOUBLE)
-               / COUNT(*) OVER w1 AS avg_1h,
-             COUNT(*) OVER w2 AS n_24h,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
-               / COUNT(*) OVER w2 AS avg_24h
-             FROM e
-             WINDOW w1 AS (PARTITION BY user_id ORDER BY sec
-                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
-                    w2 AS (PARTITION BY user_id ORDER BY sec
-                           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)""")
+    Some {
+      val duckCols = rangeHorizons.map { case (label, _) =>
+        val over = s"OVER w_$label"
+        val n    = s"COUNT(*) $over"
+        val nd   = s"CAST($n AS DOUBLE)"
+        val sw   = s"CAST(SUM(CAST(value AS DECIMAL(18,4))) $over AS DOUBLE)"
+        val ssq  = s"CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) $over AS DOUBLE)"
+        s"""$n AS n_$label,
+           $sw / $n AS avg_$label,
+           CASE WHEN $n > 1
+                THEN SQRT(GREATEST(($ssq - $sw * $sw / $nd) / ($nd - 1.0), 0.0))
+                END AS std_$label,
+           MIN(value) $over AS min_$label,
+           MAX(value) $over AS max_$label"""
+      }.mkString(",\n")
+      val duckWins = rangeHorizons.map { case (label, secs) =>
+        s"""w_$label AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN $secs PRECEDING AND CURRENT ROW)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_id, user_id, value, $OSEC AS sec FROM events)
+          SELECT event_id, user_id,
+          $duckCols
+          FROM e
+          WINDOW $duckWins"""
+    }
   )
 
   /** W3/W4 — lag/lead features + diff + pct_change.
@@ -108,6 +135,8 @@ object Events {
         col("event_id"), col("user_id"), col("value"),
         lag(col("value"), 1).over(wUser).as("prev_value"),
         lag(col("value"), 6).over(wUser).as("prev6_value"),
+        lag(col("value"), 24).over(wUser).as("prev24_value"),
+        lag(col("value"), 168).over(wUser).as("prev168_value"),
         lead(col("value"), 1).over(wUser).as("next_value"),
         (col("value") - lag(col("value"), 1).over(wUser)).as("diff_1"),
         round(
@@ -117,6 +146,8 @@ object Events {
     Some(s"""SELECT event_id, user_id, value,
              LAG(value, 1) OVER w AS prev_value,
              LAG(value, 6) OVER w AS prev6_value,
+             LAG(value, 24) OVER w AS prev24_value,
+             LAG(value, 168) OVER w AS prev168_value,
              LEAD(value, 1) OVER w AS next_value,
              value - LAG(value, 1) OVER w AS diff_1,
              ROUND(CASE WHEN LAG(value, 1) OVER w <> 0.0

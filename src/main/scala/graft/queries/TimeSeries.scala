@@ -101,13 +101,53 @@ object TimeSeries {
             FROM m"""))
 
   /** §3.1 full-pipeline replay on the S11 generator — the BASELINE
-    * throughput workload (14,400 rows → gold rollup). Rows-only check
-    * (the fixture is generated, not a parquet table).
+    * throughput workload (14,400 rows → gold rollup). The run lands the
+    * generated fixture to parquet first (Replay.FixturePath), so the
+    * oracle replays the same chain (features → rolling 24-row stats →
+    * z-score spikes → district-hourly gold) over byte-identical input.
     */
   val pipelineReplay = QueryDef(
     "q_pipeline_replay",
     (s, _) => graft.pipeline.Replay.run(s),
-    None)
+    Some(s"""WITH r AS (SELECT * FROM read_parquet('${graft.pipeline.Replay.FixturePath}/*.parquet')),
+            f AS (SELECT district, sensor_type, value, quality_score, anomaly_flag,
+                         sensor_id, timestamp,
+                         CAST(EXTRACT(YEAR FROM timestamp) AS INT) AS year,
+                         CAST(EXTRACT(MONTH FROM timestamp) AS INT) AS month,
+                         CAST(EXTRACT(DAY FROM timestamp) AS INT) AS day,
+                         CAST(EXTRACT(HOUR FROM timestamp) AS INT) AS hour,
+                         CASE WHEN EXTRACT(HOUR FROM timestamp) BETWEEN 6 AND 9
+                                OR EXTRACT(HOUR FROM timestamp) BETWEEN 18 AND 21
+                              THEN 1 ELSE 0 END AS is_peak_hour
+                  FROM r),
+            w AS (SELECT *,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE) AS sw,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE) AS ssq,
+                    CAST(COUNT(*) OVER win AS DOUBLE) AS n
+                  FROM f
+                  WINDOW win AS (PARTITION BY sensor_id ORDER BY timestamp
+                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+            z AS (SELECT *, sw / n AS rolling_avg,
+                    CASE WHEN n > 1 THEN SQRT(GREATEST((ssq - sw * sw / n) / (n - 1.0), 0.0))
+                         ELSE 0.0 END AS rolling_std
+                  FROM w),
+            s AS (SELECT *,
+                    CASE WHEN rolling_std > 0 THEN (value - rolling_avg) / rolling_std
+                         ELSE 0.0 END AS z_score
+                  FROM z)
+            SELECT district, sensor_type, year, month, day, hour,
+                   COUNT(*) AS n_readings,
+                   ROUND(${Sql.AVGD("value")}, 6) AS avg_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   ROUND(${Sql.STDDEVD("value")}, 6) AS std_value,
+                   CAST(SUM(anomaly_flag) AS BIGINT) AS n_anomalies,
+                   CAST(SUM(CASE WHEN ABS(z_score) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
+                   ROUND(${Sql.AVGD("quality_score")}, 6) AS avg_quality,
+                   ROUND(CAST(SUM(CASE WHEN is_peak_hour = 1 THEN CAST(value AS DECIMAL(18,4))
+                                       ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE), 4) AS peak_volume
+            FROM s
+            GROUP BY district, sensor_type, year, month, day, hour"""))
 
   /** Anomaly EVENTS (fact_anomaly_events, enhanced_data_schema.sql:
     * 325-360): contiguous runs of anomalous readings per sensor rolled

@@ -10,14 +10,16 @@ object Validation {
 
   val report = QueryDef(
     "q_validation_report",
-    (s, d) => Validator.report(Tables.events(s, d), EventRules.all),
-    Some(Validator.reportSqlDuck("events", EventRules.all))
+    (s, d) => Validator.report(EventRules.enrich(Tables.events(s, d)), EventRules.all),
+    Some(s"WITH ${EventRules.enrichDuck}\n" +
+      Validator.reportSqlDuck("enriched", EventRules.all))
   )
 
   val score = QueryDef(
     "q_validation_score",
-    (s, d) => Validator.score(Tables.events(s, d), EventRules.all),
-    Some(Validator.scoreSqlDuck("events", EventRules.all))
+    (s, d) => Validator.score(EventRules.enrich(Tables.events(s, d)), EventRules.all),
+    Some(s"WITH ${EventRules.enrichDuck}\n" +
+      Validator.scoreSqlDuck("enriched", EventRules.all))
   )
 
   def all: Seq[QueryDef] = Seq(report, score)

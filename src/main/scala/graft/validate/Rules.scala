@@ -96,28 +96,119 @@ object Validator {
 }
 
 /** The concrete rule set for the `events` table — mirrors the
-  * reference's 5 layers (schema / business / quality / cross-field /
-  * statistical) on the testdata schema.
+  * reference's 5 layers (data_validator.py:121-511) on the testdata
+  * schema: schema (:192-315), business (:317-385), quality (:387-431),
+  * cross-field (:433-472), statistical (:474-511), plus the dup-rate
+  * rule (:406-415) and freshness decay (:608-627).
+  *
+  * Statistical / freshness / duplicate rules need context a bare row
+  * doesn't carry: [[enrich]] attaches it — ONE broadcast cross join of
+  * a 1-row exact global-stats agg (mean/std/max-ts), one window count
+  * for the dup key, and the parsed quality field. That keeps the whole
+  * 24-rule catalog a single scan + one tiny broadcast + one hash
+  * shuffle — at 100 TB the stats row is a second scan of one column,
+  * not a pandas pass per layer like the reference.
   */
 object EventRules {
   import org.apache.spark.sql.functions.{col => c}
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** Context columns for statistical/freshness/dup rules: g_mean,
+    * g_std, g_max_ts (exact decimal moments — bit-identical in the
+    * oracle), dup_n over (user_id, ts), parsed quality k.
+    */
+  def enrich(df: DataFrame): DataFrame = {
+    val stats = df.agg(
+      graft.util.Exact.davg(c("value")).as("g_mean"),
+      graft.util.Exact.dstddev(c("value")).as("g_std"),
+      max(c("ts")).as("g_max_ts"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("dup_n", count(lit(1)).over(Window.partitionBy("user_id", "ts")))
+      .withColumn("k", expr("cast(get_json_object(props, '$.k') as double)"))
+  }
+
+  /** DuckDB twin of [[enrich]] — rules' SQL predicates run FROM
+    * `enriched`.
+    */
+  val enrichDuck: String =
+    s"""stats AS (SELECT ${graft.util.Sql.AVGD("value")} AS g_mean,
+                        ${graft.util.Sql.STDDEVD("value")} AS g_std,
+                        MAX(CAST(ts AS TIMESTAMP)) AS g_max_ts
+                 FROM events),
+       enriched AS (SELECT event_id, user_id, event_type, value, props,
+                           CAST(ts AS TIMESTAMP) AS ts,
+                           g_mean, g_std, g_max_ts,
+                           COUNT(*) OVER (PARTITION BY user_id, ts) AS dup_n,
+                           CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k
+                    FROM events CROSS JOIN stats)"""
 
   val all: Seq[ValidationRule] = Seq(
+    // ---- layer 1: schema (data_validator.py:192-315) ----
     ValidationRule("value_not_null", "critical",
       c("value").isNull, "value IS NULL"),
+    ValidationRule("ts_not_null", "critical",
+      c("ts").isNull, "ts IS NULL"),
+    ValidationRule("event_id_not_null", "critical",
+      c("event_id").isNull, "event_id IS NULL"),
+    ValidationRule("event_id_nonneg", "error",
+      c("event_id") < 0, "event_id < 0"),
+    ValidationRule("user_id_nonneg", "error",
+      c("user_id") < 0, "user_id < 0"),
     ValidationRule("event_type_enum", "error",
       !c("event_type").isin("click", "view", "purchase", "signup", "error"),
       "event_type NOT IN ('click','view','purchase','signup','error')"),
+    ValidationRule("props_not_null", "warning",
+      c("props").isNull, "props IS NULL"),
+    ValidationRule("props_json_shape", "warning",
+      !c("props").rlike("^\\{.*\\}$"), "NOT regexp_matches(props, '^\\{.*\\}$')"),
+    // ---- layer 2: business (data_validator.py:317-385) ----
     ValidationRule("value_range", "error",
       c("value") < -100.0 || c("value") > 10000.0,
       "(value < -100.0 OR value > 10000.0)"),
-    ValidationRule("user_id_nonneg", "error",
-      c("user_id") < 0, "user_id < 0"),
-    ValidationRule("props_json_shape", "warning",
-      !c("props").rlike("^\\{.*\\}$"), "NOT regexp_matches(props, '^\\{.*\\}$')"),
     ValidationRule("value_suspicious_zero", "info",
       c("value") === 0.0, "value = 0.0"),
+    ValidationRule("ts_sane_lower", "error",
+      c("ts") < expr("timestamp_ntz'2000-01-01 00:00:00'"),
+      "ts < TIMESTAMP '2000-01-01'"),
+    ValidationRule("ts_not_future", "error",
+      c("ts") > expr("timestamp_ntz'2030-01-01 00:00:00'"),
+      "ts > TIMESTAMP '2030-01-01'"),
+    // ---- layer 3: quality (data_validator.py:387-431) ----
+    ValidationRule("k_present", "warning",
+      c("k").isNull, "k IS NULL"),
+    ValidationRule("k_range", "error",
+      c("k") < 0.0 || c("k") > 100.0, "(k < 0.0 OR k > 100.0)"),
+    ValidationRule("dup_user_ts", "warning",
+      c("dup_n") > 1, "dup_n > 1"),
+    // ---- layer 4: cross-field (data_validator.py:433-472) ----
     ValidationRule("purchase_value_floor", "warning",
       c("event_type") === "purchase" && c("value") < 1.0,
-      "(event_type = 'purchase' AND value < 1.0)"))
+      "(event_type = 'purchase' AND value < 1.0)"),
+    ValidationRule("error_k_present", "warning",
+      c("event_type") === "error" && c("k").isNull,
+      "(event_type = 'error' AND k IS NULL)"),
+    ValidationRule("purchase_low_quality", "info",
+      c("event_type") === "purchase" && c("value") > 100.0 && c("k") < 10.0,
+      "(event_type = 'purchase' AND value > 100.0 AND k < 10.0)"),
+    ValidationRule("signup_value_range", "warning",
+      c("event_type") === "signup" && (c("value") < 0.0 || c("value") > 1000.0),
+      "(event_type = 'signup' AND (value < 0.0 OR value > 1000.0))"),
+    ValidationRule("click_value_cap", "info",
+      c("event_type") === "click" && c("value") > 5000.0,
+      "(event_type = 'click' AND value > 5000.0)"),
+    // ---- layer 5: statistical (data_validator.py:474-511) ----
+    ValidationRule("value_z_outlier_3s", "warning",
+      abs(c("value") - c("g_mean")) > c("g_std") * 3.0,
+      "ABS(value - g_mean) > g_std * 3.0"),
+    ValidationRule("value_z_extreme_5s", "error",
+      abs(c("value") - c("g_mean")) > c("g_std") * 5.0,
+      "ABS(value - g_mean) > g_std * 5.0"),
+    // ---- freshness decay (data_validator.py:608-627) ----
+    ValidationRule("stale_24h", "info",
+      c("ts") < c("g_max_ts") - expr("INTERVAL 24 HOURS"),
+      "ts < g_max_ts - INTERVAL 24 HOUR"),
+    ValidationRule("stale_7d", "warning",
+      c("ts") < c("g_max_ts") - expr("INTERVAL 7 DAYS"),
+      "ts < g_max_ts - INTERVAL 7 DAY"))
 }

@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_window_range: 25 window cols share one Exchange + one Sort") {
+    val df = SparkEntry.queries("q_window_range")(spark, sf0001)
+    assert(df.columns.length === 27, df.columns.mkString(",")) // keys + 5×5
+    df.collect()
+    // final AQE plan only (toString appends the pre-AQE initial plan too)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // all 5 frames share (user_id, sec) partitioning/ordering: Spark
+    // fuses them into ONE Window operator over ONE shuffle + ONE sort —
+    // the 25 columns cost a single exchange.
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert("Sort \\[".r.findAllIn(p).size === 1, p)
+  }
+
   test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
     val p = plan("q_dash_sensors")
     // max(ts) OVER () would plan Window over an Exchange SinglePartition,

@@ -43,4 +43,18 @@ class ValidationSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(s === 1.0)
   }
+
+  test("EventRules catalog covers all 5 reference layers with >= 20 rules") {
+    val names = graft.validate.EventRules.all.map(_.name)
+    assert(names.size >= 20, names)
+    assert(names.distinct.size === names.size, "duplicate rule names")
+    // one representative per layer: schema, business, quality,
+    // cross-field, statistical (+ dup-rate and freshness decay)
+    for (r <- Seq("value_not_null", "value_range", "k_range",
+      "purchase_value_floor", "value_z_outlier_3s", "dup_user_ts", "stale_24h"))
+      assert(names.contains(r), s"missing $r")
+    // severities must all carry defined weights
+    assert(graft.validate.EventRules.all
+      .forall(r => graft.validate.Severity.weights.contains(r.severity)))
+  }
 }
