@@ -55,8 +55,49 @@ object Analytics {
     scored.withColumn("is_ml_anomaly", (col("dist2") >= thresh).cast("int"))
   }
 
-  /** M2: standardize event-level features; returns per-feature mean/std
-    * of the scaled output (sanity: ~0 / ~1).
+  /** M8, deterministic twin (oracle-checkable): distance to the nearest
+    * per-label centroid (8-dp exact decimal means — same coarse
+    * quantizer as q_ann_ivf), threshold = min distance among the top
+    * ceil(pct·n) by (d2 desc, vec_id). No KMeans nondeterminism, no
+    * approxQuantile: the threshold is a TakeOrderedAndProject + one
+    * broadcast scalar, so there is no global window and no full sort —
+    * scale-safe. The count() for k is a column-pruned metadata-cheap
+    * action (one long per file at parquet footer level).
+    */
+  def anomalyTagDeterministic(emb: DataFrame, pct: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+        .cast("double") / count(lit(1)), 8).as("c"))
+      .groupBy(col("label").as("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+    val dist2 = expr("""aggregate(
+        zip_with(embedding, cvec, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
+        cast(0.0 as double), (acc, t) -> acc + t)""")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"), dist2.as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("d2"))
+    val k = math.ceil(emb.count() * pct).toInt
+    val th = assigned.orderBy(desc("d2"), asc("vec_id")).limit(k)
+      .agg(min(col("d2")).as("thresh"))
+    assigned.crossJoin(broadcast(th))
+      .withColumn("is_ml_anomaly", (col("d2") >= col("thresh")).cast("int"))
+  }
+
+  /** M2: standardize event-level features; returns per-feature row
+    * count, RAW min/max (exact doubles — the oracle checks them
+    * bit-for-bit), and mean/std of the SCALED output. A correct
+    * withMean/withStd scaler yields scaled mean 0 and sample std 1 up
+    * to ~1e-13 float noise, so both round exactly to 0.0 / 1.0 —
+    * closed-form from the definition, DuckDB-checkable without
+    * replaying MLlib's float summation.
     */
   def scaledFeatureStats(events: DataFrame): DataFrame = {
     val feats = events.select(
@@ -71,10 +112,18 @@ object Analytics {
       .setInputCol("f").setOutputCol("fs")
       .fit(assembled).transform(assembled)
     val toArr = udf((v: Vector) => v.toArray)
-    scaled.select(posexplode(toArr(col("fs"))).as(Seq("feature_idx", "v")))
+    scaled
+      .select(posexplode(arrays_zip(
+        toArr(col("f")).as("raw"), toArr(col("fs")).as("sc")))
+        .as(Seq("feature_idx", "z")))
+      .select(col("feature_idx"), col("z.raw").as("raw"), col("z.sc").as("sc"))
       .groupBy("feature_idx")
-      .agg(round(avg(col("v")), 6).as("scaled_mean"),
-        round(stddev_samp(col("v")), 6).as("scaled_std"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("raw")).as("raw_min"),
+        max(col("raw")).as("raw_max"),
+        round(avg(col("sc")), 6).as("scaled_mean"),
+        round(stddev_samp(col("sc")), 6).as("scaled_std"))
   }
 
   /** M4+M5+M6: next-hour event-count forecast. Features are lag counts

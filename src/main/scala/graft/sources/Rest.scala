@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REST-API ingestion with circuit breakers (SURVEY §2.1 S10; ref
+  * enhanced_ingestion.py:99-137 breaker state machine, :179-330 API
+  * fetchers, :432-545 priority-ordered unified run).
+  *
+  * Spark-first shape: each endpoint's fetch lands a (small) driver-side
+  * batch → `createDataFrame` → schema-unioned with
+  * `unionByName(allowMissingColumns = true)` (the reference's
+  * `pd.concat` analog, U2) → batch-stamped → appended to a parquet
+  * landing dir that the Structured Streaming file source tails
+  * (streaming/Streams.scala ingest). Per-batch volume is API-bounded
+  * (tens of rows), so the driver-side fetch is NOT a collect
+  * anti-pattern — the heavy lifting starts where the landing dir
+  * becomes the streaming source.
+  *
+  * Determinism: the HTTP layer is an injectable `fetch` thunk and the
+  * breaker takes an injectable clock — no egress, no wall-clock in
+  * tests (this sandbox has neither).
+  */
+object Rest {
+
+  sealed trait BreakerState
+  case object Closed extends BreakerState
+  case object Open extends BreakerState
+  case object HalfOpen extends BreakerState
+
+  /** CLOSED → (≥ threshold consecutive failures) → OPEN → (recovery
+    * elapses) → HALF_OPEN → success → CLOSED / failure → OPEN.
+    * Mirrors enhanced_ingestion.py:99-137 (threshold 3, recovery 300 s).
+    */
+  final class CircuitBreaker(
+      val failureThreshold: Int = 3,
+      val recoveryMillis: Long = 300_000L,
+      clock: () => Long = () => System.currentTimeMillis()) {
+
+    private var st: BreakerState = Closed
+    private var failures = 0
+    private var openedAt = 0L
+
+    private def maybeHalfOpen(): Unit =
+      if (st == Open && clock() - openedAt >= recoveryMillis) st = HalfOpen
+
+    def state: BreakerState = { maybeHalfOpen(); st }
+
+    def allows: Boolean = state != Open
+
+    def onSuccess(): Unit = { failures = 0; st = Closed }
+
+    def onFailure(): Unit = {
+      failures += 1
+      if (st == HalfOpen || failures >= failureThreshold) {
+        st = Open; openedAt = clock()
+      }
+    }
+
+    /** Run `f` under the breaker: None when open or failed. */
+    def call[A](f: => A): Option[A] =
+      if (!allows) None
+      else
+        try { val a = f; onSuccess(); Some(a) }
+        catch { case scala.util.control.NonFatal(_) => onFailure(); None }
+  }
+
+  /** One API endpoint: name, priority (lower runs first — ref :445-449),
+    * and an injectable fetch producing this endpoint's raw batch.
+    */
+  final case class Endpoint(
+      name: String,
+      priority: Int,
+      fetch: SparkSession => DataFrame)
+
+  final case class SourceResult(
+      source: String, status: String, rows: Long, breaker: String)
+
+  /** Priority-ordered single ingestion sweep over all endpoints, each
+    * guarded by its breaker; successful batches are schema-unioned,
+    * stamped, and appended to `landingDir`.
+    */
+  final class Ingestion(
+      endpoints: Seq[Endpoint],
+      breakerFor: String => CircuitBreaker) {
+
+    def runOnce(spark: SparkSession, landingDir: String, batchId: String): Seq[SourceResult] = {
+      val ordered = endpoints.sortBy(e => (e.priority, e.name))
+      val outcomes = ordered.map { e =>
+        val br = breakerFor(e.name)
+        val skippedWhileOpen = !br.allows
+        val batch = br.call(e.fetch(spark))
+        (e, batch, skippedWhileOpen, br)
+      }
+      val landed = outcomes.collect { case (e, Some(df), _, _) =>
+        df.withColumn("data_source", lit(e.name))
+      }
+      val unioned = landed.reduceOption(
+        (a, b) => a.unionByName(b, allowMissingColumns = true))
+      val counts: Map[String, Long] = unioned match {
+        case Some(df) =>
+          val stamped = df
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("ingestion_priority",
+              element_at(
+                map(endpoints.flatMap(e => Seq(lit(e.name), lit(e.priority))): _*),
+                col("data_source")))
+          stamped.write.mode(SaveMode.Append).parquet(landingDir)
+          // per-source landed counts, read back from the landing batch
+          spark.read.parquet(landingDir)
+            .filter(col("batch_id") === batchId)
+            .groupBy("data_source").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        case None => Map.empty
+      }
+      outcomes.map { case (e, batch, skippedWhileOpen, br) =>
+        val status =
+          if (skippedWhileOpen) "skipped_open"
+          else if (batch.isDefined) "ok"
+          else "failed"
+        SourceResult(e.name, status, counts.getOrElse(e.name, 0L), br.state.toString)
+      }
+    }
+  }
+}

@@ -59,6 +59,28 @@ object Sources {
   def writeCoalesced(df: DataFrame, path: String, n: Int = 10): Unit =
     df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** S8: JDBC sink (warehouse load — warehouse_loader.py:116,172,190,
+    * 213,291 `to_sql(..., if_exists='append')`). Spark parallelizes the
+    * write per partition; `coalesce` small dims first so a 32-task
+    * write doesn't open 32 connections for 25 rows.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String, driver: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .save()
+
+  /** S9: JDBC scan (dashboard SQL serving — app.py:26-196,
+    * warehouse_loader.py:240-244). Catalyst pushes filters/projections
+    * into the remote query; for large facts pass
+    * partitionColumn/lowerBound/upperBound/numPartitions to split the
+    * read across executors instead of one connection.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String, driver: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).option("driver", driver)
+      .load()
+
   /** S13: JSON report sink (enhanced_spark_etl.py:795-812). Reports are
     * per-run small — single file is correct.
     */

@@ -85,6 +85,32 @@ class SourcesSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("S8/S9: JDBC sink + scan round-trip (embedded Derby)") {
+    val dir = tmp()
+    System.setProperty("derby.system.home", dir) // derby.log etc. out of the repo
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/wh;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val dim = Seq((1L, "Central", 10.5), (2L, "North", 20.25), (3L, "South", 30.0))
+      .toDF("district_key", "district_name", "avg_flow")
+    Sources.writeJdbc(dim.coalesce(1), url, "dim_districts", driver)
+    val back = Sources.readJdbc(spark, url, "dim_districts", driver)
+    assert(back.count() === 3)
+    assert(back.select("district_key", "district_name", "avg_flow")
+      .as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "Central", 10.5), (2L, "North", 20.25), (3L, "South", 30.0)))
+    // append mode grows the table (warehouse load semantics)
+    Sources.writeJdbc(dim.coalesce(1), url, "dim_districts", driver,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(Sources.readJdbc(spark, url, "dim_districts", driver).count() === 6)
+    // filters are pushed into the remote JDBC query, not post-scan
+    val filtered = Sources.readJdbc(spark, url, "dim_districts", driver)
+      .filter($"district_key" === 2L)
+    assert(filtered.count() === 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation") && plan.contains("PushedFilters"), plan)
+  }
+
   test("pipeline replay produces the gold rollup with pipeline invariants") {
     val gold = Replay.run(spark).cache()
     val n = gold.count()
