@@ -140,6 +140,13 @@ object Analytics {
       .withColumn("target", lead(col("n"), 1).over(w))
       .withColumn("hod", hour(col("h")).cast("double"))
       .na.drop()
+    // Guard the global time-ordered window: hourly counts are small by
+    // construction (one row per hour), but cap it so misuse on raw
+    // event grain fails loudly instead of serializing to one task.
+    // 2M hourly rows ≈ 228 years of data.
+    val nHours = hourly.count()
+    require(nHours <= 2_000_000L,
+      s"forecastRmse orders $nHours rows in one global window — aggregate first")
     val Array(minH, maxH) = hourly.agg(
       min(unix_timestamp(col("h"))), max(unix_timestamp(col("h"))))
       .collect()(0).toSeq.map(_.toString.toLong).toArray

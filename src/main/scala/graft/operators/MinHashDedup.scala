@@ -71,29 +71,39 @@ object MinHashDedup {
 
   /** Candidate near-dup pairs with estimated Jaccard.
     *
-    * Scalable shape: explode the 4 bands → equi-join on
-    * (band_idx, band_hash) → distinct pairs → score. No OR-join, no
-    * broadcast of the full corpus.
+    * Scalable shape: signatures are STAGED ONCE (cached here; at real
+    * scale they persist as a table — the same relation is exposed as
+    * q_minhash_signatures), then (1) band explode carries ONLY
+    * (doc_id, band_idx, band_hash) into the candidate equi-join,
+    * (2) `distinct()` dedups the narrow (doc_a, doc_b) pairs — not
+    * 16-wide signature rows, (3) the two signature re-attaches for
+    * scoring are hash joins against the staged relation. No OR-join,
+    * no broadcast of the full corpus, no signature recompute per use.
     */
-  def candidatePairs(sigs: DataFrame, minSim: Double): DataFrame = {
-    val banded = sigs.select(
-      col("doc_id") +: (0 until NumHashes).map(i => col(s"mh_$i")) :+
-        explode(array((0 until NumBands).map(b =>
-          struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("bd"): _*)
-      .select(Seq(col("doc_id"), col("bd.band_idx"), col("bd.band_hash")) ++
-        (0 until NumHashes).map(i => col(s"mh_$i")): _*)
+  def candidatePairs(sigs0: DataFrame, minSim: Double): DataFrame = {
+    val sigs = sigs0.cache()
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val matches = (0 until NumHashes)
-      .map(i => (col(s"a.mh_$i") === col(s"b.mh_$i")).cast("int"))
-      .reduce(_ + _)
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (matches.cast("double") / NumHashes).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
+      .reduce(_ + _)
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
   }
 

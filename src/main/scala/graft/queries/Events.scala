@@ -432,6 +432,60 @@ object Events {
              FROM hourly""")
   )
 
+  /** M7 full matrix — Pearson correlation over a DYNAMIC pivot
+    * (A16 + M7 composed, enhanced_spark_etl.py:607-648): hourly avg
+    * value per event_type pivoted to columns, all C(5,2) pairs
+    * correlated from exact moments, emitted long-form. Complete-case
+    * rows only (the reference dropna()s before Correlation.corr).
+    */
+  val corrMatrix = QueryDef(
+    "q_corr_matrix", {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val pairs = for {
+        i <- types.indices
+        j <- i + 1 until types.size
+      } yield (types(i), types(j))
+      (s: SparkSession, d: String) => {
+        val pv = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .pivot("event_type", types)
+          .agg(Exact.davg(col("value")))
+          .na.drop(types)
+        val aggs = pairs.map { case (a, b) =>
+          round(Exact.dcorr(col(a), col(b)), 6).as(s"c_${a}_$b")
+        }
+        val one = pv.agg(aggs.head, aggs.tail: _*)
+        val rows = pairs.map { case (a, b) =>
+          struct(lit(a).as("type_a"), lit(b).as("type_b"),
+            col(s"c_${a}_$b").as("corr"))
+        }
+        one.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.type_a"), col("r.type_b"), col("r.corr"))
+      }
+    },
+    Some {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val cells = types.map { t =>
+        s"""(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+            / COUNT(CASE WHEN event_type = '$t' THEN value END)) AS $t"""
+      }.mkString(",\n")
+      val complete = types.map(t => s"$t IS NOT NULL").mkString(" AND ")
+      val pairRows = (for {
+        i <- types.indices
+        j <- i + 1 until types.size
+      } yield {
+        val (a, b) = (types(i), types(j))
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+            ROUND(${Sql.CORRD(a, b)}, 6) AS corr FROM cpl"""
+      }).mkString("\nUNION ALL\n")
+      s"""WITH pv AS (SELECT DATE_TRUNC('hour', $OTS) AS h,
+            $cells
+            FROM events GROUP BY 1),
+          cpl AS (SELECT * FROM pv WHERE $complete)
+          $pairRows"""
+    }
+  )
+
   /** JSONB analog — extract a typed field from the JSON props column.
     * Ref: enhanced_data_schema.sql:128 (manufacturer_specs JSONB);
     * SURVEY §1.5 maps JSONB → get_json_object.
@@ -484,5 +538,5 @@ object Events {
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, sessionize, freshness,
-    dashMetrics, dashAlerts, hourlyCorr, jsonExtract, pivotHourType)
+    dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }

@@ -158,5 +158,149 @@ object Warehouse {
             FROM customer WHERE c_custkey % 100 = 0""")
   )
 
-  def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2)
+  /** The ~50-col enhanced denormalized fact
+    * (sql/enhanced_data_schema.sql:223-267): one plan assembling time
+    * parts, parsed quality, rolling 24-row measures, z-score anomaly
+    * columns, lag/diff features, 1h/24h range-window measures,
+    * per-type stats (broadcast join back, J1), and data-lineage
+    * columns. 32 output columns.
+    *
+    * Shuffle budget: ONE hash exchange on user_id feeds all four
+    * window families (rows-frame, lag, and both range frames — two
+    * sort orders, one partitioning), plus one broadcast of the tiny
+    * per-type stats agg. The fact itself never re-shuffles.
+    */
+  val factEnhanced = QueryDef(
+    "q_fact_enhanced",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val D = Exact.D
+      val e = Tables.events(s, d)
+        .withColumn("sec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .withColumn("k", expr("cast(get_json_object(props, '$.k') as double)"))
+      val typeStats = Tables.events(s, d).groupBy("event_type").agg(
+        Exact.davg(col("value")).as("type_avg"),
+        Exact.dstddev(col("value")).as("type_std"))
+      val wRows = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-23, 0)
+      val wLag = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w1h = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-3600, 0)
+      val w24h = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-86400, 0)
+
+      val n24  = count(lit(1)).over(wRows)
+      val nd24 = n24.cast("double")
+      val sw24 = sum(col("value").cast(D)).over(wRows).cast("double")
+      val sq24 = sum(col("value").cast(D) * col("value").cast(D)).over(wRows).cast("double")
+      val rollingAvg = sw24 / n24
+      val rollingStd = when(n24 > 1,
+        sqrt(greatest((sq24 - sw24 * sw24 / nd24) / (nd24 - lit(1.0)), lit(0.0))))
+        .otherwise(0.0)
+      val prev = lag(col("value"), 1).over(wLag)
+
+      e.join(broadcast(typeStats), "event_type")
+        .select(
+          col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"),
+          dayofmonth(col("ts")).as("day"), hour(col("ts")).as("hour"),
+          dayofweek(col("ts")).as("day_of_week"),
+          dayofweek(col("ts")).isin(1, 7).cast("int").as("is_weekend"),
+          col("k"), (col("k") / 100.0).as("q"),
+          rollingAvg.as("rolling_avg_24"),
+          rollingStd.as("rolling_std_24"),
+          when(rollingStd > 0, (col("value") - rollingAvg) / rollingStd)
+            .otherwise(0.0).as("z_score"),
+          (abs(when(rollingStd > 0, (col("value") - rollingAvg) / rollingStd)
+            .otherwise(0.0)) > 2.0).cast("int").as("is_spike"),
+          prev.as("prev_value"),
+          (col("value") - prev).as("diff_1"),
+          round(when(prev =!= 0.0, (col("value") - prev) * 100.0 / prev), 6)
+            .as("pct_change_1"),
+          count(lit(1)).over(w1h).as("n_1h"),
+          (sum(col("value").cast(D)).over(w1h).cast("double") /
+            count(lit(1)).over(w1h)).as("avg_1h"),
+          count(lit(1)).over(w24h).as("n_24h"),
+          (sum(col("value").cast(D)).over(w24h).cast("double") /
+            count(lit(1)).over(w24h)).as("avg_24h"),
+          col("type_avg"), col("type_std"),
+          when(col("type_std") > 0, (col("value") - col("type_avg")) / col("type_std"))
+            .otherwise(0.0).as("type_z"),
+          col("value").as("raw_value"),
+          lit("identity").as("transformation_applied"),
+          when(col("value").between(-100.0, 10000.0) && col("k").isNotNull, "valid")
+            .otherwise("flagged").as("validation_status"),
+          lit("3.0").as("pipeline_version"),
+          lit("events").as("data_source"))
+    },
+    Some("""WITH ts_stats AS (
+              SELECT event_type,
+                     (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)) AS type_avg,
+                     CASE WHEN COUNT(value) > 1 THEN SQRT(GREATEST(
+                       (CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                        - CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          * CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                          / CAST(COUNT(value) AS DOUBLE))
+                       / (CAST(COUNT(value) AS DOUBLE) - 1.0), 0.0)) END AS type_std
+              FROM events GROUP BY event_type),
+            e AS (SELECT event_id, user_id, event_type,
+                         CAST(ts AS TIMESTAMP) AS ts, value, props,
+                         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+                         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+                  FROM events),
+            w AS (SELECT e.*, type_avg, type_std,
+                    COUNT(*) OVER w_rows AS n24,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_rows AS DOUBLE) AS sw24,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w_rows AS DOUBLE) AS sq24,
+                    LAG(value, 1) OVER w_lag AS prev_value,
+                    COUNT(*) OVER w_1h AS n_1h,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_1h AS DOUBLE) AS s_1h,
+                    COUNT(*) OVER w_24h AS n_24h,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w_24h AS DOUBLE) AS s_24h
+                  FROM e JOIN ts_stats USING (event_type)
+                  WINDOW
+                    w_rows AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+                    w_lag AS (PARTITION BY user_id ORDER BY ts, event_id),
+                    w_1h AS (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                    w_24h AS (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)),
+            m AS (SELECT *,
+                    sw24 / n24 AS rolling_avg_24,
+                    CASE WHEN n24 > 1
+                         THEN SQRT(GREATEST((sq24 - sw24 * sw24 / CAST(n24 AS DOUBLE))
+                                            / (CAST(n24 AS DOUBLE) - 1.0), 0.0))
+                         ELSE 0.0 END AS rolling_std_24
+                  FROM w)
+            SELECT event_id, user_id, event_type, ts, value,
+                   EXTRACT(YEAR FROM ts) AS year, EXTRACT(MONTH FROM ts) AS month,
+                   EXTRACT(DAY FROM ts) AS day, EXTRACT(HOUR FROM ts) AS hour,
+                   dayofweek(ts) + 1 AS day_of_week,
+                   CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
+                   k, k / 100.0 AS q,
+                   rolling_avg_24, rolling_std_24,
+                   CASE WHEN rolling_std_24 > 0
+                        THEN (value - rolling_avg_24) / rolling_std_24
+                        ELSE 0.0 END AS z_score,
+                   CASE WHEN ABS(CASE WHEN rolling_std_24 > 0
+                                      THEN (value - rolling_avg_24) / rolling_std_24
+                                      ELSE 0.0 END) > 2.0 THEN 1 ELSE 0 END AS is_spike,
+                   prev_value,
+                   value - prev_value AS diff_1,
+                   ROUND(CASE WHEN prev_value <> 0.0
+                         THEN (value - prev_value) * 100.0 / prev_value END, 6) AS pct_change_1,
+                   n_1h, s_1h / n_1h AS avg_1h,
+                   n_24h, s_24h / n_24h AS avg_24h,
+                   type_avg, type_std,
+                   CASE WHEN type_std > 0 THEN (value - type_avg) / type_std
+                        ELSE 0.0 END AS type_z,
+                   value AS raw_value,
+                   'identity' AS transformation_applied,
+                   CASE WHEN value BETWEEN -100.0 AND 10000.0 AND k IS NOT NULL
+                        THEN 'valid' ELSE 'flagged' END AS validation_status,
+                   '3.0' AS pipeline_version,
+                   'events' AS data_source
+            FROM m""")
+  )
+
+  def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced)
 }

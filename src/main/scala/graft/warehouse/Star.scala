@@ -51,11 +51,20 @@ object Star {
           .cast("long").as("fiscal_quarter"))
 
   /** Deterministic surrogate key: dense_rank over the natural key.
-    * Dim-only (small); facts never pass through this window.
+    * Dim-only (small); facts never pass through this window — the
+    * global single-partition Window would serialize them. Guarded by
+    * Catalyst plan-size statistics (metadata-only, no scan): a fact
+    * table trips the require instead of silently funneling through one
+    * task.
     */
-  def withSurrogateKey(dim: DataFrame, keyName: String, naturalKey: Column*): DataFrame =
+  def withSurrogateKey(dim: DataFrame, keyName: String, naturalKey: Column*): DataFrame = {
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= (1L << 30),
+      s"withSurrogateKey is dim-only: input estimates $est bytes (> 1 GiB); " +
+        "a global dense_rank window over a fact serializes to one task")
     dim.withColumn(keyName,
       dense_rank().over(Window.orderBy(naturalKey: _*)).cast("long"))
+  }
 
   /** SCD Type 2 merge: close changed rows, append new versions.
     * `updates` rows are assumed changed (caller pre-filters attribute
