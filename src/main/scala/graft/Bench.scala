@@ -39,10 +39,22 @@ object Bench {
       }.sorted
       name -> times(times.length / 2) // median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    // The harness keeps only the last ~2000 chars of output, so the
+    // contract line is kept compact (2-decimal medians, short sf tag);
+    // full-precision per-iteration detail goes to BENCH_DETAIL.json.
+    def f2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val sfTag = sfDir.stripPrefix("/root/testdata/")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","iters":$iters}""")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
