@@ -23,7 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }

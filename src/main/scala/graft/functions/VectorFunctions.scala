@@ -8,19 +8,23 @@ import org.apache.spark.sql.functions._
   * Determinism across engines: double addition is order-dependent, so
   * both sides must use the same IEEE-754 operation sequence. The DuckDB
   * oracle uses an explicit left-to-right 64-term chain; the Spark side
-  * uses `aggregate(zip_with(...))`, whose left fold
-  * ((0+p0)+p1)+... performs the identical addition sequence (0+p0 ≡ p0)
-  * — bit-identical results, but a small expression tree that stays
-  * inside whole-stage codegen (the explicit 64-term chain repeated for
-  * dot/norm/norm blew up codegen method size).
+  * uses the native [[graft.plans.VecDot]] Catalyst expression, whose
+  * codegen'd loop performs the identical addition sequence
+  * (0+p0 ≡ p0) — bit-identical results with a tight primitive loop
+  * instead of the interpreted `aggregate(zip_with(...))` lambda fold
+  * this replaced.
   */
 object VectorFunctions {
   val Dim = 64
 
-  /** Spark Column: dot(a, b) as a left-to-right fold (codegen-friendly). */
-  def dotSpark(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      s"cast(0.0 as double), (acc, v) -> acc + v)")
+  private def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.plans.VecDot(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
+  /** Spark Column: dot(a, b), natively codegen'd, left-to-right order. */
+  def dotSpark(a: String, b: String): Column = vecDot(expr(a), expr(b))
 
   def normSpark(a: String): Column = sqrt(dotSpark(a, a))
 
@@ -52,12 +56,12 @@ object VectorFunctions {
     hyperplane(p).map(w => f"$w%.3f")
 
   /** Spark: dot(embedding, plane_p) with inline literal weights — same
-    * left-to-right fold as [[dotSpark]].
+    * left-to-right order as [[dotSpark]] via the native expression
+    * (float array × double-literal array).
     */
   def planeDotSpark(a: String, p: Int): Column = {
     val ws = hyperplaneLiteral(p).mkString("array(", ", ", ")")
-    expr(s"aggregate(zip_with($a, cast($ws as array<double>), " +
-      s"(x, w) -> cast(x as double) * w), cast(0.0 as double), (acc, v) -> acc + v)")
+    vecDot(expr(a), expr(s"cast($ws as array<double>)"))
   }
 
   def planeDotDuck(a: String, p: Int): String = {

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over numeric arrays, with whole-stage
+  * codegen (`doGenCode` emits a tight primitive loop).
+  *
+  * Why a custom Expression (SURVEY §7.3 / prompt preference order):
+  * the equivalent `aggregate(zip_with(...))` higher-order functions
+  * evaluate a lambda per element per row through interpreted
+  * `NamedLambdaVariable`s — correct, but the inner loop is megamorphic
+  * and allocation-heavy. This is the engine's hottest scalar kernel
+  * (every ANN / near-dup candidate scores through it), so it earns the
+  * native-expression treatment; everything else stays on built-ins.
+  *
+  * Semantics (bit-identical to the fold it replaces, and to the DuckDB
+  * oracle's explicit left-to-right chain):
+  *   acc := 0.0; acc += (double)a[i] * (double)b[i]  for i ascending —
+  * IEEE-754 addition in the same order, so results are exact matches,
+  * not approximations. Null array, length mismatch, or any null
+  * element → null (the zip_with/aggregate fold's behavior).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = elemType(left) == FloatType
+    val yf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+        int $n = $a.numElements();
+        boolean $bad = ($n != $b.numElements());
+        double $acc = 0.0;
+        if (!$bad) {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            $acc += ${get(a, left)} * ${get(b, right)};
+          }
+        }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

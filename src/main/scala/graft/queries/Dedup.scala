@@ -81,21 +81,26 @@ object Dedup {
   val jaccardPairs = QueryDef(
     "q_jaccard_pairs",
     (s, d) => {
-      // Inverted-index shape: explode shingles and self-join on the
-      // shingle ITSELF (+ the lang/source block), then count matches
-      // per pair. Intersection counting becomes a hash-agg over only
-      // the co-occurring pairs — no O(block²) pair materialization, no
-      // array payloads through the shuffle. At 100 TB this is the only
-      // viable exact-Jaccard plan (skewed hot shingles → AQE skew join).
+      // Inverted-index shape: explode shingles and self-join on a
+      // 64-bit HASH of the shingle (+ the lang/source block), then
+      // count matches per pair. Intersection counting becomes a
+      // hash-agg over only the co-occurring pairs — no O(block²) pair
+      // materialization, and the shuffle carries an 8-byte key instead
+      // of the ~25-byte shingle text. 64-bit collisions are ~n²/2⁶⁵ —
+      // absent here (the oracle would catch one) and a bounded count
+      // perturbation at corpus scale. Skewed hot shingles → AQE skew
+      // join.
       val ex = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           TF.shingles(col("text"), 3).as("sh"))
         .select(col("doc_id"), col("lang"), col("source"),
           size(col("sh")).as("n_sh"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_sh"),
+          xxhash64(col("x")).as("xh"))
       val a = ex.alias("a")
       val b = ex.alias("b")
       a.join(b,
-          col("a.x") === col("b.x") && col("a.lang") === col("b.lang") &&
+          col("a.xh") === col("b.xh") && col("a.lang") === col("b.lang") &&
             col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))

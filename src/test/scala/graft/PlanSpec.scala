@@ -40,11 +40,21 @@ class PlanSpec extends SparkSpec {
 
   test("hot paths stay inside whole-stage codegen") {
     for (q <- Seq("q_scan_project", "q_hourly_agg", "q_window_rolling",
-      "q_minhash_signatures")) {
+      "q_minhash_signatures", "q_knn_brute")) {
       val p = plan(q)
       // "*(n) " prefixes mark operators inside a WholeStageCodegen stage
       assert(p.contains("*(1)"), s"$q lost codegen:\n$p")
     }
+  }
+
+  test("q_knn_brute scores through the native vec_dot expression, inside codegen") {
+    val p = plan("q_knn_brute")
+    assert(p.contains("vec_dot"), p)
+    // the Project evaluating vec_dot must be inside a WholeStageCodegen
+    // stage (starred), not an interpreted fallback
+    val line = p.linesIterator.find(_.contains("vec_dot")).get
+    // tree prefix ("+- ") may precede the codegen star
+    assert(line.substring(0, line.indexOf("Project")).contains("*("), line)
   }
 
   test("q_topk_customers plans TakeOrderedAndProject, not a global sort") {
