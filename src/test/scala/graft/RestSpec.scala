@@ -86,6 +86,24 @@ class RestSpec extends SparkSpec {
     assert(landed.filter($"ingestion_priority" === 1).count() === 2)
   }
 
+  test("landing dir is streamable: readStream over REST batches matches batch read") {
+    val landing = java.nio.file.Files.createTempDirectory("rest_landing3").toString + "/data"
+    val endpoints = Seq(
+      Endpoint("weather", priority = 1, _ => weatherFetch),
+      Endpoint("flood", priority = 2, _ => floodFetch))
+    val ing = new Rest.Ingestion(endpoints,
+      _ => new CircuitBreaker(clock = () => 0L))
+    ing.runOnce(spark, landing, "B001")
+    ing.runOnce(spark, landing, "B002")
+    // the streaming ingest path (S10 -> §2.9): file source tails the dir
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$landing/*.parquet")
+      .groupBy("data_source").count()
+    val got = graft.streaming.Streams.runToTable(stream, "rest_landing_counts", "complete")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("weather" -> 4L, "flood" -> 2L))
+  }
+
   test("runOnce: failing endpoint trips its breaker; healthy endpoints still land") {
     val landing = java.nio.file.Files.createTempDirectory("rest_landing2").toString + "/data"
     val (clock, setTime) = newClock()
