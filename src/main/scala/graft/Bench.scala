@@ -35,13 +35,16 @@ object Bench {
     // Warmup pass: the full suite, untimed.
     suite.foreach { case (_, fn) => once(fn) }
 
-    val results = suite.map { case (name, fn) =>
+    val timings = suite.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         once(fn)
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median
+      }
+      name -> times
+    }
+    val results = timings.map { case (name, times) =>
+      name -> times.sorted.apply(times.length / 2) // median
     }
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of output, so the
@@ -54,9 +57,14 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-iteration times: the reproducibility evidence (medians should
+    // agree within ~±20% across iterations on an idle box)
+    val iterDetail = timings.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","iters":$iters}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"sf":"$sfDir","iters":$iters}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()

@@ -97,6 +97,12 @@ object Dedup {
           size(col("sh")).as("n_sh"), explode(col("sh")).as("x"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_sh"),
           xxhash64(col("x")).as("xh"))
+      // Knob for web-scale corpora (not enabled here): pre-filter to
+      // shingles with document frequency > 1 before the self-join —
+      // singletons can't form pairs, and in a real web corpus most
+      // shingles are singletons. On this dense synthetic corpus the
+      // extra aggregation+join costs more than the singleton mass it
+      // removes (measured +20%), so the lean two-stage plan stays.
       val a = ex.alias("a")
       val b = ex.alias("b")
       a.join(b,

@@ -64,6 +64,19 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup (P11's streaming twin — the training-data
+    * ingest guard): duplicates on the natural key are dropped across
+    * micro-batches; `dropDuplicatesWithinWatermark` evicts key state
+    * once the watermark passes, so state is bounded by the watermark
+    * horizon's key cardinality, not the stream's lifetime (a plain
+    * streaming dropDuplicates grows forever — unusable at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** `ts` rides along (not just derived seconds) so the watermark
     * attribute survives into the stateful operator's input — required
     * for event-time timeout.

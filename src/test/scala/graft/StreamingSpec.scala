@@ -84,6 +84,26 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupEvents drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "event_id", "value")
+    val q = Streams.dedupEvents(df, keys = Seq("event_id"), watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    // batch 1: two events, one in-batch duplicate
+    input.addData((ts(100), 1L, 1.0), (ts(100), 1L, 1.0), (ts(200), 2L, 2.0))
+    q.processAllAvailable()
+    // batch 2: a cross-batch duplicate of event 1 and a fresh event
+    input.addData((ts(150), 1L, 1.0), (ts(300), 3L, 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("t_dedup").select("event_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("statusUpsert keeps the latest reading per user across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("status").toString
