@@ -88,4 +88,23 @@ object Replay {
     Generator.readings(spark).write.mode("overwrite").parquet(FixturePath)
     districtHourly(withAnomalyScores(withFeatures(spark.read.parquet(FixturePath))))
   }
+
+  /** The same chain instrumented with the Observation API — the
+    * summary-report numbers the reference collects with separate
+    * pandas passes (record counts, anomaly rate, avg quality;
+    * production_ingestion.py:249-301) ride along on the ONE pipeline
+    * action as accumulator metrics, costing zero extra jobs.
+    */
+  def runObserved(spark: SparkSession): (DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("replay_metrics")
+    Generator.readings(spark).write.mode("overwrite").parquet(FixturePath)
+    val scored = withAnomalyScores(withFeatures(spark.read.parquet(FixturePath)))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("anomaly_flag")).as("n_anomalies"),
+        sum(col("is_spike")).as("n_spikes"),
+        round(Exact.davg(col("quality_score")), 6).as("avg_quality"))
+    (districtHourly(scored), obs)
+  }
 }

@@ -470,9 +470,52 @@ object Relational {
             FROM customer""")
   )
 
+  /** ROLLUP hierarchy totals (beyond the reference's flat GROUP BYs —
+    * the subtotal/grand-total shape every BI layer on the warehouse
+    * expects). grouping_id disambiguates subtotal rows from genuine
+    * NULL keys; both engines use the Postgres bit convention (leftmost
+    * key = most significant bit). Same partial-aggregation shuffle
+    * budget as a flat group-by: Spark expands grouping sets map-side.
+    */
+  val rollupTotals = QueryDef(
+    "q_rollup_totals",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(graft.util.Exact.dsum(col("o_totalprice")), 4).as("revenue")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n_orders,
+             ROUND(${Sql.SUMD("o_totalprice")}, 4) AS revenue
+             FROM orders
+             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")
+  )
+
+  /** CUBE over both dimensions (all 4 grouping sets). */
+  val cubeTotals = QueryDef(
+    "q_cube_totals",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          round(graft.util.Exact.dsum(col("o_totalprice")), 4).as("revenue")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n_orders,
+             ROUND(${Sql.SUMD("o_totalprice")}, 4) AS revenue
+             FROM orders
+             GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, aggGroupStats, joinBroadcast,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
-    unionBranches, scalarMath, scalarString, dateParts, nullGuards)
+    unionBranches, scalarMath, scalarString, dateParts, nullGuards,
+    rollupTotals, cubeTotals)
 }

@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(p).size === 1, p)
   }
 
+  test("no query in the registry plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin of a 1-row/tiny broadcast side is the
+    // intended shape for scalar attaches; an unbroadcast CartesianProduct
+    // is never acceptable. Static check (plans only, no execution).
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
     val p = plan("q_dash_sensors")
     // max(ts) OVER () would plan Window over an Exchange SinglePartition,

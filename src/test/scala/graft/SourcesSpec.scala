@@ -122,4 +122,15 @@ class SourcesSpec extends SparkSpec {
     assert(agg.getLong(0) === 14400L) // every reading lands in one group
     assert(agg.getLong(1) > 0)
   }
+
+  test("observed replay reports summary metrics on the single pipeline action") {
+    val (gold, obs) = Replay.runObserved(spark)
+    gold.count() // the one action; metrics ride along, no extra jobs
+    val m = obs.get
+    assert(m("n_rows") === 14400L)
+    assert(m("n_anomalies").asInstanceOf[Long] > 0L)
+    assert(m("n_spikes").asInstanceOf[Long] > 0L)
+    val q = m("avg_quality").asInstanceOf[Double]
+    assert(q >= 0.8 && q <= 1.0)
+  }
 }
