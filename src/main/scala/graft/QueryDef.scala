@@ -28,7 +28,9 @@ object QueryRegistry {
       queries.Multimodal.all ++
       queries.Streaming.all ++
       queries.TimeSeries.all ++
-      queries.Dashboard.all
+      queries.Dashboard.all ++
+      queries.Temporal.all ++
+      queries.Sampling.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -172,7 +172,45 @@ object Dedup {
                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""))
 
+  /** Dedup-cluster assignment: MinHash-LSH near-dup pairs chain
+    * transitively into connected components; every clustered doc gets
+    * its component id (min doc_id = the canonical keep), component
+    * size, and a canonical flag. This is the step between "candidate
+    * pairs" and "rows to drop" in a web-scale dedup pipeline — see
+    * [[graft.operators.ConnectedComponents]] for the iteration shape.
+    * Oracle: DuckDB recursive CTE computing min reachable id.
+    */
+  val dedupClusters = QueryDef(
+    "q_dedup_clusters",
+    (s, d) => {
+      val pairs = MinHashDedup.candidatePairs(
+        MinHashDedup.signatures(Tables.documents(s, d)), 0.5)
+        .select("doc_a", "doc_b")
+      val labels = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+      labels.select(col("n").as("doc_id"), col("comp").as("component_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy("component_id")))
+        .withColumn("is_canonical",
+          (col("doc_id") === col("component_id")).cast("int"))
+    },
+    Some(s"""WITH RECURSIVE
+             pairs AS (${MinHashDedup.candidatePairsSqlDuck(0.5)}),
+             bi AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+             walk(n, m) AS (
+               SELECT DISTINCT n, n FROM bi
+               UNION
+               SELECT w.n, b.m FROM walk w JOIN bi b ON w.m = b.n),
+             comp AS (SELECT n AS doc_id, MIN(m) AS component_id
+                      FROM walk GROUP BY n)
+             SELECT doc_id, component_id,
+                    COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+                    CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS is_canonical
+             FROM comp""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs, simhashNeardup)
+    jaccardPairs, simhashNeardup, dedupClusters)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{AsOf, ConnectedComponents}
+import org.apache.spark.sql.functions._
+
+/** As-of join, bucketed range join, connected components: hand-computed
+  * micro-cases plus an equivalence check against the naive plan.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joinAsOf: latest state at or before each probe, nulls before first state") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k1", 5L), (4L, "k2", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 10L, "a"), ("k1", 20L, "b"), ("k2", 60L, "c"))
+      .toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "t", Seq("v"))
+      .select("id", "v", "asof_time").as[(Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1)
+    // id 1 @t=10: state "a" @10 matches inclusively; id 2 @25 -> "b"@20;
+    // id 3 @5: before any state -> null; id 4 @50: k2 state is @60 -> null
+    assert(out === Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, None, None), (4L, None, None)))
+  }
+
+  test("joinAsOf plans one window over the union, no theta join") {
+    val left = Seq((1L, "k1", 10L)).toDF("id", "k", "t")
+    val right = Seq(("k1", 5L, "x")).toDF("k", "t", "v")
+    val plan = AsOf.joinAsOf(left, right, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("connected components: min-label per component, chains and isolates") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L), (7L, 7L))
+      .toDF("a", "b")
+    val comps = ConnectedComponents.components(edges, "a", "b")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(comps === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L)))
+  }
+
+  test("bucketed range join equals the naive theta join on sf0.001") {
+    val bucketed = queries.Temporal.rangeJoin.fn(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    val naive = ev.filter(col("event_type") === "purchase")
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") >= col("us") - 1800000000L && col("c_us") <= col("us"),
+        "left")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("c_us")).as("n_clicks_30m"))
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+
+  test("sample split is deterministic and ~80/10/10") {
+    val out = queries.Sampling.sampleSplit.fn(spark, sf0001)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(counts("train") > n / 2, counts)
+    assert(out.exceptAll(queries.Sampling.sampleSplit.fn(spark, sf0001)).isEmpty)
+  }
+}
