@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join: one shuffle over the union, no pair join") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // sort-merge as-of shape: both sides union under ONE hashpartitioning
+    // exchange on the key for the running-last window; the only other
+    // exchange is the purchase pre-reduce groupBy. Never a join operator
+    // (the naive as-of rewrite is a theta join + row_number).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_range_join: band join is a hash equi-join, not nested-loop") {
+    val p = plan("q_range_join")
+    // any HASH-keyed join is fine (AQE may broadcast the small side at
+    // test scale); the banded bucket key is what rules out the
+    // quadratic nested-loop theta join at any scale
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
     val p = plan("q_dash_sensors")
     // max(ts) OVER () would plan Window over an Exchange SinglePartition,
