@@ -54,5 +54,23 @@ object Streaming {
             SELECT * FROM sess
             QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)"""))
 
-  def all: Seq[QueryDef] = Seq(streamHourly, streamSessionize)
+  /** Stream-stream interval join: purchase↔click pairs within the
+    * 30-min attribution band (inner; watermark-bounded state). The
+    * oracle is the equivalent batch theta join — at test scale DuckDB's
+    * IEJoin handles it; the streaming side never materializes the
+    * quadratic pair space beyond the watermark horizon.
+    */
+  val streamAttrib = QueryDef(
+    "q_stream_attrib",
+    (s, d) => Streams.runToTable(
+      Streams.attributionJoin(Streams.readEvents(s, d)), "stream_attrib", "append"),
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+            SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
+            FROM e p JOIN e c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND c.us BETWEEN p.us - 1800000000 AND p.us"""))
+
+  def all: Seq[QueryDef] = Seq(streamHourly, streamSessionize, streamAttrib)
 }

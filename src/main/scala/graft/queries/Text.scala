@@ -156,6 +156,42 @@ object Text {
              GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""")
   )
 
+  /** Fixed-size token chunking with overlap (64-token chunks, stride
+    * 48): the sequence-packing / RAG-chunking primitive of an LLM data
+    * pipeline. Narrow explode — each doc yields ceil(n/stride) chunk
+    * rows, no shuffle; chunk text is carried as an md5 so the verified
+    * output stays narrow while still proving content equality.
+    */
+  val chunkDocs = QueryDef(
+    "q_chunk_docs",
+    (s, d) => {
+      val C = 64
+      val S = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("n"),
+          explode(sequence(lit(0), size(col("tk")) - 1, lit(S))).as("start"))
+        .select(col("doc_id"),
+          expr(s"cast(start div $S as bigint)").as("chunk_idx"),
+          col("start").cast("long").as("chunk_start"),
+          least(lit(C), col("n") - col("start")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(C))))
+            .as("chunk_md5"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, ${TS.tokens("text")} AS tk FROM documents),
+             x AS (SELECT doc_id, tk, len(tk) AS n,
+                          unnest(range(0, len(tk), 48)) AS start
+                   FROM t WHERE len(tk) > 0)
+             SELECT doc_id,
+                    CAST(start // 48 AS BIGINT) AS chunk_idx,
+                    CAST(start AS BIGINT) AS chunk_start,
+                    CAST(LEAST(64, n - start) AS BIGINT) AS n_chunk_tokens,
+                    md5(array_to_string(list_slice(tk, start + 1, start + 64), ' '))
+                      AS chunk_md5
+             FROM x""")
+  )
+
   def all: Seq[QueryDef] =
-    Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK)
+    Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs)
 }

@@ -140,6 +140,32 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(fn)
   }
 
+  /** Stream-stream interval join (attribution): purchases matched to
+    * the same user's clicks within the `windowSec` before them — the
+    * streaming twin of the batch bucketed range join (`q_range_join`
+    * produces the per-purchase counts over the same band). Both sides
+    * carry watermarks and the join condition bounds the event-time
+    * band, so Spark evicts per-side join state once the watermark
+    * passes the band — state is O(watermark horizon × arrival rate),
+    * not stream lifetime.
+    */
+  def attributionJoin(events: DataFrame, windowSec: Long = 1800L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts").between(
+            col("p_ts") - expr(s"INTERVAL '$windowSec' SECOND"), col("p_ts")))
+      .select(col("p_event_id"), col("c_event_id"), col("p_user").as("user_id"))
+  }
+
   /** foreachBatch upsert (the Postgres AFTER INSERT trigger rewrite,
     * enhanced_data_schema.sql:566-591): merge each micro-batch's
     * per-user latest reading into a status table kept as parquet.

@@ -104,6 +104,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("attributionJoin matches purchases to prior clicks across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val evs = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val joined = Streams.attributionJoin(evs, windowSec = 1800L)
+    val q = joined.writeStream.format("memory").queryName("t_attrib")
+      .outputMode("append").start()
+
+    // batch 1: two clicks for user 1 (one inside the future band, one
+    // too early), a click for user 2
+    input.addData(
+      (ts(1000), 1L, "click", 1L), (ts(5000), 1L, "click", 2L),
+      (ts(5100), 2L, "click", 3L))
+    q.processAllAvailable()
+    // batch 2: user 1 purchase at t=6000 — band [4200, 6000] covers
+    // click 2 only; click state crossed the batch boundary
+    input.addData((ts(6000), 1L, "purchase", 10L))
+    q.processAllAvailable()
+    val out = spark.table("t_attrib")
+      .select("p_event_id", "c_event_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 2L)))
+    q.stop()
+  }
+
   test("statusUpsert keeps the latest reading per user across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("status").toString
