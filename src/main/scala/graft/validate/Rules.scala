@@ -105,7 +105,7 @@ object Validator {
   * doesn't carry: [[enrich]] attaches it — ONE broadcast cross join of
   * a 1-row exact global-stats agg (mean/std/max-ts), one window count
   * for the dup key, and the parsed quality field. That keeps the whole
-  * 24-rule catalog a single scan + one tiny broadcast + one hash
+  * 28-rule catalog a single scan + one tiny broadcast + one hash
   * shuffle — at 100 TB the stats row is a second scan of one column,
   * not a pandas pass per layer like the reference.
   */
@@ -179,8 +179,12 @@ object EventRules {
       c("k").isNull, "k IS NULL"),
     ValidationRule("k_range", "error",
       c("k") < 0.0 || c("k") > 100.0, "(k < 0.0 OR k > 100.0)"),
+    ValidationRule("k_integer", "info",
+      c("k") =!= floor(c("k")), "k <> FLOOR(k)"),
     ValidationRule("dup_user_ts", "warning",
       c("dup_n") > 1, "dup_n > 1"),
+    ValidationRule("dup_burst", "critical",
+      c("dup_n") > 3, "dup_n > 3"),
     // ---- layer 4: cross-field (data_validator.py:433-472) ----
     ValidationRule("purchase_value_floor", "warning",
       c("event_type") === "purchase" && c("value") < 1.0,
@@ -197,7 +201,13 @@ object EventRules {
     ValidationRule("click_value_cap", "info",
       c("event_type") === "click" && c("value") > 5000.0,
       "(event_type = 'click' AND value > 5000.0)"),
+    ValidationRule("view_value_nonneg", "warning",
+      c("event_type") === "view" && c("value") < 0.0,
+      "(event_type = 'view' AND value < 0.0)"),
     // ---- layer 5: statistical (data_validator.py:474-511) ----
+    ValidationRule("value_z_mild_2s", "info",
+      abs(c("value") - c("g_mean")) > c("g_std") * 2.0,
+      "ABS(value - g_mean) > g_std * 2.0"),
     ValidationRule("value_z_outlier_3s", "warning",
       abs(c("value") - c("g_mean")) > c("g_std") * 3.0,
       "ABS(value - g_mean) > g_std * 3.0"),

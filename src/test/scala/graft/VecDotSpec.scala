@@ -74,4 +74,15 @@ class VecDotSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("GraftExtensions exposes vec_dot to spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d === 11.0)
+    // the extensions class itself must accept an injection pass (the
+    // spark.sql.extensions=graft.plans.GraftExtensions cluster path)
+    new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
