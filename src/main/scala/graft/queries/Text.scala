@@ -192,6 +192,39 @@ object Text {
              FROM x""")
   )
 
+  /** Subword ("BPE-ish") token counting: alpha runs, single digits,
+    * single punctuation — the regex pre-tokenization shape BPE
+    * vocabularies are trained over. Fertility (subtokens per whitespace
+    * word) is the standard compression diagnostic for a tokenizer over
+    * a corpus. Pure regexp_extract_all — codegen'd, map-only.
+    */
+  val tokenBpe = QueryDef(
+    "q_token_bpe",
+    (s, d) => {
+      val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"),
+          regexp_extract_all(col("text"), lit(pat), lit(0)).as("sub"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(col("sub")).cast("long").as("n_subtokens"),
+          when(size(col("tk")) > 0,
+            round(size(col("sub")).cast("double") / size(col("tk")), 6))
+            .as("fertility"))
+    },
+    Some {
+      val sub = raw"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')"
+      s"""SELECT doc_id,
+          ${TS.tokenCount("text")} AS n_tokens,
+          len($sub) AS n_subtokens,
+          CASE WHEN ${TS.tokenCount("text")} > 0
+               THEN ROUND(CAST(len($sub) AS DOUBLE) / ${TS.tokenCount("text")}, 6)
+               END AS fertility
+          FROM documents"""
+    }
+  )
+
   def all: Seq[QueryDef] =
-    Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs)
+    Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
+      tokenBpe)
 }
