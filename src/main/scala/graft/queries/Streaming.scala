@@ -62,8 +62,11 @@ object Streaming {
     */
   val streamAttrib = QueryDef(
     "q_stream_attrib",
+    // statePartitions: a stream-stream join runs 4 state stores per
+    // partition; 8 partitions fits this state volume (see runToTable)
     (s, d) => Streams.runToTable(
-      Streams.attributionJoin(Streams.readEvents(s, d)), "stream_attrib", "append"),
+      Streams.attributionJoin(Streams.readEvents(s, d)), "stream_attrib", "append",
+      statePartitions = Some(8)),
     Some("""WITH e AS (SELECT event_id, user_id, event_type,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
             SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id

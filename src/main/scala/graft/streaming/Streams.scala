@@ -200,11 +200,27 @@ object Streams {
     * (Trigger.AvailableNow) into a named memory sink; returns the
     * collected result. This is how the streaming paths join the batch
     * oracle gate.
+    *
+    * `statePartitions`: stateful operators create one state-store
+    * instance per shuffle partition (a stream-stream join creates
+    * FOUR), and each pays per-micro-batch commit overhead — so state
+    * partitioning should track state VOLUME, not core count. The
+    * partition count is fixed at first query start from the session
+    * conf; this sets it around the start and restores the session
+    * default after (batch queries keep their own parallelism).
     */
-  def runToTable(df: DataFrame, name: String, outputMode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+  def runToTable(df: DataFrame, name: String, outputMode: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally statePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prev))
   }
 }
