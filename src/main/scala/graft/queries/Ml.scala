@@ -90,5 +90,79 @@ object Ml {
     (s, d) => Analytics.forecastRmse(Tables.events(s, d)),
     None)
 
-  def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse)
+  /** Per-group model fitting WITHOUT a driver loop: closed-form OLS
+    * (slope / intercept / R²) of value over time, one model per
+    * event_type, as a single hash aggregation over exact decimal
+    * moments. This is the scale answer to the reference's per-sensor-
+    * type driver loop (enhanced_spark_etl.py:353 collect + Python loop
+    * + N fit DAGs): group count never touches the driver, and adding
+    * groups adds zero jobs. x = whole hours since 2024-01-01 (exact
+    * integer in both engines); final arithmetic runs in double with an
+    * identical expression tree, so results hash-match the oracle.
+    */
+  val groupOls = QueryDef(
+    "q_ml_group_ols",
+    (s, d) => {
+      val D = graft.util.Exact.D
+      val x = expr(
+        "(unix_micros(cast(ts as timestamp)) div 1000000 - 1704067200) div 3600")
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), x.as("x"), col("value").as("y"))
+      val m = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y").cast(D)).as("sy_d"),
+        sum(col("x").cast(D) * col("y").cast(D)).as("sxy_d"),
+        sum(col("y").cast(D) * col("y").cast(D)).as("syy_d"))
+      val nD   = col("n").cast("double")
+      val sx   = col("sx").cast("double")
+      val sxx  = col("sxx").cast("double")
+      val sy   = col("sy_d").cast("double")
+      val sxy  = col("sxy_d").cast("double")
+      val syy  = col("syy_d").cast("double")
+      val varx = nD * sxx - sx * sx
+      val vary = nD * syy - sy * sy
+      val cov  = nD * sxy - sx * sy
+      m.select(col("event_type"), col("n"),
+        round(when(varx > 0, cov / varx), 6).as("slope"),
+        round(when(varx > 0, (sy - (cov / varx) * sx) / nD), 6).as("intercept"),
+        round(when(varx > 0 && vary > 0, (cov * cov) / (varx * vary)), 6).as("r2"))
+    },
+    Some("""WITH b AS (
+              SELECT event_type,
+                     (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200) // 3600 AS x,
+                     value AS y
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            m AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(x * x) AS sxx,
+                     SUM(CAST(y AS DECIMAL(18,4))) AS sy_d,
+                     SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS sxy_d,
+                     SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS syy_d
+              FROM b GROUP BY event_type),
+            dd AS (
+              SELECT event_type, n,
+                     CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sxx AS DOUBLE) AS sxxd, CAST(sy_d AS DOUBLE) AS syd,
+                     CAST(sxy_d AS DOUBLE) AS sxyd, CAST(syy_d AS DOUBLE) AS syyd
+              FROM m)
+            SELECT event_type, n,
+                   ROUND(CASE WHEN nd * sxxd - sxd * sxd > 0
+                         THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                         END, 6) AS slope,
+                   ROUND(CASE WHEN nd * sxxd - sxd * sxd > 0
+                         THEN (syd - ((nd * sxyd - sxd * syd)
+                                      / (nd * sxxd - sxd * sxd)) * sxd) / nd
+                         END, 6) AS intercept,
+                   ROUND(CASE WHEN nd * sxxd - sxd * sxd > 0
+                              AND nd * syyd - syd * syd > 0
+                         THEN ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+                              / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                         END, 6) AS r2
+            FROM dd"""))
+
+  def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
+    groupOls)
 }
