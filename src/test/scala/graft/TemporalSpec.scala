@@ -57,6 +57,28 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
   }
 
+  test("joinAsOf equals the naive per-row latest-state scan on random data") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 60).map(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong))
+      val right = (1 to 40).map(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong))
+        // unique per (key, time) — the operator's documented requirement
+        .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      val out = AsOf.joinAsOf(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "v"), "k", "t", Seq("v"))
+        .select("id", "v").as[(Long, Option[Long])].collect().toMap
+      val expected = left.map { case (id, k, t) =>
+        val matches = right.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (matches.isEmpty) None
+               else Some(matches.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(out === expected, s"seed $seed")
+      assert(out.size === left.size, "as-of must preserve left cardinality")
+    }
+  }
+
   test("sample split is deterministic and ~80/10/10") {
     val out = queries.Sampling.sampleSplit.fn(spark, sf0001)
     val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
