@@ -109,6 +109,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("sampling, split, and chunking stay map-only (no hash shuffle)") {
+    // deterministic md5-bucket assignment and chunk explode are narrow
+    // per-row transforms; the only Exchange permitted is the RoundRobin
+    // fanout of the single-file test input (skipped on real layouts)
+    for (q <- Seq("q_sample_split", "q_chunk_docs")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("q_jaccard_pairs: self-join reuses one exchange (explode computed once)") {
+    val df = SparkEntry.queries("q_jaccard_pairs")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
     val p = plan("q_dash_sensors")
     // max(ts) OVER () would plan Window over an Exchange SinglePartition,
