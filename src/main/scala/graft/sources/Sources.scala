@@ -87,6 +87,28 @@ object Sources {
   def writeJsonReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed table write (beyond the reference; the co-located-join
+    * story at 100 TB). Both sides of a recurring large-×-large equi-join
+    * written with the SAME bucket count on the join key join with ZERO
+    * exchanges — the shuffle is paid once at write time, amortized over
+    * every subsequent join/aggregation on that key. `sortBy` inside the
+    * bucket also removes the join-time sort. Requires `saveAsTable`
+    * (bucket metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** ORC sink/scan (format breadth next to parquet — same columnar
+    * pushdown/pruning path via the vectorized ORC reader).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S12: size-gated cache (enhanced_spark_etl.py:134-140 caches only
     * when <10M rows). Gated on Catalyst plan statistics (file sizes /
     * CBO estimates) — metadata only, NO scan: paying a full count() to

@@ -111,6 +111,42 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("JDBCRelation") && plan.contains("PushedFilters"), plan)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    // managed tables land in the session's default warehouse dir
+    // (spark-warehouse/, gitignored); DROP TABLE below removes the data
+    val facts = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    val other = Tables.events(spark, sf0001).select("user_id", "ts")
+      .groupBy("user_id").count()
+    Sources.writeBucketed(facts, "b_facts", "user_id", 4)
+    Sources.writeBucketed(other, "b_users", "user_id", 4)
+    try {
+      // force the large-join path so a broadcast can't hide the shuffle
+      val joined = spark.table("b_facts").hint("merge")
+        .join(spark.table("b_users").hint("merge"), "user_id")
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // matching bucket layouts on the join key: no Exchange on either
+      // side — the write-time shuffle is amortized over every join
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_users")
+    }
+  }
+
+  test("ORC sink/scan round-trip with predicate pushdown") {
+    val dir = tmp()
+    val df = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc").filter(col("user_id") === 3)
+    assert(back.count() ===
+      df.filter(col("user_id") === 3).count())
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("user_id"), p)
+  }
+
   test("pipeline replay produces the gold rollup with pipeline invariants") {
     val gold = Replay.run(spark).cache()
     val n = gold.count()
