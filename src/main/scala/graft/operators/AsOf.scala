@@ -78,14 +78,16 @@ object AsOf {
   * chain transitively, and each connected component keeps one canonical
   * document.
   *
-  * Algorithm: iterative min-label propagation. Each node starts labeled
-  * with min(self, neighbors); each round every node takes the min label
-  * across its neighborhood; convergence when no label changes. Rounds
-  * needed = graph diameter — near-dup components are dense and shallow
-  * (LSH bands connect most members directly), so this converges in a
-  * handful of shuffles in practice. Each round is one equi-join + one
-  * hash aggregation on the node id — no driver-side data, only a scalar
-  * convergence count crosses to the driver per round.
+  * Algorithm: min-label propagation with POINTER JUMPING. Each round a
+  * node takes the min label across its neighborhood (one equi-join +
+  * one hash agg), then additionally follows its own label's label
+  * (`comp := min(comp, label(comp))` — path halving). Neighborhood
+  * propagation alone needs diameter rounds, which a templated-page
+  * near-dup CHAIN makes O(n); the jump step collapses chains
+  * logarithmically, so rounds = O(log diameter). No driver-side data —
+  * only a scalar convergence count crosses per round — and the loop
+  * THROWS if the round cap is hit, because un-converged labels are
+  * silently wrong (some nodes not yet at their component minimum).
   */
 object ConnectedComponents {
 
@@ -98,9 +100,16 @@ object ConnectedComponents {
       .union(edges.select(col(dst).as("n"), col(src).as("m")))
       .cache()
 
+    // Lineage MUST be truncated every round: each round's plan refers
+    // to the previous labels twice (neighbor join + pointer jump), so
+    // an un-truncated logical plan doubles per round — O(2^rounds)
+    // analysis/planning cost that OOMs the driver long before the data
+    // does. localCheckpoint materializes the round's labels and cuts
+    // the plan back to a leaf (swap for reliable checkpoint() on a
+    // cluster if executor loss during the loop must be survivable).
     var labels = bi.groupBy("n").agg(min(col("m")).as("nbr"))
       .select(col("n"), least(col("n"), col("nbr")).as("comp"))
-      .cache()
+      .localCheckpoint(true)
 
     var changed = 1L
     var it = 0
@@ -108,19 +117,29 @@ object ConnectedComponents {
       // each node's candidate label: min over its neighbors' labels
       val viaNbr = bi.join(labels.select(col("n").as("m"), col("comp").as("m_comp")), "m")
         .groupBy("n").agg(min(col("m_comp")).as("cand"))
-      val next = labels.join(viaNbr, Seq("n"), "left")
+      val prop = labels.join(viaNbr, Seq("n"), "left")
         .select(col("n"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-        .cache()
+      // pointer jump: follow my label's label (labels only decrease, so
+      // this is monotone toward the component minimum and collapses
+      // chains in O(log diameter) rounds)
+      val byN = prop.select(col("n").as("comp"), col("comp").as("comp2"))
+      val next = prop.join(byN, Seq("comp"), "left")
+        .select(col("n"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
       changed = next.select(col("n"), col("comp").as("next_comp"))
         .join(labels, "n")
         .filter(col("next_comp") =!= col("comp"))
         .count()
-      labels.unpersist()
       labels = next
       it += 1
     }
     bi.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(labels would be silently wrong); raise maxIter")
     labels
   }
 }

@@ -41,6 +41,16 @@ class TemporalSpec extends SparkSpec {
       (5L, 5L), (6L, 5L), (7L, 7L)))
   }
 
+  test("connected components: a 64-node chain converges in O(log n) rounds") {
+    // worst case for plain propagation (diameter = n); pointer jumping
+    // must finish well inside the default 20-round cap — without it,
+    // components() would throw its non-convergence guard here
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = ConnectedComponents.components(chain, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(comps.length === 64 && comps.forall(_._2 === 0L))
+  }
+
   test("bucketed range join equals the naive theta join on sf0.001") {
     val bucketed = queries.Temporal.rangeJoin.fn(spark, sf0001)
     val ev = Tables.events(spark, sf0001)
