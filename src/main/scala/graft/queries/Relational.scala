@@ -58,6 +58,46 @@ object Relational {
     Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
   )
 
+  /** A9 at scale — distinct-count SKETCH. Exact `COUNT(DISTINCT key)`
+    * shuffles every distinct key; at 100 TB the answer should come from
+    * a fixed-size sketch. Spark's `approx_count_distinct` (HLL++) can't
+    * be oracle-matched (engine-specific hashing), so this demonstrates
+    * the same posture with a PORTABLE sketch: 1024-bucket linear
+    * counting over the cross-engine md5 hash — each row maps to one of
+    * m buckets, the aggregate state is just the occupied-bucket count,
+    * and estimate = -m·ln(empty/m). Deterministic, bit-identical in
+    * both engines, and the query also emits the exact count so the
+    * sketch error is visible (±3% here). Map-side partial aggregation
+    * reduces each partition to ≤ m rows before the shuffle.
+    */
+  val distinctSketch = QueryDef(
+    "q_distinct_sketch",
+    (s, d) => {
+      val m = 1024
+      val h = "md5(concat(cast(o_custkey as string), '#lc'))"
+      val bucket = expr(s"${graft.functions.PortableHash.laneSpark(h, 0)} % $m")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), bucket.as("bucket"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_distinct"),
+          countDistinct(col("bucket")).as("occupied"))
+        .select(col("exact_distinct"), col("occupied"),
+          round(-lit(m.toDouble) *
+            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2)
+            .as("estimate"))
+    },
+    Some {
+      val m = 1024
+      val h = "md5(CAST(o_custkey AS VARCHAR) || '#lc')"
+      s"""SELECT exact_distinct, occupied,
+          ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) AS estimate
+          FROM (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
+                       COUNT(DISTINCT ${graft.functions.PortableHash.laneDuck(h, 0)} % $m)
+                         AS occupied
+                FROM orders)"""
+    }
+  )
+
   /** A1/A2 — grouped stats: count / exact sum / exact avg / exact stddev.
     * Ref: spark_etl.py:87-89 (per-type stats), 149-161 (district hourly).
     */
@@ -513,7 +553,8 @@ object Relational {
   )
 
   def all: Seq[QueryDef] = Seq(
-    scanProject, filterCompound, distinctKeys, aggGroupStats, joinBroadcast,
+    scanProject, filterCompound, distinctKeys, distinctSketch, aggGroupStats,
+    joinBroadcast,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,
