@@ -47,13 +47,29 @@ object Bench {
       name -> times.sorted.apply(times.length / 2) // median
     }
     val total = results.map(_._2).sum
-    // The harness keeps only the last ~2000 chars of output, so the
-    // contract line is kept compact (2-decimal medians, short sf tag);
-    // full-precision per-iteration detail goes to BENCH_DETAIL.json.
+    // The harness keeps only the last ~2000 chars of output. A 94-query
+    // map is ~3 kB — it gets truncated mid-line and the driver records
+    // parsed:null (observed in BENCH_r01..r03). So the printed contract
+    // line carries the BASELINE-graded headline queries plus the
+    // suite's slowest, capped so the line always fits the tail capture
+    // with room for sbt's trailer; the FULL per-query map (and the
+    // per-iteration reproducibility evidence) is committed as
+    // BENCH_DETAIL.json.
     def f2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val sfTag = sfDir.stripPrefix("/root/testdata/")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    val headline = Set(
+      "q_pipeline_replay", // BASELINE: 14,400 rec < 5 s
+      "q_dash_metrics", "q_dash_districts", "q_dash_sensors", // BASELINE: dashboard set
+      "q_dash_patterns", "q_dash_sensor_types", "q_dash_alerts",
+      "q_stream_hourly", "q_stream_sessionize", "q_stream_attrib",
+      "q_join_star", "q_hourly_agg", "q_window_range", "q_fact_enhanced",
+      "q_dedup_exact", "q_minhash_lsh_pairs", "q_simhash_neardup",
+      "q_jaccard_pairs", "q_dedup_clusters", "q_ann_ivf", "q_knn_brute",
+      "q_validation_report", "q_ml_cluster_summary")
+    val slowest = results.sortBy(-_._2).take(5).map(_._1).toSet
+    val printed = results.filter { case (k, _) => headline(k) || slowest(k) }
+    val qs = printed.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -66,7 +82,7 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"sf":"$sfDir","iters":$iters}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfTag"}""")
     spark.stop()
   }
 }
