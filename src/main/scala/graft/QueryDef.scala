@@ -30,7 +30,8 @@ object QueryRegistry {
       queries.TimeSeries.all ++
       queries.Dashboard.all ++
       queries.Temporal.all ++
-      queries.Sampling.all
+      queries.Sampling.all ++
+      queries.Privacy.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

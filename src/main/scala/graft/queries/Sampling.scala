@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Spark-side md5 bucket in [0, 100) from the doc id. */
-  private def bucketSpark = {
+  /** Spark-side md5 bucket in [0, 100) from the doc id. Shared with the
+    * decontamination query (Text.scala), whose eval set is the `test`
+    * band of THIS split — contamination is defined relative to it.
+    */
+  private[queries] def bucketSpark = {
     val h = "md5(concat(cast(doc_id as string), '#split'))"
     expr(s"${PortableHash.laneSpark(h, 0)} % 100")
   }
 
   /** DuckDB-side identical bucket. */
-  private val bucketDuck = {
+  private[queries] val bucketDuck = {
     val h = "md5(CAST(doc_id AS VARCHAR) || '#split')"
     s"${PortableHash.laneDuck(h, 0)} % 100"
   }
@@ -62,5 +65,88 @@ object Sampling {
              GROUP BY lang, source""")
   )
 
-  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified)
+  /** Weighted domain mixing to a token budget — the data-mixture step
+    * of a pretraining pipeline: upweight preferred sources, downweight
+    * the rest, and sample each source at a rate that lands the total
+    * sampled token count on a target budget (30% of the corpus here).
+    *
+    * Everything is deterministic and integer-exact so it reproduces
+    * bit-identically across engines and cluster layouts:
+    *
+    *  - per-source token mass T_s and the global budget B = 3·ΣT_s/10
+    *    are integer aggregates;
+    *  - source s is sampled at rate r_s = B·w_s / Σ(w_s·T_s), which
+    *    makes the expected sampled tokens Σ T_s·r_s = B exactly;
+    *  - a doc is kept iff h·W < B·w_s·2³², where h is its 32-bit
+    *    portable hash and W = Σ(w_s·T_s) — the comparison is all-integer
+    *    (DECIMAL/HUGEINT, no float rate), so there is no boundary
+    *    ambiguity. Rates > 1 degrade to keep-everything naturally
+    *    (h < 2³² always).
+    *
+    * Two passes over the corpus (one for the per-source masses, one for
+    * the sampling scan); at 100 TB the doc-level stats relation is the
+    * thing to persist between them. The per-source join is a broadcast
+    * (source cardinality ≈ domains, tiny); the output is the mixture
+    * accounting report a data-mixture pipeline reviews before training.
+    */
+  val mixSample = QueryDef(
+    "q_mix_sample",
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"),
+        expr(PortableHash.laneSpark(
+          "md5(concat(cast(doc_id as string), '#mix'))", 0)).as("h"))
+      val srcw = docs.groupBy("source")
+        .agg(sum(col("n_tok")).as("src_tokens"))
+        .withColumn("w",
+          when(expr("cast(substring(source, 4, 10) as int) % 2") === 0, 3L)
+            .otherwise(1L))
+      val glob = srcw.agg(
+        sum(col("w") * col("src_tokens")).as("wsum"),
+        expr("(sum(src_tokens) * 3) div 10").as("budget"))
+      val keep = col("h").cast("decimal(20,0)") * col("wsum").cast("decimal(20,0)") <
+        col("budget").cast("decimal(20,0)") * col("w") * lit(4294967296L)
+      docs.join(broadcast(srcw.select(col("source"), col("w"))), Seq("source"))
+        .crossJoin(broadcast(glob))
+        .groupBy("source")
+        .agg(
+          max(col("w")).as("weight"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+          round(max(col("budget") * col("w")).cast("double") / max(col("wsum")), 6)
+            .as("rate"))
+    },
+    Some {
+      val nTok = graft.functions.TextSql.tokenCount("text")
+      val h = PortableHash.laneDuck("md5(CAST(doc_id AS VARCHAR) || '#mix')", 0)
+      s"""WITH docs AS (SELECT doc_id, source, $nTok AS n_tok, $h AS h FROM documents),
+          srcw AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+                          CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                               THEN 3 ELSE 1 END AS w
+                   FROM docs GROUP BY source),
+          tot AS (SELECT CAST(SUM(w * src_tokens) AS BIGINT) AS wsum,
+                          CAST((SUM(src_tokens) * 3) // 10 AS BIGINT) AS budget
+                   FROM srcw),
+          j AS (SELECT d.source, d.n_tok, sw.w, g.wsum, g.budget,
+                  CASE WHEN CAST(d.h AS HUGEINT) * g.wsum
+                       < CAST(g.budget AS HUGEINT) * sw.w * 4294967296
+                       THEN 1 ELSE 0 END AS keep
+                FROM docs d JOIN srcw sw USING (source) CROSS JOIN tot g)
+          SELECT source,
+                 CAST(MAX(w) AS BIGINT) AS weight,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(keep) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+                 ROUND(CAST(MAX(budget * w) AS DOUBLE) / MAX(wsum), 6) AS rate
+          FROM j GROUP BY source"""
+    }
+  )
+
+  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample)
 }

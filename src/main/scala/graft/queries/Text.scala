@@ -224,7 +224,104 @@ object Text {
     }
   )
 
+  /** Eval-set decontamination: flag training documents that share any
+    * 8-gram with the held-out eval split (the `test` band of the
+    * deterministic md5 split — the same split q_sample_split assigns).
+    * This is the n-gram-overlap decontamination step every serious
+    * pretraining pipeline runs so benchmark answers don't leak into
+    * training data.
+    *
+    * Scale shape: the eval set is small BY CONSTRUCTION (benchmarks are
+    * thousands of documents, the corpus is billions), so its distinct
+    * n-gram set is broadcast and the whole check is a map-side
+    * broadcast-hash-join over the exploded train shingles + one
+    * hash-agg per contaminated doc. The corpus is never shuffled.
+    */
+  val decontaminate = QueryDef(
+    "q_decontaminate",
+    (s, d) => {
+      val K = 8
+      val b = Tables.documents(s, d).select(col("doc_id"),
+        Sampling.bucketSpark.as("bucket"), TF.shingles(col("text"), K).as("sh"))
+      val evalGrams = b.filter(col("bucket") >= 90)
+        .select(explode(col("sh")).as("g")).distinct()
+      val train = b.filter(col("bucket") < 80)
+        .select(col("doc_id"), size(col("sh")).as("n_grams"),
+          explode(col("sh")).as("g"))
+      train.join(broadcast(evalGrams), Seq("g"))
+        .groupBy("doc_id", "n_grams")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_grams"), 6).as("hit_frac"))
+    },
+    Some {
+      val sh = TS.shingles("text", 8)
+      s"""WITH b AS (SELECT doc_id, ${Sampling.bucketDuck} AS bucket, $sh AS sh
+                     FROM documents),
+          ev AS (SELECT DISTINCT unnest(sh) AS g FROM b WHERE bucket >= 90),
+          tr AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+                 FROM b WHERE bucket < 80)
+          SELECT tr.doc_id, CAST(tr.n_grams AS BIGINT) AS n_grams,
+                 COUNT(*) AS n_hits,
+                 ROUND(CAST(COUNT(*) AS DOUBLE) / tr.n_grams, 6) AS hit_frac
+          FROM tr JOIN ev USING (g)
+          GROUP BY tr.doc_id, tr.n_grams"""
+    }
+  )
+
+  /** Repetition / boilerplate quality signals (the Gopher-style
+    * duplicate-n-gram filters): per document, the fraction of bigram
+    * occurrences that are repeats of an already-seen bigram, and the
+    * fraction covered by the single most frequent bigram. High values
+    * mean templated / boilerplate / looping text — standard kill
+    * signals before pretraining.
+    *
+    * Two chained hash-aggs over the exploded bigrams (count per
+    * (doc, gram), then roll up per doc); both partial-aggregate
+    * map-side, and the doc_id keys mean the second agg arrives
+    * pre-partitioned from the first — one shuffle total at scale.
+    */
+  val repetition = QueryDef(
+    "q_repetition",
+    (s, d) => {
+      val bigrams = transform(sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round((col("n_bigrams") - col("n_distinct")).cast("double") /
+            col("n_bigrams"), 6).as("dup_bigram_ratio"),
+          round(col("top_cnt").cast("double") / col("n_bigrams"), 6)
+            .as("top_bigram_frac"))
+    },
+    Some {
+      val tk = TS.tokens("text")
+      s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(0, len(tk) - 1),
+                     i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS g
+                 FROM t WHERE len(tk) >= 2),
+          c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+                   AS dup_bigram_ratio,
+                 ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+          FROM c GROUP BY doc_id"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
-      tokenBpe)
+      tokenBpe, decontaminate, repetition)
 }
