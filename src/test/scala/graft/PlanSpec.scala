@@ -135,4 +135,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(p.contains("Subquery") || p.contains("subquery"), p)
   }
+
+  test("q_decontaminate: eval-gram set is broadcast, corpus side never sort-merged") {
+    // the eval split is small by construction; the contamination check
+    // must be a broadcast hash join against the exploded train grams —
+    // a sort-merge would shuffle the whole corpus on gram text
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_mix_sample: per-source rates and globals join as broadcasts") {
+    val p = plan("q_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_pii_mask: masking is map-only (no shuffle at all)") {
+    val p = plan("q_pii_mask")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_kmeans_lloyd: every Lloyd round broadcasts the k-centroid side") {
+    // assignment must be a map-only broadcast probe of the corpus; the
+    // only hash exchanges are the (cluster, dim) centroid updates
+    val p = plan("q_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
