@@ -292,6 +292,73 @@ object Events {
             FROM events GROUP BY event_type""")
   )
 
+  /** A10 at scale — quantile SKETCH per group. Exact `percentile`
+    * buffers every value per group; at 100 TB the answer should come
+    * from a fixed-size merge-able summary. Spark's `approx_percentile`
+    * (KLL-ish) can't be oracle-matched (engine-specific internals), so
+    * this demonstrates the same posture with a PORTABLE sketch: a
+    * 64-bin equi-width histogram. State per group is ≤ 64 (bin, count)
+    * pairs — counts merge associatively across partitions (map-side
+    * partial agg reduces each partition before the shuffle) — and the
+    * quantile is read off the cumulative histogram with linear
+    * interpolation inside the containing bin. Two corpus passes
+    * (min/max bounds, then binning) is the honest batch cost; a
+    * production stream would fold bounds into the same pass with a
+    * fixed domain. All arithmetic is integer counts + one final
+    * per-row double expression evaluated in the same order by both
+    * engines, so results are bit-identical with no DECIMAL machinery.
+    */
+  val quantileSketch = QueryDef(
+    "q_quantile_sketch",
+    (s, d) => {
+      val B = 64
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type")
+        .agg(min(col("value")).as("mn"), max(col("value")).as("mx"),
+          count(lit(1)).as("n"))
+      val hist = ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("mn"), col("mx"), col("n"),
+          least(lit(B - 1),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * B))
+            .cast("int").as("bin"))
+        .groupBy("event_type", "mn", "mx", "n", "bin")
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cumc",
+        sum(col("c")).over(Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // target rank q*n lands in the first bin whose cumulative count
+      // reaches it; interpolate within that bin
+      val target = col("q") * col("n")
+      cum
+        .select(col("*"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        .filter(col("cumc") >= target && (col("cumc") - col("c")) < target)
+        .select(col("event_type"), col("q"),
+          round(col("mn") +
+            (col("bin") + (target - (col("cumc") - col("c"))) / col("c")) *
+              (col("mx") - col("mn")) / B, 6).as("est"))
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events),
+            b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+                         COUNT(*) AS n
+                  FROM ev GROUP BY 1),
+            hist AS (SELECT event_type, mn, mx, n,
+                            LEAST(63, CAST(FLOOR((value - mn)/(mx - mn) * 64)
+                                           AS INT)) AS bin,
+                            COUNT(*) AS c
+                     FROM ev JOIN b USING (event_type)
+                     GROUP BY 1, 2, 3, 4, 5),
+            cum AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+                    FROM hist)
+            SELECT event_type, q,
+                   ROUND(mn + (bin + (q*n - (cumc - c))/c) * (mx - mn)/64, 6)
+                     AS est
+            FROM cum CROSS JOIN (SELECT CAST(uq AS DOUBLE) AS q
+                                 FROM (VALUES (0.5),(0.9),(0.99)) v(uq)) qs
+            WHERE cumc >= q*n AND (cumc - c) < q*n""")
+  )
+
   /** §2.9 — batch sessionization: 30-min-gap sessions per user with
     * start/end/duration (the fact_anomaly_events shape,
     * enhanced_data_schema.sql:325-360). Streaming variant lives in
@@ -537,6 +604,6 @@ object Events {
 
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
-    dedupLatest, rankTop3, hourlyAgg, percentiles, sessionize, freshness,
+    dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch, sessionize, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }

@@ -23,6 +23,28 @@ object Streaming {
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2"""))
 
+  /** Sliding-window aggregate (1 h window, 15 min slide), complete
+    * mode. The oracle expands each event into its duration/slide = 4
+    * containing windows explicitly: window starts are the event's
+    * 15-minute bucket minus 0..3 slides — the same epoch-aligned grid
+    * Spark uses.
+    */
+  val streamSliding = QueryDef(
+    "q_stream_sliding",
+    (s, d) => {
+      val agg = Streams.slidingAgg(Streams.readEvents(s, d))
+      Streams.runToTable(agg, "stream_sliding", "complete")
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+    },
+    Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+                       FROM events)
+            SELECT time_bucket(INTERVAL '15 minutes', t)
+                     - k.i * INTERVAL '15 minutes' AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM e CROSS JOIN generate_series(0, 3) AS k(i)
+            GROUP BY 1, 2"""))
+
   /** flatMapGroupsWithState sessionization (closed sessions; the
     * trailing per-user session is still open at end-of-stream, so the
     * oracle excludes each user's last session).
@@ -75,5 +97,6 @@ object Streaming {
              AND p.event_type = 'purchase'
              AND c.us BETWEEN p.us - 1800000000 AND p.us"""))
 
-  def all: Seq[QueryDef] = Seq(streamHourly, streamSessionize, streamAttrib)
+  def all: Seq[QueryDef] =
+    Seq(streamHourly, streamSliding, streamSessionize, streamAttrib)
 }

@@ -321,7 +321,112 @@ object Text {
     }
   )
 
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of
+    * each document over a FIXED 37-symbol alphabet (a-z, 0-9, space;
+    * everything else pools into one OTHER bucket). Low entropy flags
+    * boilerplate/repeated-char junk, implausibly high entropy flags
+    * encoded blobs — the classic cheap pretraining-corpus filter.
+    *
+    * Scale shape: map-only, zero shuffle. Per-symbol counts come from
+    * `length(t) - length(replace(t, ch, ''))` (codegen'd string ops, no
+    * explode, no per-char shuffle), and the entropy sum folds the 38
+    * buckets in one fixed left-to-right order — the same order DuckDB
+    * evaluates the mirrored expression — so the doubles are
+    * bit-identical with no DECIMAL machinery.
+    */
+  val charEntropy = QueryDef(
+    "q_text_entropy", {
+      val ab = "abcdefghijklmnopqrstuvwxyz0123456789 "
+      (s, d) => {
+        val cnts = ab.zipWithIndex.map { case (ch, i) =>
+          expr(s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE)")
+            .as(s"c$i")
+        }
+        val term = (c: org.apache.spark.sql.Column) =>
+          when(c > 0, c / col("len") * log2(c / col("len"))).otherwise(lit(0.0))
+        val known = (0 until ab.length).map(i => col(s"c$i"))
+        val ent = -(known :+ col("c_other")).map(term).reduce(_ + _)
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), lower(col("text")).as("t"))
+          .select(Seq(col("doc_id"),
+            length(col("t")).cast("double").as("len")) ++ cnts: _*)
+          .withColumn("c_other", col("len") - known.reduce(_ + _))
+          .select(col("doc_id"), round(ent, 6).as("entropy_bits"))
+          .withColumn("ent_class",
+            when(col("entropy_bits") < 3.5, "low")
+              .when(col("entropy_bits") < 4.5, "mid")
+              .otherwise("high"))
+      }
+    },
+    Some {
+      val ab = "abcdefghijklmnopqrstuvwxyz0123456789 "
+      val cnts = ab.zipWithIndex.map { case (ch, i) =>
+        s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE) AS c$i"
+      }.mkString(",\n                 ")
+      val known = (0 until ab.length).map(i => s"c$i")
+      def term(c: String) =
+        s"CASE WHEN $c > 0 THEN $c/len * log2($c/len) ELSE 0.0 END"
+      val ent = (known :+ "c_other").map(term).mkString("(", " + ", ")")
+      s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
+                      WHERE length(text) > 0),
+          c AS (SELECT doc_id, CAST(length(t) AS DOUBLE) AS len,
+                 $cnts
+                FROM t0),
+          e AS (SELECT doc_id,
+                       ROUND(-$ent, 6) AS entropy_bits
+                FROM (SELECT *, len - ${known.mkString("(", " + ", ")")}
+                        AS c_other FROM c))
+          SELECT doc_id, entropy_bits,
+                 CASE WHEN entropy_bits < 3.5 THEN 'low'
+                      WHEN entropy_bits < 4.5 THEN 'mid'
+                      ELSE 'high' END AS ent_class
+          FROM e"""
+    }
+  )
+
+  /** Context-window packing: documents are concatenated in doc_id order
+    * within a shard and cut into fixed 2048-token blocks (GPT-style
+    * sequence packing — each doc is assigned to the block containing
+    * its first token). Per (shard, block): docs placed, tokens, and the
+    * doc_id span, i.e. the manifest a training dataloader reads.
+    *
+    * Scale shape: the running token offset is a window sum PARTITIONED
+    * BY SHARD — never a global single-partition window. Shards are the
+    * unit of parallelism exactly as in a real pretraining pipeline
+    * (files/shards are packed independently); 100 TB just means more
+    * shards. All-integer arithmetic, so the oracle matches bit-exactly.
+    */
+  val packDocs = QueryDef(
+    "q_pack_docs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(16)).cast("int").as("shard"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("block", floor((col("cum") - col("n_tok")) / budget))
+        .groupBy("shard", "block")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                    CAST(doc_id % 16 AS INT) AS shard,
+                    CAST(${TS.tokenCount("text")} AS BIGINT) AS n_tok
+                  FROM documents),
+             c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             SELECT shard, CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS block,
+                    COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             FROM c GROUP BY 1, 2""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
-      tokenBpe, decontaminate, repetition)
+      tokenBpe, decontaminate, repetition, charEntropy, packDocs)
 }

@@ -64,6 +64,24 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour window advancing every 15 minutes (the dashboard's
+    * "last hour, refreshed sub-hourly" view — app.py:815's 30 s refresh
+    * re-aggregating the trailing hour, done properly: each event lands
+    * in duration/slide = 4 overlapping windows and the state store
+    * keeps only windows newer than the watermark). DECIMAL sum keeps
+    * the result bit-exact vs the DuckDB oracle.
+    */
+  def slidingAgg(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup (P11's streaming twin — the training-data
     * ingest guard): duplicates on the natural key are dropped across
     * micro-batches; `dropDuplicatesWithinWatermark` evicts key state

@@ -163,4 +163,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q_quantile_sketch: per-group bounds re-join the corpus as a broadcast") {
+    // the bin pass must not shuffle the corpus on event_type — bounds
+    // are a handful of rows and must broadcast
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_text_entropy: map-only (loader fanout aside, no data shuffle)") {
+    // the only exchange allowed is Tables.documents' round-robin fanout
+    // of the single test file; the entropy computation itself must add
+    // no hash or single-partition exchange
+    val p = plan("q_text_entropy")
+    assert(!p.contains("hashpartitioning") && !p.contains("SinglePartition"), p)
+  }
+
+  test("q_pack_docs: packing window is per-shard, never single-partition") {
+    val p = plan("q_pack_docs")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
