@@ -210,7 +210,53 @@ object Dedup {
              FROM comp""")
   )
 
+  /** Edit-distance (Levenshtein) near-dup over 40-char lowercase
+    * prefixes, blocked by (lang, source) with a length-difference
+    * prefilter — the record-linkage classic for catching small-edit
+    * duplicates (typo'd titles, re-encoded headers) that shingle-based
+    * MinHash/SimHash under-weight.
+    *
+    * Scale shape: pair generation is a BLOCKED equi self-join — the
+    * quadratic space only exists inside a (lang, source) block, the
+    * standard blocking-key design; `abs(len_a - len_b) <= 80` prunes
+    * before the O(40×40) DP runs. Levenshtein is classic integer DP in
+    * both engines, so the distances compare exactly.
+    */
+  val editNeardup = QueryDef(
+    "q_edit_neardup",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        substring(lower(col("text")), 1, 40).as("p"),
+        length(col("text")).as("len"))
+      def side(p: String) = t.select(
+        col("doc_id").as(s"${p}_id"), col("lang"), col("source"),
+        col("p").as(s"${p}_p"), col("len").as(s"${p}_len"))
+      side("a").join(side("b"), Seq("lang", "source"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("a_len") - col("b_len")) <= 80)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          levenshtein(col("a_p"), col("b_p")).as("lev"))
+        .filter(col("lev") <= 24)
+        .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"),
+          round(lit(1.0) - col("lev") / 40.0, 6).as("prefix_sim"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, source,
+                              substring(lower(text), 1, 40) AS p,
+                              length(text) AS len
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+                   ROUND(1.0 - CAST(levenshtein(a.p, b.p) AS DOUBLE) / 40.0, 6)
+                     AS prefix_sim
+            FROM t a JOIN t b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+             AND abs(a.len - b.len) <= 80
+            WHERE levenshtein(a.p, b.p) <= 24""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs, simhashNeardup, dedupClusters)
+    jaccardPairs, simhashNeardup, dedupClusters, editNeardup)
 }

@@ -552,9 +552,82 @@ object Relational {
              GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
   )
 
+  /** Bloom-filter join pruning, portable: an m = 8192-bit / k = 2
+    * Bloom filter built over a selective dim subset (BUILDING-segment
+    * customers) pre-filters the fact before the exact join would run.
+    * The query emits the exact-semi-join count, the bloom-pass count,
+    * and the false-positive rate among true non-members — i.e. it
+    * oracle-checks the PRUNING ITSELF, not just a final answer.
+    *
+    * This is the hand-rolled twin of Spark's runtime bloom filter
+    * (spark.sql.optimizer.runtime.bloomFilter): at 100 TB the win is
+    * shuffling only bloom-passing fact rows into a large join. Bit
+    * membership is two broadcast semi-joins on the occupied-bit set
+    * (≤ m rows) — the fact side stays map-only; bit positions come
+    * from two portable md5 lanes so both engines agree bit-exactly.
+    */
+  val bloomJoin = QueryDef(
+    "q_bloom_join", {
+      val m = 8192
+      def hx(c: String) = s"md5(concat(cast($c as string), '#bloom'))"
+      (s, d) => {
+        import graft.functions.PortableHash
+        def lane(c: String, l: Int) =
+          expr(s"${PortableHash.laneSpark(hx(c), l)} % $m")
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bits = dim
+          .select(explode(array(lane("c_custkey", 0), lane("c_custkey", 1)))
+            .as("bit")).distinct()
+        val orders = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            lane("o_custkey", 0).as("b0"), lane("o_custkey", 1).as("b1"))
+        val pass = orders
+          .join(broadcast(bits.withColumnRenamed("bit", "b0")), Seq("b0"), "left_semi")
+          .join(broadcast(bits.withColumnRenamed("bit", "b1")), Seq("b1"), "left_semi")
+          .agg(count(lit(1)).as("n_bloom_pass"))
+        val counts = orders.join(broadcast(dim),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_exact"))
+          .crossJoin(orders.agg(count(lit(1)).as("n_orders")))
+          .crossJoin(pass)
+        counts.select(col("n_orders"), col("n_exact"), col("n_bloom_pass"),
+          (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"),
+          round((col("n_bloom_pass") - col("n_exact")).cast("double") /
+            (col("n_orders") - col("n_exact")), 6).as("fp_rate"))
+      }
+    },
+    Some {
+      val m = 8192
+      def hx(c: String) = s"md5(CAST($c AS VARCHAR) || '#bloom')"
+      def lane(c: String, l: Int) =
+        s"${graft.functions.PortableHash.laneDuck(hx(c), l)} % $m"
+      s"""WITH dim AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+          bits AS (SELECT DISTINCT bit FROM (
+                     SELECT unnest([${lane("c_custkey", 0)},
+                                    ${lane("c_custkey", 1)}]) AS bit FROM dim)),
+          o AS (SELECT o_custkey, ${lane("o_custkey", 0)} AS b0,
+                       ${lane("o_custkey", 1)} AS b1 FROM orders),
+          agg AS (SELECT
+            (SELECT COUNT(*) FROM o) AS n_orders,
+            (SELECT COUNT(*) FROM o
+             WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_exact,
+            (SELECT COUNT(*) FROM o
+             WHERE b0 IN (SELECT bit FROM bits)
+               AND b1 IN (SELECT bit FROM bits)) AS n_bloom_pass)
+          SELECT n_orders, n_exact, n_bloom_pass,
+                 n_bloom_pass - n_exact AS n_false_pos,
+                 ROUND(CAST(n_bloom_pass - n_exact AS DOUBLE)
+                   / (n_orders - n_exact), 6) AS fp_rate
+          FROM agg"""
+    }
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, distinctSketch, aggGroupStats,
-    joinBroadcast,
+    joinBroadcast, bloomJoin,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,

@@ -196,5 +196,108 @@ object TimeSeries {
                         ELSE 'low' END AS severity
             FROM g"""))
 
-  def all: Seq[QueryDef] = Seq(ema, trendClassify, pipelineReplay, anomalyEvents)
+  /** Hourly gap-fill with forward-fill imputation: each user's series
+    * is resampled onto its own min..max hourly grid; hours with no
+    * reading inherit the last observed value (`last(ignoreNulls)`) and
+    * are flagged. This is the missing-data imputation step the
+    * reference does with pandas `fillna` — done as a declarative plan.
+    *
+    * Scale shape: the grid is generated per user with `sequence` +
+    * `explode` (narrow; output rows = Σ user spans, never a cross
+    * join), the grid↔observation join is an equi-join on (user, hour),
+    * and the fill is a window partitioned by user. At 100 TB the grid
+    * generation stays proportional to entities × horizon — the same
+    * cost any resampler pays — and nothing is ever single-partition.
+    */
+  val gapFill = QueryDef(
+    "q_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("obs"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+            .as("hour"))
+      val wFill = Window.partitionBy("user_id").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          last(col("obs"), ignoreNulls = true).over(wFill).as("value_filled"),
+          col("obs").isNull.as("is_imputed"))
+    },
+    Some("""WITH hourly AS (
+              SELECT user_id, hour, value AS obs FROM (
+                SELECT user_id,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                       value,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id,
+                                      date_trunc('hour', CAST(ts AS TIMESTAMP))
+                         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(MIN(hour), MAX(hour),
+                                            INTERVAL 1 HOUR)) AS hour
+              FROM hourly GROUP BY user_id)
+            SELECT g.user_id, g.hour,
+                   last_value(h.obs IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.hour
+                     ROWS UNBOUNDED PRECEDING) AS value_filled,
+                   h.obs IS NULL AS is_imputed
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hour = h.hour""")
+  )
+
+  /** Time-weighted average per user-day: Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ =
+    * gap to the next reading (the sensor-correct mean when sampling is
+    * irregular — a plain AVG over-weights bursts). Single-reading days
+    * have zero weighted span and are excluded.
+    *
+    * Determinism: each vᵢ·Δtᵢ is DECIMAL × integer-seconds, summed as
+    * DECIMAL (order-free); only the final division is a double.
+    * Scale: one window (user, day) + one hash agg — same key, so the
+    * agg reuses the window's partitioning.
+    */
+  val twa = QueryDef(
+    "q_twa",
+    (s, d) => {
+      val sec = expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("sec"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          sec.as("sec"), col("event_id"), col("value"))
+        .withColumn("dt", lead(col("sec"), 1).over(w) - col("sec"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id", "day")
+        .agg(
+          round(sum(col("value").cast(D) * col("dt")).cast("double") /
+            sum(col("dt")), 6).as("twa"),
+          sum(col("dt")).as("span_sec"),
+          (count(lit(1)) + 1).as("n_readings"))
+        .filter(col("span_sec") > 0)
+    },
+    Some("""WITH e AS (SELECT user_id,
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                              epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec,
+                              event_id, value
+                       FROM events),
+            g AS (SELECT *, LEAD(sec) OVER (PARTITION BY user_id, day
+                    ORDER BY sec, event_id) - sec AS dt FROM e)
+            SELECT user_id, day,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE)
+                     / SUM(dt), 6) AS twa,
+                   CAST(SUM(dt) AS BIGINT) AS span_sec,
+                   COUNT(*) + 1 AS n_readings
+            FROM g WHERE dt IS NOT NULL
+            GROUP BY user_id, day
+            HAVING SUM(dt) > 0""")
+  )
+
+  def all: Seq[QueryDef] =
+    Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa)
 }

@@ -185,4 +185,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("q_gap_fill: grid join is keyed, fill window per-user — no cartesian, no global step") {
+    val p = plan("q_gap_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_twa: gap window and the (user, day) agg share one partitioning") {
+    val p = plan("q_twa").split("== Initial Plan ==").head
+    // the final agg groups on the window's partition keys, so only the
+    // window's exchange may appear
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q_bloom_join: bit membership probes are broadcast semi-joins") {
+    // the fact side must stay map-only: occupied-bit sets and the dim
+    // broadcast; the only single-partition bits are the 1-row counts
+    val p = plan("q_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_edit_neardup: pair space is a blocked equi-join, never a nested loop") {
+    val p = plan("q_edit_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
