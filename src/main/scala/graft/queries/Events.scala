@@ -359,6 +359,102 @@ object Events {
             WHERE cumc >= q*n AND (cumc - c) < q*n""")
   )
 
+  /** Cohort retention: users grouped by first-activity day, activity
+    * counted per (cohort, day-offset) — the classic retention triangle.
+    * Scale: one (user, day) dedup agg, one min-day agg, one join on
+    * user_id (both sides already reduced to user granularity), one
+    * final agg. All integers.
+    */
+  val cohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => {
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = activity.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      activity.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH activity AS (SELECT DISTINCT user_id,
+                                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                              FROM events),
+            cohort AS (SELECT user_id, MIN(day) AS cohort_day
+                       FROM activity GROUP BY 1)
+            SELECT cohort_day, day - cohort_day AS offset_days,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM activity JOIN cohort USING (user_id)
+            GROUP BY 1, 2""")
+  )
+
+  /** NTILE decile banding per event type (order ties broken by
+    * event_id so both engines see one total order), re-aggregated to
+    * per-decile bounds — the value-distribution profile behind
+    * quality-score banding. One window + one hash agg on the same keys.
+    */
+  val ntileDeciles = QueryDef(
+    "q_ntile_deciles",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+    },
+    Some("""SELECT event_type, decile, COUNT(*) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi
+            FROM (SELECT event_type, value,
+                         NTILE(10) OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS decile
+                  FROM events)
+            GROUP BY 1, 2""")
+  )
+
+  /** Ordered funnel: view → click → purchase, each stage's timestamp
+    * constrained to follow the previous stage's first occurrence.
+    * Stage tables reduce to one row per user before each join, so the
+    * chain is three user-keyed joins of shrinking sets + three scalar
+    * counts — no pair blowup, no global ordering.
+    */
+  val funnel = QueryDef(
+    "q_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), sec.as("sec"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("sec")).as("v_sec"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("sec") >= col("v_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("c_sec"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("sec") >= col("c_sec"))
+        .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 6).as("view_to_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 6).as("click_to_purchase"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, $OSEC AS sec FROM events),
+             v AS (SELECT user_id, MIN(sec) AS v_sec FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+             c AS (SELECT e.user_id, MIN(sec) AS c_sec
+                   FROM e JOIN v USING (user_id)
+                   WHERE event_type = 'click' AND sec >= v_sec GROUP BY 1),
+             p AS (SELECT e.user_id, MIN(sec) AS p_sec
+                   FROM e JOIN c USING (user_id)
+                   WHERE event_type = 'purchase' AND sec >= c_sec GROUP BY 1)
+             SELECT (SELECT COUNT(*) FROM v) AS n_view,
+                    (SELECT COUNT(*) FROM c) AS n_click,
+                    (SELECT COUNT(*) FROM p) AS n_purchase,
+                    ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+                    ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase""")
+  )
+
   /** §2.9 — batch sessionization: 30-min-gap sessions per user with
     * start/end/duration (the fact_anomaly_events shape,
     * enhanced_data_schema.sql:325-360). Streaming variant lives in
@@ -604,6 +700,7 @@ object Events {
 
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
-    dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch, sessionize, freshness,
+    dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
+    cohortRetention, ntileDeciles, funnel, sessionize, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }

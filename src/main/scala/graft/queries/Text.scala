@@ -426,7 +426,56 @@ object Text {
              FROM c GROUP BY 1, 2""")
   )
 
+  /** TF-IDF top terms: tf from one (doc, token) hash-agg over the
+    * exploded tokens, document frequency by re-aggregating the ALREADY
+    * distinct (doc, token) pairs (never a second corpus pass), idf =
+    * ln(N/df), and the top-3 terms per doc by (score desc, token).
+    *
+    * Scale shape: explode → two chained hash-aggs (the second arrives
+    * pre-reduced), df re-joins the tf table keyed by token (at corpus
+    * scale df is |vocab| rows — broadcastable after a frequency cut),
+    * N is a 1-row broadcast. Determinism: tf/df/N are integers and the
+    * score is one multiply of one log — no float accumulation anywhere.
+    */
+  val tfidf = QueryDef(
+    "q_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+          col("score"))
+    },
+    Some {
+      val tk = TS.tokens("lower(text)")
+      s"""WITH tf AS (SELECT doc_id, unnest($tk) AS token FROM documents),
+          tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+          dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfc),
+          scored AS (
+            SELECT doc_id, token, tf, df,
+                   ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                                               token) AS rk
+            FROM tfc JOIN dfc USING (token) CROSS JOIN n)
+          SELECT doc_id, rk, token, tf, df, score
+          FROM scored WHERE rk <= 3"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
-      tokenBpe, decontaminate, repetition, charEntropy, packDocs)
+      tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf)
 }

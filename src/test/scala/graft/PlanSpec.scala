@@ -212,4 +212,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_edit_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_ntile_deciles: the decile agg reuses the window's partitioning") {
+    // hashpartitioning(event_type) clusters (event_type, decile) too —
+    // adding the agg must not add an exchange
+    val p = plan("q_ntile_deciles").split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_tfidf: df re-aggregates the reduced tf side; N joins as a broadcast") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
