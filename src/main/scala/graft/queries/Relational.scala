@@ -625,9 +625,76 @@ object Relational {
     }
   )
 
+  /** U3/U4 — INTERSECT / EXCEPT: customer-set overlap between two
+    * order periods (churn/retention set algebra). Spark plans these as
+    * distinct + left-semi/anti hash joins — one shuffle each over
+    * already-deduped keys; the five scalar counts then cross-join as
+    * 1-row broadcasts.
+    */
+  val setOps = QueryDef(
+    "q_setops",
+    (s, d) => {
+      def half(lo: String, hi: String) =
+        Tables.orders(s, d)
+          .filter(col("o_orderdate").between(lo, hi))
+          .select(col("o_custkey")).distinct()
+      val a = half("1995-01-01", "1995-06-30")
+      val b = half("1995-07-01", "1995-12-31")
+      a.agg(count(lit(1)).as("n_h1"))
+        .crossJoin(b.agg(count(lit(1)).as("n_h2")))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_both")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_h1")))
+        .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_h2")))
+    },
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31')
+            SELECT (SELECT COUNT(*) FROM a) AS n_h1,
+                   (SELECT COUNT(*) FROM b) AS n_h2,
+                   (SELECT COUNT(*) FROM
+                      (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+                   (SELECT COUNT(*) FROM
+                      (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_h1,
+                   (SELECT COUNT(*) FROM
+                      (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_h2""")
+  )
+
+  /** Percent-of-total (ratio_to_report): each (status, priority)
+    * revenue as a share of its status total. The share denominator is
+    * a window SUM over the GROUPED rows (≤ statuses × priorities), and
+    * it sums the DECIMAL partials — exact, order-free — so the final
+    * double division matches the oracle bit-exactly.
+    */
+  val shareOfTotal = QueryDef(
+    "q_share",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(Exact.D)).as("rev_d"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n_orders"),
+          col("rev_d").cast("double").as("revenue"),
+          round(col("rev_d").cast("double") /
+            sum(col("rev_d")).over(w).cast("double"), 6).as("share_in_status"))
+    },
+    Some("""WITH g AS (SELECT o_orderstatus, o_orderpriority,
+                              COUNT(*) AS n_orders,
+                              SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_d
+                       FROM orders GROUP BY 1, 2)
+            SELECT o_orderstatus, o_orderpriority, n_orders,
+                   CAST(rev_d AS DOUBLE) AS revenue,
+                   ROUND(CAST(rev_d AS DOUBLE) /
+                     CAST(SUM(rev_d) OVER (PARTITION BY o_orderstatus)
+                          AS DOUBLE), 6) AS share_in_status
+            FROM g""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, distinctSketch, aggGroupStats,
-    joinBroadcast, bloomJoin,
+    joinBroadcast, bloomJoin, setOps, shareOfTotal,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,

@@ -334,55 +334,49 @@ object Text {
     * evaluates the mirrored expression — so the doubles are
     * bit-identical with no DECIMAL machinery.
     */
+  private val EntropyAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+  /** Stages `entropy_bits` (rounded to 6 dp) next to `keep` columns,
+    * from a frame holding the lowered text in column `t`. Shared by
+    * `q_text_entropy` and the `q_filter_cascade` composite gate.
+    */
+  private def withEntropy(df: org.apache.spark.sql.DataFrame,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ab = EntropyAlphabet
+    val cnts = ab.zipWithIndex.map { case (ch, i) =>
+      expr(s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE)")
+        .as(s"c$i")
+    }
+    val term = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, c / col("len") * log2(c / col("len"))).otherwise(lit(0.0))
+    val known = (0 until ab.length).map(i => col(s"c$i"))
+    val ent = -(known :+ col("c_other")).map(term).reduce(_ + _)
+    df.select(keep.map(col) ++
+        Seq(length(col("t")).cast("double").as("len")) ++ cnts: _*)
+      .withColumn("c_other", col("len") - known.reduce(_ + _))
+      .select(keep.map(col) :+ round(ent, 6).as("entropy_bits"): _*)
+  }
+
   val charEntropy = QueryDef(
-    "q_text_entropy", {
-      val ab = "abcdefghijklmnopqrstuvwxyz0123456789 "
-      (s, d) => {
-        val cnts = ab.zipWithIndex.map { case (ch, i) =>
-          expr(s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE)")
-            .as(s"c$i")
-        }
-        val term = (c: org.apache.spark.sql.Column) =>
-          when(c > 0, c / col("len") * log2(c / col("len"))).otherwise(lit(0.0))
-        val known = (0 until ab.length).map(i => col(s"c$i"))
-        val ent = -(known :+ col("c_other")).map(term).reduce(_ + _)
+    "q_text_entropy",
+    (s, d) =>
+      withEntropy(
         Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), lower(col("text")).as("t"))
-          .select(Seq(col("doc_id"),
-            length(col("t")).cast("double").as("len")) ++ cnts: _*)
-          .withColumn("c_other", col("len") - known.reduce(_ + _))
-          .select(col("doc_id"), round(ent, 6).as("entropy_bits"))
-          .withColumn("ent_class",
-            when(col("entropy_bits") < 3.5, "low")
-              .when(col("entropy_bits") < 4.5, "mid")
-              .otherwise("high"))
-      }
-    },
-    Some {
-      val ab = "abcdefghijklmnopqrstuvwxyz0123456789 "
-      val cnts = ab.zipWithIndex.map { case (ch, i) =>
-        s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE) AS c$i"
-      }.mkString(",\n                 ")
-      val known = (0 until ab.length).map(i => s"c$i")
-      def term(c: String) =
-        s"CASE WHEN $c > 0 THEN $c/len * log2($c/len) ELSE 0.0 END"
-      val ent = (known :+ "c_other").map(term).mkString("(", " + ", ")")
-      s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
-                      WHERE length(text) > 0),
-          c AS (SELECT doc_id, CAST(length(t) AS DOUBLE) AS len,
-                 $cnts
-                FROM t0),
-          e AS (SELECT doc_id,
-                       ROUND(-$ent, 6) AS entropy_bits
-                FROM (SELECT *, len - ${known.mkString("(", " + ", ")")}
-                        AS c_other FROM c))
-          SELECT doc_id, entropy_bits,
-                 CASE WHEN entropy_bits < 3.5 THEN 'low'
-                      WHEN entropy_bits < 4.5 THEN 'mid'
-                      ELSE 'high' END AS ent_class
-          FROM e"""
-    }
+          .select(col("doc_id"), lower(col("text")).as("t")),
+        Seq("doc_id"))
+        .withColumn("ent_class",
+          when(col("entropy_bits") < 3.5, "low")
+            .when(col("entropy_bits") < 4.5, "mid")
+            .otherwise("high")),
+    Some(s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
+                         WHERE length(text) > 0),
+             e AS (${entropyDuck("t0", "doc_id")})
+             SELECT doc_id, entropy_bits,
+                    CASE WHEN entropy_bits < 3.5 THEN 'low'
+                         WHEN entropy_bits < 4.5 THEN 'mid'
+                         ELSE 'high' END AS ent_class
+             FROM e""")
   )
 
   /** Context-window packing: documents are concatenated in doc_id order
@@ -475,7 +469,100 @@ object Text {
     }
   )
 
+  /** The composite pretraining filter gate: length, char entropy, and
+    * bigram repetition combine into a reject-reason BITMASK (1 = too
+    * short, 2 = low entropy, 4 = repetitive) and a final keep flag —
+    * the auditable "why was this document dropped" record every corpus
+    * pipeline needs (a bare boolean loses the reason; per-rule columns
+    * don't compose downstream).
+    *
+    * Scale shape: length + entropy are map-only on the corpus scan;
+    * repetition is the one aggregating signal (two chained hash-aggs)
+    * and re-attaches by doc_id left join. Nothing global.
+    */
+  val filterCascade = QueryDef(
+    "q_filter_cascade",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), lower(col("text")).as("t"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+      val staged = withEntropy(base, Seq("doc_id", "n_tokens"))
+      val bigrams = transform(sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(2))))
+      val rep = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("nb"), count(lit(1)).as("nd"))
+        .select(col("doc_id"),
+          round((col("nb") - col("nd")).cast("double") / col("nb"), 6)
+            .as("dup_ratio"))
+      staged.join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("entropy_bits"),
+          coalesce(col("dup_ratio"), lit(0.0)).as("dup_ratio"))
+        .withColumn("reject_reasons",
+          when(col("n_tokens") < 12, 1).otherwise(0) +
+            when(col("entropy_bits") < 3.9, 2).otherwise(0) +
+            when(col("dup_ratio") > 0.1, 4).otherwise(0))
+        .withColumn("keep", col("reject_reasons") === 0)
+    },
+    Some {
+      val tk = TS.tokens("text")
+      s"""WITH base AS (SELECT doc_id, lower(text) AS t,
+                               CAST(${TS.tokenCount("text")} AS BIGINT)
+                                 AS n_tokens
+                        FROM documents WHERE length(text) > 0),
+          ent AS (${entropyDuck("base", "doc_id, n_tokens")}),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(0, len(tk) - 1),
+                     i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS g
+                 FROM (SELECT doc_id, $tk AS tk FROM documents)
+                 WHERE len(tk) >= 2),
+          c AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+          rep AS (SELECT doc_id,
+                         ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+                           AS dup_ratio
+                  FROM c GROUP BY doc_id),
+          j AS (SELECT e.doc_id, e.n_tokens, e.entropy_bits,
+                       COALESCE(r.dup_ratio, 0.0) AS dup_ratio
+                FROM ent e LEFT JOIN rep r USING (doc_id)),
+          flags AS (SELECT *,
+                      (CASE WHEN n_tokens < 12 THEN 1 ELSE 0 END +
+                       CASE WHEN entropy_bits < 3.9 THEN 2 ELSE 0 END +
+                       CASE WHEN dup_ratio > 0.1 THEN 4 ELSE 0 END)
+                        AS reject_reasons
+                    FROM j)
+          SELECT doc_id, n_tokens, entropy_bits, dup_ratio, reject_reasons,
+                 reject_reasons = 0 AS keep
+          FROM flags"""
+    }
+  )
+
+  /** DuckDB fragment computing `entropy_bits` from a CTE exposing `t`
+    * (lowered text) plus `keepCols` — mirrors [[withEntropy]]'s fixed
+    * fold order exactly.
+    */
+  private def entropyDuck(src: String, keepCols: String): String = {
+    val ab = EntropyAlphabet
+    val cnts = ab.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(t) - length(replace(t, '$ch', '')) AS DOUBLE) AS c$i"
+    }.mkString(",\n               ")
+    val known = (0 until ab.length).map(i => s"c$i")
+    def term(c: String) =
+      s"CASE WHEN $c > 0 THEN $c/len * log2($c/len) ELSE 0.0 END"
+    val ent = (known :+ "c_other").map(term).mkString("(", " + ", ")")
+    s"""SELECT $keepCols, ROUND(-$ent, 6) AS entropy_bits
+        FROM (SELECT *, len - ${known.mkString("(", " + ", ")")} AS c_other
+              FROM (SELECT $keepCols, CAST(length(t) AS DOUBLE) AS len,
+                           $cnts
+                    FROM $src))"""
+  }
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
-      tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf)
+      tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
+      filterCascade)
 }
