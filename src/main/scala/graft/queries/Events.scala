@@ -359,6 +359,44 @@ object Events {
             WHERE cumc >= q*n AND (cumc - c) < q*n""")
   )
 
+  /** Winsorized aggregation: per-type p05/p95 bounds, values clamped
+    * into [lo, hi], then the robust mean — outlier-resistant KPIs
+    * without dropping rows. Bounds come from exact `percentile` here
+    * (oracle-matched; `q_quantile_sketch` is the documented sketch path
+    * for the same bounds at 100 TB), broadcast back so the clamp pass
+    * is map-only; clamp values are exact decimal sums.
+    */
+  val winsorize = QueryDef(
+    "q_winsorize",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.05)"), 2).as("lo"),
+        round(expr("percentile(value, 0.95)"), 2).as("hi"))
+      val clipped = greatest(col("lo"), least(col("hi"), col("value")))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          round(Exact.dsum(clipped) / count(lit(1)), 6).as("wins_mean"))
+    },
+    Some(s"""WITH b AS (SELECT event_type,
+                               ROUND(quantile_cont(value, 0.05), 2) AS lo,
+                               ROUND(quantile_cont(value, 0.95), 2) AS hi
+                        FROM events GROUP BY 1)
+             SELECT e.event_type, lo, hi, COUNT(*) AS n,
+                    CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_clip_lo,
+                    CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_clip_hi,
+                    ROUND(${Sql.SUMD("GREATEST(lo, LEAST(hi, value))")}
+                      / COUNT(*), 6) AS wins_mean
+             FROM events e JOIN b USING (event_type)
+             GROUP BY 1, 2, 3""")
+  )
+
   /** Cohort retention: users grouped by first-activity day, activity
     * counted per (cohort, day-offset) — the classic retention triangle.
     * Scale: one (user, day) dedup agg, one min-day agg, one join on
@@ -701,6 +739,6 @@ object Events {
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
-    cohortRetention, ntileDeciles, funnel, sessionize, freshness,
+    winsorize, cohortRetention, ntileDeciles, funnel, sessionize, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }

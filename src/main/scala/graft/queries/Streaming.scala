@@ -45,6 +45,28 @@ object Streaming {
             FROM e CROSS JOIN generate_series(0, 3) AS k(i)
             GROUP BY 1, 2"""))
 
+  /** Stream-static enrichment: the event stream joins the customer
+    * dimension (user → market segment) and aggregates per (hour,
+    * segment). Complete mode over the bounded input; the oracle is the
+    * identical batch join+agg.
+    */
+  val streamEnrich = QueryDef(
+    "q_stream_enrich",
+    (s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val agg = Streams.enrichAgg(Streams.readEvents(s, d), dim)
+      Streams.runToTable(agg, "stream_enrich", "complete")
+        .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
+    },
+    Some("""SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour_start,
+                   c.c_mktsegment AS segment, COUNT(*) AS n,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2"""))
+
   /** flatMapGroupsWithState sessionization (closed sessions; the
     * trailing per-user session is still open at end-of-stream, so the
     * oracle excludes each user's last session).
@@ -98,5 +120,5 @@ object Streaming {
              AND c.us BETWEEN p.us - 1800000000 AND p.us"""))
 
   def all: Seq[QueryDef] =
-    Seq(streamHourly, streamSliding, streamSessionize, streamAttrib)
+    Seq(streamHourly, streamSliding, streamEnrich, streamSessionize, streamAttrib)
 }

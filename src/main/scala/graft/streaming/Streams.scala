@@ -82,6 +82,25 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join: the unbounded stream joins a
+    * bounded dimension (re-read per micro-batch, so slowly-changing
+    * dims pick up updates), then aggregates per (hour, segment). The
+    * static side is broadcast — the stream side never shuffles for the
+    * join, which is the only sane shape when the stream is the 100 TB
+    * side. No state beyond the windowed agg.
+    */
+  def enrichAgg(events: DataFrame, dim: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("segment"), col("n"), col("sum_value"))
+
   /** Streaming exact dedup (P11's streaming twin — the training-data
     * ingest guard): duplicates on the natural key are dropped across
     * micro-batches; `dropDuplicatesWithinWatermark` evicts key state

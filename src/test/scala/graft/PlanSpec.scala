@@ -220,6 +220,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_winsorize: per-type bounds broadcast back; clamp pass never shuffles the corpus on type") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_tfidf: df re-aggregates the reduced tf side; N joins as a broadcast") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastExchange"), p)
