@@ -96,4 +96,50 @@ class PropertySpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(one) == java.lang.Double.doubleToLongBits(many)
     }, n = 10)
   }
+
+  test("quantile sketch estimate lands within one bin width of the same-rank order statistic") {
+    // the distribution-free histogram guarantee: the bin selected for
+    // rank ⌈q·n⌉ CONTAINS that order statistic, so the interpolated
+    // estimate is within one bin width of it. (Comparing against an
+    // interpolating `percentile` instead would be wrong: its rank
+    // definition differs by up to one order statistic, and in a sparse
+    // tail adjacent order statistics can straddle several bins.)
+    val sketch = SparkEntry.queries("q_quantile_sketch")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byType = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted
+      }
+    assert(byType.nonEmpty)
+    for ((t, vs) <- byType; q <- Seq(0.5, 0.9, 0.99)) {
+      val est  = sketch((t, q))
+      val binw = (vs.last - vs.head) / 64
+      val k    = math.min(vs.length, math.ceil(q * vs.length).toInt)
+      val ord  = vs(k - 1)
+      assert(math.abs(est - ord) <= binw + 1e-9,
+        s"$t q=$q est=$est orderstat=$ord binw=$binw")
+    }
+  }
+
+  test("bloom join pruning never drops a true member and stays selective") {
+    val r = SparkEntry.queries("q_bloom_join")(spark, sf0001).collect()(0)
+    val (nOrders, nExact, nPass, nFalse) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nPass >= nExact, s"false negatives: pass=$nPass < exact=$nExact")
+    assert(nFalse == nPass - nExact)
+    // 2 lanes over 8192 bits at this dim cardinality: fp among true
+    // non-members must be well under 1%
+    assert(nFalse.toDouble / (nOrders - nExact) < 0.01,
+      s"fp_rate too high: $nFalse/${nOrders - nExact}")
+  }
+
+  test("winsorized mean always lies inside the clamp bounds") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lo, hi, m) = (r.getDouble(1), r.getDouble(2), r.getDouble(6))
+      assert(m >= lo - 1e-9 && m <= hi + 1e-9, s"mean $m outside [$lo, $hi]")
+    }
+  }
 }
