@@ -397,6 +397,80 @@ object Events {
              GROUP BY 1, 2, 3""")
   )
 
+  /** Median/MAD robust outlier summary per type: med = p50, MAD = p50
+    * of |v − med|, outlier ⇔ |v − med| > 3·1.4826·MAD. The
+    * mean/stddev z-score (`q_zscore`) breaks when outliers inflate σ;
+    * MAD has a 50% breakdown point — this is the statistically honest
+    * version of the reference's outlier rule. Two percentile passes
+    * with the tiny per-type stats broadcast back between them; the
+    * flagging pass is map-only.
+    */
+  val madOutliers = QueryDef(
+    "q_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 2).as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type", "med")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 2).as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) >
+            lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("event_type"), col("med"), col("mad"), col("n"),
+          col("n_outliers"),
+          round(col("n_outliers").cast("double") / col("n"), 6)
+            .as("outlier_frac"))
+    },
+    Some("""WITH med AS (SELECT event_type,
+                                ROUND(quantile_cont(value, 0.5), 2) AS med
+                         FROM events GROUP BY 1),
+            mad AS (SELECT e.event_type, med,
+                           ROUND(quantile_cont(abs(value - med), 0.5), 2) AS mad
+                    FROM events e JOIN med USING (event_type)
+                    GROUP BY 1, 2)
+            SELECT e.event_type, med, mad, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ROUND(CAST(SUM(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS outlier_frac
+            FROM events e JOIN mad USING (event_type)
+            GROUP BY 1, 2, 3""")
+  )
+
+  /** Seasonal adjustment: subtract each type's hour-of-day profile
+    * mean from every reading — the deseasonalized residual feeding any
+    * anomaly detector. Profile means are exact DECIMAL averages over a
+    * ≤ types×24-row table broadcast back; the residual pass is
+    * map-only.
+    */
+  val seasonalAdjust = QueryDef(
+    "q_seasonal_adjust",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          hour(col("ts")).as("hod"), col("value"))
+      val profile = ev.groupBy("event_type", "hod")
+        .agg(round(Exact.davg(col("value")), 6).as("s_mean"))
+      ev.join(broadcast(profile), Seq("event_type", "hod"))
+        .select(col("event_id"), col("event_type"), col("hod"), col("value"),
+          col("s_mean"), round(col("value") - col("s_mean"), 6).as("resid"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, event_type,
+                               EXTRACT(hour FROM $OTS) AS hod, value
+                        FROM events),
+             p AS (SELECT event_type, hod,
+                          ROUND(${Sql.AVGD("value")}, 6) AS s_mean
+                   FROM e GROUP BY 1, 2)
+             SELECT event_id, e.event_type, e.hod, value, s_mean,
+                    ROUND(value - s_mean, 6) AS resid
+             FROM e JOIN p USING (event_type, hod)""")
+  )
+
   /** Cohort retention: users grouped by first-activity day, activity
     * counted per (cohort, day-offset) — the classic retention triangle.
     * Scale: one (user, day) dedup agg, one min-day agg, one join on
@@ -739,6 +813,6 @@ object Events {
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
-    winsorize, cohortRetention, ntileDeciles, funnel, sessionize, freshness,
+    winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }
