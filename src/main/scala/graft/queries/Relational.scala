@@ -692,9 +692,28 @@ object Relational {
             FROM g""")
   )
 
+  /** The salted two-stage aggregation under the correctness gate: the
+    * same per-(flag, status) count+sum as `q_agg_group_stats`, computed
+    * via `Salt.saltedAgg` (hot keys spread over 8 reducers, DECIMAL
+    * partials merged in a second tiny agg). The oracle is the PLAIN
+    * group-by — proving the salted plan is bit-identical to the
+    * unsalted answer on real data, for any salt distribution, which is
+    * what makes it safe to deploy against a skewed 100 TB key.
+    */
+  val saltedAgg = QueryDef(
+    "q_salted_agg",
+    (s, d) =>
+      graft.operators.Salt.saltedAgg(
+        Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity", buckets = 8),
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${Sql.SUMD("l_quantity")} AS sum_value
+             FROM lineitem GROUP BY 1, 2""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, distinctSketch, aggGroupStats,
-    joinBroadcast, bloomJoin, setOps, shareOfTotal,
+    joinBroadcast, bloomJoin, setOps, shareOfTotal, saltedAgg,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,

@@ -220,6 +220,12 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_pq_encode: codebooks broadcast on both assign passes, no sort-merge") {
+    val p = plan("q_pq_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_winsorize: per-type bounds broadcast back; clamp pass never shuffles the corpus on type") {
     val p = plan("q_winsorize")
     assert(p.contains("BroadcastHashJoin"), p)
