@@ -599,6 +599,61 @@ object Events {
              FROM sx GROUP BY user_id, session_idx""")
   )
 
+  /** Interval-overlap join: user sessions (gap-1800 s, the
+    * `q_sessionize` derivation) × daily 02:00–04:00 maintenance
+    * windows — which sessions were exposed to maintenance, and for how
+    * long. The genuinely-interval join family (both sides are ranges),
+    * done the scale-correct way: each session explodes into the DAYS
+    * it covers (≤ span, typically 1–2), the join is pure EQUI on day
+    * with the exact half-open overlap predicate inside, and overlap
+    * seconds are min(ends) − max(starts). The quadratic
+    * session×window theta join never runs; DuckDB's oracle IS that
+    * theta join, proving the bucketed plan equivalent.
+    */
+  val intervalOverlap = QueryDef(
+    "q_interval_overlap",
+    (s, d) => {
+      val gap = 1800L
+      val base = Tables.events(s, d).withColumn("sec", sec)
+      val brk = when(col("sec") - lag(col("sec"), 1).over(wUser) > gap, 1).otherwise(0)
+      val sess = base
+        .withColumn("brk", brk)
+        .withColumn("session_idx",
+          sum(col("brk")).over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("sec")).as("s0"), max(col("sec")).as("s1"))
+      val dayLen = 86400L
+      val exploded = sess.select(col("*"),
+        explode(sequence(expr(s"s0 div $dayLen"),
+          expr(s"s1 div $dayLen"))).as("day"))
+      val w0 = col("day") * dayLen + 7200L   // 02:00
+      val w1 = col("day") * dayLen + 14400L  // 04:00
+      exploded
+        .filter(col("s0") < w1 && w0 <= col("s1"))
+        .select(col("day"), col("user_id"), col("session_idx"),
+          (least(col("s1"), w1 - 1) - greatest(col("s0"), w0) + 1)
+            .as("overlap_sec"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("overlap_sec")).as("overlap_sec_total"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, $OTS AS ts, $OSEC AS sec FROM events),
+             g AS (SELECT *, CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             sx AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+             sess AS (SELECT user_id, session_idx, MIN(sec) AS s0, MAX(sec) AS s1
+                      FROM sx GROUP BY user_id, session_idx),
+             days AS (SELECT DISTINCT sec // 86400 AS day FROM e),
+             win AS (SELECT day, day*86400 + 7200 AS w0, day*86400 + 14400 AS w1
+                     FROM days)
+             SELECT day, COUNT(*) AS n_sessions,
+                    CAST(SUM(LEAST(s1, w1 - 1) - GREATEST(s0, w0) + 1) AS BIGINT)
+                      AS overlap_sec_total
+             FROM sess JOIN win ON s0 < w1 AND w0 <= s1
+             GROUP BY day""")
+  )
+
   /** A8 — freshness/staleness vs dataset max ts (scalar subquery).
     * Ref: enhanced_spark_etl.py:172-183; data_validator freshness decay.
     */
@@ -813,6 +868,6 @@ object Events {
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
-    winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, freshness,
+    winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
 }
