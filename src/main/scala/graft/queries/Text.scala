@@ -561,8 +561,44 @@ object Text {
                     FROM $src))"""
   }
 
+  /** §2.8 array-function breadth over real token arrays: slice,
+    * sort+distinct, contains, reverse, element access — every op
+    * deterministic in both engines (binary string collation, stable
+    * slicing), arrays serialized to strings for exact comparison.
+    * Map-only, like all scalar inventory queries.
+    */
+  val scalarArray = QueryDef(
+    "q_scalar_array",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), slice(TF.tokens(col("text")), 1, 8).as("arr"))
+        .filter(size(col("arr")) > 0)
+        .select(col("doc_id"),
+          size(col("arr")).cast("long").as("n8"),
+          array_join(slice(col("arr"), 1, 3), "|").as("head3"),
+          array_join(array_sort(array_distinct(col("arr"))), "|")
+            .as("sorted_distinct"),
+          array_contains(col("arr"), "the").as("has_the"),
+          element_at(reverse(col("arr")), 1).as("last_tok"),
+          element_at(col("arr"), 2).as("second_tok")),
+    Some {
+      val tk = TS.tokens("text")
+      s"""WITH t AS (SELECT doc_id, list_slice($tk, 1, 8) AS arr
+                     FROM documents)
+          SELECT doc_id,
+                 CAST(len(arr) AS BIGINT) AS n8,
+                 array_to_string(list_slice(arr, 1, 3), '|') AS head3,
+                 array_to_string(list_sort(list_distinct(arr)), '|')
+                   AS sorted_distinct,
+                 list_contains(arr, 'the') AS has_the,
+                 list_reverse(arr)[1] AS last_tok,
+                 arr[2] AS second_tok
+          FROM t WHERE len(arr) > 0"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade)
+      filterCascade, scalarArray)
 }

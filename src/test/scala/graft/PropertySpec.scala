@@ -134,6 +134,20 @@ class PropertySpec extends SparkSpec {
       s"fp_rate too high: $nFalse/${nOrders - nExact}")
   }
 
+  test("linear-counting sketch merges: union of half-sketches == whole-data sketch") {
+    // the mergeability claim behind replacing COUNT(DISTINCT) at scale:
+    // occupied-bucket SETS union associatively, so sketching each half
+    // and merging gives exactly the whole-corpus sketch (and estimate)
+    import graft.functions.PortableHash
+    val m = 1024
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.fill(5000)(rnd.nextInt(2000))
+    def occupied(ks: Seq[Int]): Set[Long] =
+      ks.map(k => PortableHash.hash32(s"$k", 0, 0) % m).toSet
+    val (h1, h2) = keys.splitAt(keys.length / 2)
+    assert((occupied(h1) ++ occupied(h2)) === occupied(keys))
+  }
+
   test("winsorized mean always lies inside the clamp bounds") {
     val rows = SparkEntry.queries("q_winsorize")(spark, sf0001).collect()
     assert(rows.nonEmpty)
