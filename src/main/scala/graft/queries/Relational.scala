@@ -98,6 +98,42 @@ object Relational {
     }
   )
 
+  /** A9/A15 at scale, grouped: distinct users per event type via the
+    * same portable linear-counting sketch as `q_distinct_sketch`, one
+    * sketch per GROUP — the shape `COUNT(DISTINCT x) GROUP BY g` takes
+    * at 100 TB (per-group state is ≤ m buckets, partials merge
+    * map-side; the exact count rides along to expose the error).
+    */
+  val groupDistinctSketch = QueryDef(
+    "q_group_distinct_sketch",
+    (s, d) => {
+      val m = 1024
+      val h = "md5(concat(cast(user_id as string), '#lcg'))"
+      val bucket = expr(s"${graft.functions.PortableHash.laneSpark(h, 0)} % $m")
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), bucket.as("bucket"))
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact_distinct"),
+          countDistinct(col("bucket")).as("occupied"))
+        .select(col("event_type"), col("exact_distinct"), col("occupied"),
+          round(-lit(m.toDouble) *
+            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2)
+            .as("estimate"))
+    },
+    Some {
+      val m = 1024
+      val h = "md5(CAST(user_id AS VARCHAR) || '#lcg')"
+      s"""SELECT event_type, exact_distinct, occupied,
+          ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) AS estimate
+          FROM (SELECT event_type,
+                       COUNT(DISTINCT user_id) AS exact_distinct,
+                       COUNT(DISTINCT ${graft.functions.PortableHash.laneDuck(h, 0)} % $m)
+                         AS occupied
+                FROM events GROUP BY 1)"""
+    }
+  )
+
   /** A1/A2 — grouped stats: count / exact sum / exact avg / exact stddev.
     * Ref: spark_etl.py:87-89 (per-type stats), 149-161 (district hourly).
     */
@@ -712,7 +748,8 @@ object Relational {
   )
 
   def all: Seq[QueryDef] = Seq(
-    scanProject, filterCompound, distinctKeys, distinctSketch, aggGroupStats,
+    scanProject, filterCompound, distinctKeys, distinctSketch,
+    groupDistinctSketch, aggGroupStats,
     joinBroadcast, bloomJoin, setOps, shareOfTotal, saltedAgg,
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
