@@ -69,6 +69,13 @@ object Relational {
     * both engines, and the query also emits the exact count so the
     * sketch error is visible (±3% here). Map-side partial aggregation
     * reduces each partition to ≤ m rows before the shuffle.
+    *
+    * Saturation: when all m buckets are occupied (cardinality ≫ m) the
+    * linear-counting formula diverges (ln 0), so the estimate is NULL
+    * with `saturated = true` — found by running the gate at sf0.1,
+    * where 15k distinct keys fill all 1024 buckets. Production sizes m
+    * to the expected cardinality or falls back to HLL; the flag makes
+    * the failure mode explicit instead of erroring mid-query.
     */
   val distinctSketch = QueryDef(
     "q_distinct_sketch",
@@ -82,15 +89,18 @@ object Relational {
           countDistinct(col("o_custkey")).as("exact_distinct"),
           countDistinct(col("bucket")).as("occupied"))
         .select(col("exact_distinct"), col("occupied"),
-          round(-lit(m.toDouble) *
-            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2)
-            .as("estimate"))
+          when(col("occupied") < m, round(-lit(m.toDouble) *
+            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2))
+            .as("estimate"),
+          (col("occupied") >= m).as("saturated"))
     },
     Some {
       val m = 1024
       val h = "md5(CAST(o_custkey AS VARCHAR) || '#lc')"
       s"""SELECT exact_distinct, occupied,
-          ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) AS estimate
+          CASE WHEN occupied < $m
+               THEN ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) END AS estimate,
+          occupied >= $m AS saturated
           FROM (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct,
                        COUNT(DISTINCT ${graft.functions.PortableHash.laneDuck(h, 0)} % $m)
                          AS occupied
@@ -117,15 +127,18 @@ object Relational {
           countDistinct(col("user_id")).as("exact_distinct"),
           countDistinct(col("bucket")).as("occupied"))
         .select(col("event_type"), col("exact_distinct"), col("occupied"),
-          round(-lit(m.toDouble) *
-            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2)
-            .as("estimate"))
+          when(col("occupied") < m, round(-lit(m.toDouble) *
+            log((lit(m.toDouble) - col("occupied")) / m.toDouble), 2))
+            .as("estimate"),
+          (col("occupied") >= m).as("saturated"))
     },
     Some {
       val m = 1024
       val h = "md5(CAST(user_id AS VARCHAR) || '#lcg')"
       s"""SELECT event_type, exact_distinct, occupied,
-          ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) AS estimate
+          CASE WHEN occupied < $m
+               THEN ROUND(-$m.0 * LN(($m.0 - occupied) / $m.0), 2) END AS estimate,
+          occupied >= $m AS saturated
           FROM (SELECT event_type,
                        COUNT(DISTINCT user_id) AS exact_distinct,
                        COUNT(DISTINCT ${graft.functions.PortableHash.laneDuck(h, 0)} % $m)
