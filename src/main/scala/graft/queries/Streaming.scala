@@ -119,6 +119,36 @@ object Streaming {
              AND p.event_type = 'purchase'
              AND c.us BETWEEN p.us - 1800000000 AND p.us"""))
 
+  /** foreachBatch upsert under the gate: the stream drives
+    * `Streams.statusUpsert` (merge each micro-batch's per-user latest
+    * reading into a parquet status table — the Postgres-trigger
+    * rewrite), then the maintained table itself is compared against
+    * the oracle's direct last-per-user query. Last-writer-wins on
+    * (ts, event_id).
+    */
+  val streamUpsert = QueryDef(
+    "q_stream_upsert",
+    (s, d) => {
+      val statusPath = java.nio.file.Files
+        .createTempDirectory("stream_upsert").toString + "/status"
+      val q = Streams.readEvents(s, d).writeStream
+        .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Streams.statusUpsert(batch, statusPath))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      s.read.parquet(statusPath)
+        .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
+    },
+    Some("""SELECT user_id, last_ts, last_value, last_type FROM (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+                     value AS last_value, event_type AS last_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1"""))
+
   def all: Seq[QueryDef] =
-    Seq(streamHourly, streamSliding, streamEnrich, streamSessionize, streamAttrib)
+    Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
+      streamSessionize, streamAttrib)
 }
