@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench contract JSON. sbt's default LoggedOutput prefixes forked
+// output with `[info] ` and appends a `[success] Total time` trailer —
+// both break that parse (BENCH_r01..r04 all recorded parsed:null).
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess=false drops the trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

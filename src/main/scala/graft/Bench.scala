@@ -22,23 +22,34 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: with StdoutOutput (see build.sbt) any console logging
+    // lands verbatim in the stream the driver parses — keep it quiet.
+    spark.sparkContext.setLogLevel("ERROR")
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    // A failing query must not silently record a bogus-fast time: count
+    // failures per query and surface them in BENCH_DETAIL.json + stderr
+    // (never on stdout — the driver parses stdout's last line).
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          failures(name) = failures.getOrElse(name, 0) + 1
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
 
     // Warmup pass: the full suite, untimed.
-    suite.foreach { case (_, fn) => once(fn) }
+    suite.foreach { case (name, fn) => once(name, fn) }
 
     val timings = suite.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        once(fn)
+        once(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
       name -> times
@@ -78,11 +89,16 @@ object Bench {
     val iterDetail = timings.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val errJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"sf":"$sfDir","iters":$iters}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfTag"}""")
+    // Stop Spark BEFORE printing: executor/state-store shutdown can log to
+    // the console, and the driver parses the LAST line as the contract JSON.
     spark.stop()
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfTag"}""")
+    System.out.flush()
   }
 }
