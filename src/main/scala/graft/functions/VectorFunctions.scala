@@ -23,8 +23,44 @@ object VectorFunctions {
         org.apache.spark.sql.GraftSql.expression(a),
         org.apache.spark.sql.GraftSql.expression(b)))
 
+  private def vecD2(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.plans.VecD2(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
   /** Spark Column: dot(a, b), natively codegen'd, left-to-right order. */
   def dotSpark(a: String, b: String): Column = vecDot(expr(a), expr(b))
+
+  /** Squared-L2 distance to a DRIVER-SIDE centroid vector, embedded as
+    * an `array<double>` literal — natively codegen'd, same chain as the
+    * oracle's explicit term sum.
+    */
+  def d2ToLit(vec: Column, centroid: Seq[Double]): Column =
+    vecD2(vec, array(centroid.map(lit): _*))
+
+  /** Map-only nearest-centroid assignment: the centroid set (a handful
+    * of rows — k-means k, IVF cell count, PQ M×K) is collected to the
+    * driver by the caller and embedded as literals, so the argmin is a
+    * per-row `least()` over `struct(d2, id)` — NO shuffle, NO join.
+    * This is how MLlib runs Lloyd iterations too (centroids live on
+    * the driver between passes); at 100 TB the corpus stays put and
+    * only k×dim doubles move.
+    *
+    * Struct comparison is lexicographic, so ties on d2 break on the
+    * smaller id — identical to the `ROW_NUMBER() OVER (ORDER BY d2,
+    * id)` the oracle uses. Returns struct(d2, id); read fields with
+    * `.getField`. Guarded: literal plans grow with k, so refuse
+    * centroid sets too big to inline (use a broadcast join instead).
+    */
+  def nearestLit(vec: Column, centroids: Seq[(Column, Seq[Double])]): Column = {
+    require(centroids.size >= 2 && centroids.size <= 256,
+      s"nearestLit inlines centroids as literals; got ${centroids.size}, " +
+        "expected 2..256 (bigger sets should use a broadcast join)")
+    least(centroids.map { case (id, c) =>
+      struct(d2ToLit(vec, c).as("d2"), id.as("id"))
+    }: _*)
+  }
 
   def normSpark(a: String): Column = sqrt(dotSpark(a, a))
 

@@ -89,3 +89,80 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native squared-L2 distance — [[VecDot]]'s sibling for the
+  * nearest-centroid kernel (k-means assignment, IVF cell probe, PQ
+  * encode): acc += ((double)a[i] - (double)b[i])² for i ascending, the
+  * identical left-to-right IEEE-754 chain as the
+  * `aggregate(zip_with(a, b, (x, c) -> (x-c)*(x-c)), 0.0, +)` fold it
+  * replaces and as the DuckDB oracle's explicit term chain. Null
+  * array, length mismatch, or null element → null.
+  */
+case class VecD2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_d2"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = elemType(left) == FloatType
+    val yf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val diff = xv - yv
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val bad = ctx.freshName("bad")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+        int $n = $a.numElements();
+        boolean $bad = ($n != $b.numElements());
+        double $acc = 0.0;
+        if (!$bad) {
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            double $diff = ${get(a, left)} - ${get(b, right)};
+            $acc += $diff * $diff;
+          }
+        }
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecD2 =
+    copy(left = newLeft, right = newRight)
+}

@@ -156,12 +156,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("q_kmeans_lloyd: every Lloyd round broadcasts the k-centroid side") {
-    // assignment must be a map-only broadcast probe of the corpus; the
-    // only hash exchanges are the (cluster, dim) centroid updates
+  test("q_kmeans_lloyd: assignment is map-only against driver-held centroids") {
+    // centroids live on the driver between Lloyd passes (MLlib's
+    // contract too) and inline as literals, so assignment needs NO
+    // join and NO per-vec_id window — the corpus never shuffles; the
+    // only exchanges are the (cluster, dim) centroid-update hash-aggs
+    // and the final k-row c_norm broadcast join
     val p = plan("q_kmeans_lloyd")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("vec_d2"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q_quantile_sketch: per-group bounds re-join the corpus as a broadcast") {
@@ -220,10 +225,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("q_pq_encode: codebooks broadcast on both assign passes, no sort-merge") {
+  test("q_pq_encode: assign passes are map-only against driver-held codebooks") {
+    // M×K codebook entries inline as literals (nearestLit), so the
+    // final plan is explode → map argmin → one (m, code) hash-agg:
+    // no join of any kind, no per-(vec_id, m) window
     val p = plan("q_pq_encode")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("vec_d2"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
   test("q_winsorize: per-type bounds broadcast back; clamp pass never shuffles the corpus on type") {

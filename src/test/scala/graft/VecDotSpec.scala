@@ -75,12 +75,44 @@ class VecDotSpec extends SparkSpec {
     }
   }
 
+  test("vec_d2: bit-identical to the HOF fold; nearestLit ties break on id") {
+    // same contract as vec_dot: identical IEEE-754 chain as the
+    // aggregate(zip_with) fold the k-means/PQ assigns used before
+    val foldD2 = expr(
+      "aggregate(zip_with(embedding, qv, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), " +
+        "cast(0.0 as double), (acc, v) -> acc + v)")
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+    val q = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val qlit = q.collect().head.getSeq[Double](0)
+    val both = e.crossJoin(broadcast(q))
+      .select(VF.d2ToLit(col("embedding"), qlit).as("native"),
+        foldD2.as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // argmin tie-break: two centroids at the same distance → lower id
+    val tied = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(VF.nearestLit(col("v"),
+        Seq((lit(7), Seq(1.0, 0.0)), (lit(3), Seq(0.0, 1.0)))).as("best"))
+      .select(col("best.id"), col("best.d2")).collect().head
+    assert(tied.getInt(0) === 3 && tied.getDouble(1) === 1.0)
+  }
+
   test("GraftExtensions exposes vec_dot to spark.sql") {
     graft.plans.GraftExtensions.register(spark)
     val d = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(d === 11.0)
+    val d2 = spark.sql(
+      "SELECT vec_d2(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d2 === 8.0)
     // the extensions class itself must accept an injection pass (the
     // spark.sql.extensions=graft.plans.GraftExtensions cluster path)
     new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
