@@ -60,6 +60,17 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", ts))))
   }
 
+  /** Distinct 64-bit shingle-hash set, natively codegen'd (one pass,
+    * no intermediate strings) — see [[graft.plans.ShingleHash]]. Use
+    * when downstream only joins / counts shingles; use [[shingles]]
+    * when the shingle TEXT itself is needed (MinHash's portable md5
+    * lanes).
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.plans.ShingleHash(
+        org.apache.spark.sql.GraftSql.expression(text), k))
+
   /** English-ish stopwords used for quality scoring. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "in", "to")
 

@@ -90,13 +90,18 @@ object Dedup {
       // absent here (the oracle would catch one) and a bounded count
       // perturbation at corpus scale. Skewed hot shingles → AQE skew
       // join.
+      // Shingles are 64-bit hashes end-to-end (native one-pass
+      // TF.shingleHashes — no shingle strings ever materialize), and
+      // the block key (lang, source) folds INTO the join hash, so the
+      // self-join shuffle carries (doc_id, n_sh, xh) — no string
+      // columns — and the join is a single long-key equi-join.
       val ex = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
-          TF.shingles(col("text"), 3).as("sh"))
+          TF.shingleHashes(col("text"), 3).as("sh"))
         .select(col("doc_id"), col("lang"), col("source"),
           size(col("sh")).as("n_sh"), explode(col("sh")).as("x"))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_sh"),
-          xxhash64(col("x")).as("xh"))
+        .select(col("doc_id"), col("n_sh"),
+          xxhash64(col("lang"), col("source"), col("x")).as("xh"))
       // Knob for web-scale corpora (not enabled here): pre-filter to
       // shingles with document frequency > 1 before the self-join —
       // singletons can't form pairs, and in a real web corpus most
@@ -106,8 +111,7 @@ object Dedup {
       val a = ex.alias("a")
       val b = ex.alias("b")
       a.join(b,
-          col("a.xh") === col("b.xh") && col("a.lang") === col("b.lang") &&
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.xh") === col("b.xh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
         .agg(count(lit(1)).cast("double").as("ni"))

@@ -241,14 +241,22 @@ object Text {
     "q_decontaminate",
     (s, d) => {
       val K = 8
+      // Grams are 64-bit hashes end-to-end (native one-pass
+      // TF.shingleHashes — no shingle strings ever materialize): the
+      // broadcast set ships 8 B/gram instead of ~60 B of 8-gram text,
+      // the distinct shuffles longs, and the probe compares longs. A
+      // false hit needs a 64-bit collision between one train gram and
+      // one eval gram (~n²/2⁶⁵ — absent here, and the oracle joins on
+      // the real text, so the gate would catch one).
       val b = Tables.documents(s, d).select(col("doc_id"),
-        Sampling.bucketSpark.as("bucket"), TF.shingles(col("text"), K).as("sh"))
+        Sampling.bucketSpark.as("bucket"),
+        TF.shingleHashes(col("text"), K).as("sh"))
       val evalGrams = b.filter(col("bucket") >= 90)
-        .select(explode(col("sh")).as("g")).distinct()
+        .select(explode(col("sh")).as("gh")).distinct()
       val train = b.filter(col("bucket") < 80)
         .select(col("doc_id"), size(col("sh")).as("n_grams"),
-          explode(col("sh")).as("g"))
-      train.join(broadcast(evalGrams), Seq("g"))
+          explode(col("sh")).as("gh"))
+      train.join(broadcast(evalGrams), Seq("gh"))
         .groupBy("doc_id", "n_grams")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
