@@ -62,7 +62,16 @@ object Tables {
   /** Register all tables as temp views so operators can also be expressed
     * as `spark.sql` texts (the reference's dashboard queries are SQL —
     * see SURVEY.md §3.3).
+    *
+    * Memoized per (session, dir): this runs inside every SQL-text
+    * query's construction, and re-resolving 10 parquet footers each
+    * time is pure driver overhead. Re-registers when the dir changes
+    * (tests alternate scale factors in one session); WeakHashMap so
+    * ended sessions don't pin.
     */
+  private val viewsFor = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    if (viewsFor.put(spark, dir) != dir)
+      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
 }
