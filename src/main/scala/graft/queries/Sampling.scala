@@ -148,5 +148,56 @@ object Sampling {
     }
   )
 
-  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample)
+  /** Per-domain document caps — the Common-Crawl-style frequency cap:
+    * no source (domain) may contribute more than N documents, and
+    * which N survive is a deterministic function of the doc id (md5
+    * priority, doc_id tiebreak), not of arrival order. Output is the
+    * per-domain accounting report (kept / dropped / surviving token
+    * mass) a corpus-composition review reads.
+    *
+    * Scale shape: ONE shuffle on source, then a per-domain top-N.
+    * row_number over (source) is safe because domains bound partition
+    * size in practice; a pathological mega-domain is exactly what the
+    * cap deletes, and an extreme-skew variant would pre-prune with an
+    * approximate h-threshold (every doc with h above N·2³²/n_s is
+    * droppable map-side) before the exact rank — same two-stage trick
+    * as `operators/Salt`.
+    */
+  val domainCaps = QueryDef(
+    "q_domain_caps",
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      import org.apache.spark.sql.expressions.Window
+      val N = 15
+      val h = expr(PortableHash.laneSpark(
+        "md5(concat(cast(doc_id as string), '#cap'))", 0))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"), h.as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= N, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > N, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("rn") <= N, col("n_tok")).otherwise(0L)).as("kept_tokens"))
+    },
+    Some {
+      val N = 15
+      val h = PortableHash.laneDuck(
+        "md5(CAST(doc_id AS VARCHAR) || '#cap')", 0)
+      s"""WITH r AS (SELECT source,
+                  ${graft.functions.TextSql.tokenCount("text")} AS n_tok,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY $h, doc_id) AS rn
+                FROM documents)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN rn <= $N THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rn > $N THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 CAST(SUM(CASE WHEN rn <= $N THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+          FROM r GROUP BY source"""
+    }
+  )
+
+  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample, domainCaps)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.functions.{PortableHash, TextFunctions => TF, TextSql => TS}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -605,8 +605,143 @@ object Text {
     }
   )
 
+  /** Heavy hitters via a portable count-min sketch: 2 md5 lanes ×
+    * 512 buckets of integer counts over the exploded token stream,
+    * estimate = min over lanes of the token's bucket count. The report
+    * pairs the exact top-20 token counts with their CMS estimates and
+    * the (always ≥ 0) overestimate — the sketch-quality check a
+    * frequency-capping / stopword-discovery job emits.
+    *
+    * Why this is the 100 TB shape: the sketch is 2×512 integer cells
+    * regardless of corpus size, partials merge by cell-wise ADD (plain
+    * hash-agg partial aggregation — order-free integers, so the merge
+    * is exact and deterministic), and the estimate probe is a
+    * broadcast join of a 1 KB table. An exact `GROUP BY token` over a
+    * web corpus shuffles billions of distinct keys; the sketch never
+    * shuffles more than 1024 rows. Same portable-md5 posture as the
+    * other sketches (`q_distinct_sketch`, `q_quantile_sketch`): both
+    * engines compute identical cells, so the ORACLE CHECKS THE
+    * ESTIMATES TOO, not just the exact counts.
+    */
+  val heavyHitters = QueryDef(
+    "q_heavy_hitters",
+    (s, d) => {
+      val W = 512
+      def laneB(l: Int) = expr(
+        s"${PortableHash.laneSpark("md5(concat(t, '#cms'))", l)} % $W")
+      val toks = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("t"))
+      val cms = toks.select(explode(array(
+          struct(lit(0).as("lane"), laneB(0).as("bucket")),
+          struct(lit(1).as("lane"), laneB(1).as("bucket")))).as("lb"))
+        .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = toks.groupBy("t")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("t")).limit(20)
+        .withColumn("b0", laneB(0)).withColumn("b1", laneB(1))
+      val c0 = cms.filter(col("lane") === 0)
+        .select(col("bucket").as("b0"), col("c").as("c0"))
+      val c1 = cms.filter(col("lane") === 1)
+        .select(col("bucket").as("b1"), col("c").as("c1"))
+      top.join(broadcast(c0), Seq("b0")).join(broadcast(c1), Seq("b1"))
+        .select(col("t").as("token"), col("n_exact"),
+          least(col("c0"), col("c1")).as("n_est"),
+          (least(col("c0"), col("c1")) - col("n_exact")).as("overest"))
+    },
+    Some {
+      val W = 512
+      def laneB(t: String, l: Int) =
+        s"${PortableHash.laneDuck(s"md5($t || '#cms')", l)} % $W"
+      s"""WITH toks AS (SELECT unnest(${TS.tokens("text")}) AS t FROM documents),
+          lanes AS (SELECT ${laneB("t", 0)} AS b0, ${laneB("t", 1)} AS b1 FROM toks),
+          cms AS (SELECT lane, bucket, COUNT(*) AS c FROM (
+                    SELECT 0 AS lane, b0 AS bucket FROM lanes
+                    UNION ALL SELECT 1, b1 FROM lanes)
+                  GROUP BY lane, bucket),
+          top AS (SELECT t, COUNT(*) AS n_exact FROM toks
+                  GROUP BY t ORDER BY n_exact DESC, t LIMIT 20),
+          topb AS (SELECT t, n_exact, ${laneB("t", 0)} AS b0, ${laneB("t", 1)} AS b1
+                   FROM top)
+          SELECT topb.t AS token, n_exact,
+                 LEAST(c0.c, c1.c) AS n_est,
+                 LEAST(c0.c, c1.c) - n_exact AS overest
+          FROM topb
+          JOIN cms c0 ON c0.lane = 0 AND c0.bucket = topb.b0
+          JOIN cms c1 ON c1.lane = 1 AND c1.bucket = topb.b1"""
+    }
+  )
+
+  /** Char-bigram language-model quality score — the classic
+    * perplexity-style filter (the KenLM role in public pretraining
+    * pipelines, scaled down to a bigram model trainable in-query):
+    * normalize to a 38-symbol alphabet (a-z, 0-9, space, OTHER→'_'),
+    * count corpus bigram occurrences, and score each document by its
+    * average log P(cᵢ | cᵢ₋₁). Templated/garbled text scores far from
+    * the corpus profile.
+    *
+    * Scale shape: the "model" is ≤ 38² bigram rows — a broadcast —
+    * built by one hash-agg over the exploded bigram stream; scoring is
+    * a per-(doc, bigram) hash-agg + broadcast join + per-doc roll-up.
+    * The corpus shuffles only reduced (doc, bigram) pairs, never raw
+    * text. Determinism: per-bigram log-probs round to DECIMAL(18,9)
+    * and the per-doc sum is count×DECIMAL — order-free, so partial
+    * aggregation and AQE merges can't change the result; both engines
+    * divide identical doubles at the end.
+    */
+  val lmScore = QueryDef(
+    "q_lm_score",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val bg = Tables.documents(s, d)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", "_").as("t"))
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
+      val occ = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      val pre = occ.groupBy(substring(col("b"), 1, 1).as("p"))
+        .agg(sum(col("c2")).as("c1"))
+      val model = occ.withColumn("p", substring(col("b"), 1, 1))
+        .join(broadcast(pre), Seq("p"))
+        .select(col("b"),
+          round(log(col("c2").cast("double") / col("c1")), 9)
+            .cast(DecimalType(18, 9)).as("logp"))
+      bg.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(model), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_bigrams"),
+          round(sum(col("n").cast(DecimalType(10, 0)) * col("logp"))
+            .cast("double") / sum(col("n")).cast("double"), 6).as("avg_logp"))
+        .withColumn("lm_class",
+          when(col("avg_logp") < -3.0, "suspect").otherwise("ok"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id,
+                    regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t
+                  FROM documents WHERE length(text) >= 2),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, length(t)),
+                     i -> substr(t, CAST(i AS INT), 2))) AS b
+                 FROM t0),
+          occ AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+          pre AS (SELECT substr(b, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
+                  FROM occ GROUP BY 1),
+          model AS (SELECT b,
+                      CAST(ROUND(LN(CAST(c2 AS DOUBLE) / c1), 9)
+                        AS DECIMAL(18,9)) AS logp
+                    FROM occ JOIN pre ON substr(occ.b, 1, 1) = pre.p),
+          dt AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b)
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0)) * logp) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE), 6) AS avg_logp,
+                 CASE WHEN ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0)) * logp) AS DOUBLE)
+                        / CAST(SUM(n) AS DOUBLE), 6) < -3.0
+                      THEN 'suspect' ELSE 'ok' END AS lm_class
+          FROM dt JOIN model USING (b) GROUP BY doc_id""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade, scalarArray)
+      filterCascade, scalarArray, heavyHitters, lmScore)
 }

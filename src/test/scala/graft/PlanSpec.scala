@@ -240,6 +240,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_heavy_hitters: CMS estimate probes are broadcast joins") {
+    // the sketch table is ~1 KB — probing it must never shuffle the
+    // candidate side
+    val p = plan("q_heavy_hitters")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_lm_score: the bigram model joins as a broadcast") {
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_domain_caps: the cap agg reuses the window's source partitioning") {
+    // rank-per-source window and the per-source rollup share ONE
+    // hashpartitioning(source) exchange
+    val p = plan("q_domain_caps").split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("q_tfidf: df re-aggregates the reduced tf side; N joins as a broadcast") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastExchange"), p)
