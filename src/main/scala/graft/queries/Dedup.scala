@@ -260,7 +260,58 @@ object Dedup {
             WHERE levenshtein(a.p, b.p) <= 24""")
   )
 
+  /** MinHash estimate-accuracy audit: for every LSH candidate pair
+    * (est ≥ 0.5), the 16-lane estimate next to the EXACT 3-shingle
+    * Jaccard and the absolute error — the sketch-quality report that
+    * justifies trusting est_jaccard as the dedup decision variable
+    * (the CMS twin of this audit is `q_heavy_hitters`).
+    *
+    * Scale shape: candidate pairs come from the banded equi-join (the
+    * q_minhash_lsh_pairs plan), and the exact re-score attaches each
+    * doc's native hashed-shingle SET (8 B/shingle, no strings) to the
+    * few surviving pairs — exact Jaccard is computed per CANDIDATE,
+    * never per corpus pair.
+    */
+  val minhashEstQuality = QueryDef(
+    "q_minhash_est_quality",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.candidatePairs(
+        MinHashDedup.signatures(docs), 0.5)
+      val sh = docs.select(col("doc_id"),
+        TF.shingleHashes(col("text"), MinHashDedup.ShingleK).as("sh"))
+      val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val exact = round(
+        ni / (size(col("sh_a")) + size(col("sh_b")) - ni), 6)
+      pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          exact.as("exact_jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+    },
+    Some {
+      val sh = TS.shingles("text", MinHashDedup.ShingleK)
+      s"""WITH cp AS (${MinHashDedup.candidatePairsSqlDuck(0.5)}),
+          s2 AS (SELECT doc_id, $sh AS sh FROM documents),
+          scored AS (
+            SELECT cp.doc_a, cp.doc_b,
+                   ROUND(cp.est_jaccard, 6) AS est_jaccard,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                     AS exact_jaccard
+            FROM cp JOIN s2 a ON a.doc_id = cp.doc_a
+                    JOIN s2 b ON b.doc_id = cp.doc_b)
+          SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+                 ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+          FROM scored"""
+    }
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs, simhashNeardup, dedupClusters, editNeardup)
+    jaccardPairs, simhashNeardup, dedupClusters, editNeardup,
+    minhashEstQuality)
 }

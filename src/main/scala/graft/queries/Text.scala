@@ -740,8 +740,34 @@ object Text {
           FROM dt JOIN model USING (b) GROUP BY doc_id""")
   )
 
+  /** Language-ID evaluation: the labeled-vs-predicted confusion matrix
+    * over the whole corpus, with each cell's share of its labeled row
+    * — the accuracy artifact a lang-ID model review reads. Reuses the
+    * q_lang_id classifier verbatim; the matrix is a tiny hash-agg
+    * (≤ langs² rows) plus a per-label window share, so at 100 TB the
+    * cost is q_lang_id's map pass and one small shuffle.
+    */
+  val langConfusion = QueryDef(
+    "q_lang_confusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langId.fn(s, d)
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("labeled_lang"))
+              .cast("double"), 6))
+    },
+    Some(s"""WITH p AS (${langId.oracle.get})
+          SELECT labeled_lang, pred_lang, COUNT(*) AS n,
+                 ROUND(CAST(COUNT(*) AS DOUBLE) /
+                   CAST(SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6) AS frac
+          FROM p GROUP BY labeled_lang, pred_lang""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade, scalarArray, heavyHitters, lmScore)
+      filterCascade, scalarArray, heavyHitters, lmScore, langConfusion)
 }

@@ -87,6 +87,34 @@ object Sources {
   def writeJsonReport(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Small-files compaction (beyond the reference): rewrite a landing
+    * directory of many tiny parquet files into ~targetBytes files.
+    *
+    * The small-files problem is the #1 operational failure of
+    * streaming/ingest layouts at scale: a micro-batch sink emitting a
+    * few-KB file per trigger per partition turns a 100 TB table into
+    * billions of files, and every later scan pays a task per file plus
+    * a listing that overwhelms the driver/namenode. Compaction picks
+    * the file count from the ACTUAL byte size (Hadoop listing — no
+    * data pass), reads once, and rewrites with `repartition(n)` so
+    * output files are uniform (coalesce would just glue neighbors and
+    * preserve skew). Writes to a NEW directory: the atomic swap
+    * (rename / metastore repoint) is the caller's transaction, and a
+    * failed compaction must never have touched the live table.
+    *
+    * Returns the chosen file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
+
   /** Bucketed table write (beyond the reference; the co-located-join
     * story at 100 TB). Both sides of a recurring large-×-large equi-join
     * written with the SAME bucket count on the join key join with ZERO

@@ -52,6 +52,30 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.json(s"$dir/report").collect()(0).getLong(0) === 5050L)
   }
 
+  test("compaction: many tiny files -> byte-sized file count, same rows") {
+    val dir = tmp()
+    // a streaming-style landing dir: 40 tiny files
+    (1 to 4000).toDF("n").repartition(40).write.parquet(s"$dir/landing")
+    val landed = new java.io.File(s"$dir/landing").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(landed.length === 40)
+    val totalBytes = landed.map(_.length()).sum
+    // target = ~half the data -> expect 2 output files
+    val n = Sources.compact(spark, s"$dir/landing", s"$dir/compacted",
+      targetBytes = (totalBytes + 1) / 2)
+    assert(n === 2)
+    val out = new java.io.File(s"$dir/compacted").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(out.length === 2)
+    // repartition (not coalesce) -> uniform files; and no rows lost
+    assert(spark.read.parquet(s"$dir/compacted").count() === 4000)
+    val sizes = out.map(_.length()).sorted
+    assert(sizes.last < sizes.head * 2, sizes.mkString(","))
+    // the original landing dir is untouched (swap is the caller's job)
+    assert(new java.io.File(s"$dir/landing").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 40)
+  }
+
   test("S3: latest-file discovery picks newest by mtime") {
     val dir = tmp()
     val f1 = new java.io.File(dir, "data_1.csv")
