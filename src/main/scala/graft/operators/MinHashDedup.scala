@@ -80,14 +80,22 @@ object MinHashDedup {
     * scoring are hash joins against the staged relation. No OR-join,
     * no broadcast of the full corpus, no signature recompute per use.
     */
+  /** Narrow banded view of a signature relation: one (doc_id, band_idx,
+    * band_hash) row per band, extra columns preserved — the LSH bucket
+    * key relation both batch and incremental dedup equi-join on.
+    */
+  def banded(sigs: DataFrame, extraCols: String*): DataFrame =
+    sigs.select(col("doc_id") +: extraCols.map(col) :+
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("bd"): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+
+        col("bd.band_idx") :+ col("bd.band_hash"): _*)
+
   def candidatePairs(sigs0: DataFrame, minSim: Double): DataFrame = {
     val sigs = sigs0.cache()
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band_idx"), col(s"band_$b").as("band_hash"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    val bandedView = banded(sigs)
+    val a = bandedView.alias("a")
+    val b = bandedView.alias("b")
     val pairs = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -310,8 +310,86 @@ object Dedup {
     }
   )
 
+  /** Incremental dedup — today's batch against the existing corpus.
+    * A production dedup never re-pairs the whole corpus per ingest: it
+    * keeps the signature table, signs only the NEW batch, and pairs
+    * new docs against (corpus ∪ earlier-new). Here the "new batch" is
+    * the md5-bucket ≥ 90 decile of documents (deterministic, so both
+    * engines agree); keep rule: a corpus match always wins, within the
+    * batch the lower doc_id wins. Output per new doc: matched-partner
+    * count (est ≥ 0.5), dup flag, and the canonical partner.
+    *
+    * Scale shape: corpus signatures are a persisted relation (here
+    * recomputed because the gate is stateless — the plan shape is the
+    * join, which is what matters); the band equi-join's LEFT side is
+    * only the new batch, so the shuffle is |new|·bands + the corpus
+    * band table, never corpus×corpus. The final report LEFT-joins the
+    * batch so clean docs surface with n_dups = 0.
+    */
+  val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val MH = MinHashDedup
+      val isNew = expr(graft.functions.PortableHash.laneSpark(
+        "md5(concat(cast(doc_id as string), '#day'))", 0)) % 100 >= 90
+      val sigs = MH.signatures(Tables.documents(s, d))
+        .withColumn("is_new", isNew).cache()
+      val bandedAll = MH.banded(sigs, "is_new")
+      val n = bandedAll.filter(col("is_new")).alias("n")
+      val o = bandedAll.alias("o")
+      val cand = n.join(o,
+          col("n.band_idx") === col("o.band_idx") &&
+            col("n.band_hash") === col("o.band_hash") &&
+            col("o.doc_id") =!= col("n.doc_id") &&
+            (!col("o.is_new") || col("o.doc_id") < col("n.doc_id")))
+        .select(col("n.doc_id").as("doc"), col("o.doc_id").as("partner"))
+        .distinct()
+      val sa = sigs.select(col("doc_id").as("doc") +:
+        (0 until MH.NumHashes).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+      val sb = sigs.select(col("doc_id").as("partner") +:
+        (0 until MH.NumHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+      val matches = (0 until MH.NumHashes)
+        .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
+        .reduce(_ + _)
+      val dups = cand.join(sa, "doc").join(sb, "partner")
+        .filter(matches.cast("double") / MH.NumHashes >= 0.5)
+        .select(col("doc"), col("partner"))
+      sigs.filter(col("is_new")).select(col("doc_id"))
+        .join(dups, col("doc_id") === col("doc"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("partner")).as("n_dups"),
+          (count(col("partner")) > 0).as("is_dup"),
+          min(col("partner")).as("dup_of"))
+    },
+    Some {
+      val MH = MinHashDedup
+      val bucket = graft.functions.PortableHash.laneDuck(
+        "md5(CAST(doc_id AS VARCHAR) || '#day')", 0)
+      val bandMatch = (0 until MH.NumBands)
+        .map(b => s"n.band_$b = o.band_$b").mkString(" OR ")
+      val matches = (0 until MH.NumHashes)
+        .map(i => s"CASE WHEN n.mh_$i = o.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sig AS (
+            SELECT *, $bucket % 100 >= 90 AS is_new
+            FROM (${MH.signaturesSqlDuck()})),
+          dups AS (
+            SELECT DISTINCT n.doc_id AS doc, o.doc_id AS partner
+            FROM sig n JOIN sig o
+              ON ($bandMatch) AND n.is_new
+                 AND o.doc_id <> n.doc_id
+                 AND (NOT o.is_new OR o.doc_id < n.doc_id)
+            WHERE CAST($matches AS DOUBLE) / ${MH.NumHashes} >= 0.5)
+          SELECT s.doc_id, COUNT(d.partner) AS n_dups,
+                 COUNT(d.partner) > 0 AS is_dup,
+                 MIN(d.partner) AS dup_of
+          FROM sig s LEFT JOIN dups d ON d.doc = s.doc_id
+          WHERE s.is_new GROUP BY s.doc_id"""
+    }
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
     jaccardPairs, simhashNeardup, dedupClusters, editNeardup,
-    minhashEstQuality)
+    minhashEstQuality, dedupIncremental)
 }
