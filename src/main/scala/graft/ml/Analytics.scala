@@ -30,7 +30,11 @@ object Analytics {
   def kmeansWithDistance(embeddings: DataFrame, k: Int = 10): DataFrame = {
     val df = embeddings.withColumn("features",
       array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(42L)
+    // Iteration budget is explicit (not MLlib's default 20): every
+    // Lloyd round is a full corpus pass, so at 100 TB rounds are a
+    // dollar figure you choose — the same posture q_kmeans_lloyd
+    // documents. Seeded, so results stay reproducible.
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("cluster")
       .fit(df)
     val centers = model.clusterCenters
@@ -75,15 +79,15 @@ object Analytics {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("c")))),
         e => e.getField("c")).as("cvec"))
-    val dist2 = expr("""aggregate(
-        zip_with(embedding, cvec, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)),
-        cast(0.0 as double), (acc, t) -> acc + t)""")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cell"))
-    val assigned = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cell"), dist2.as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("d2"))
+    // Map-only assignment against driver-held centroids (the
+    // q_ann_ivf / q_kmeans_lloyd recipe — see nearestLit): no join, no
+    // per-vec window, corpus never shuffles.
+    val cents = cent.collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val best = graft.functions.VectorFunctions.nearestLit(col("embedding"),
+      cents.map { case (id, c) => (lit(id), c) })
+    val assigned = emb.select(col("vec_id"),
+      best.getField("id").as("cell"), best.getField("d2").as("d2"))
     val k = math.ceil(emb.count() * pct).toInt
     val th = assigned.orderBy(desc("d2"), asc("vec_id")).limit(k)
       .agg(min(col("d2")).as("thresh"))

@@ -156,4 +156,65 @@ class PropertySpec extends SparkSpec {
       assert(m >= lo - 1e-9 && m <= hi + 1e-9, s"mean $m outside [$lo, $hi]")
     }
   }
+
+  test("shingle-hash set is a faithful image of the text shingle set (random docs)") {
+    // reference implementation of TF.shingles' semantics, driver-side
+    def textShingles(text: String, k: Int): Set[Seq[String]] = {
+      val ts = text.split(" ").filter(_.nonEmpty).toSeq
+      val ws = if (ts.size >= k) ts.sliding(k).toSeq else Seq(ts)
+      ws.toSet
+    }
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff", "g1", "h")
+    val doc = Gen.listOf(Gen.oneOf(word, Gen.const(""))) // "" → double spaces
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(20, doc)
+    check(Prop.forAll(docs, Gen.choose(1, 5)) { (texts, k) =>
+      val rows = texts.toDF("text")
+        .select(graft.functions.TextFunctions.shingleHashes(col("text"), k).as("sh"))
+        .collect().map(_.getSeq[Long](0))
+      // per-doc cardinality matches, and cross-doc: equal hash sets
+      // imply equal text shingle sets (pairwise, on a small vocab where
+      // collisions in CONTENT are common — hash collisions would break
+      // either check)
+      val expected = texts.map(t => textShingles(t, k))
+      val cardOk = rows.zip(expected).forall { case (h, t) => h.size == t.size }
+      val pairOk = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+      } yield {
+        val hInter = rows(i).toSet.intersect(rows(j).toSet).size
+        val tInter = expected(i).intersect(expected(j)).size
+        hInter == tInter
+      }).forall(identity)
+      cardOk && pairOk
+    }, n = 30)
+  }
+
+  test("count-min estimate never underestimates (random token streams)") {
+    // the CMS guarantee behind q_heavy_hitters: min-over-lanes of
+    // bucket counts >= the true count, for every token
+    val W = 64
+    val token = Gen.oneOf((1 to 30).map(i => s"t$i"))
+    val stream = Gen.nonEmptyListOf(token)
+    check(Prop.forAll(stream) { toks =>
+      val exact = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val cells = Array.fill(2, W)(0L)
+      toks.foreach { t =>
+        (0 to 1).foreach { l =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"$t#cms".getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          val bucket = (java.lang.Long.parseLong(hex.substring(l * 8, l * 8 + 8), 16) % W).toInt
+          cells(l)(bucket) += 1
+        }
+      }
+      exact.forall { case (t, n) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$t#cms".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        val est = (0 to 1).map(l =>
+          cells(l)((java.lang.Long.parseLong(hex.substring(l * 8, l * 8 + 8), 16) % W).toInt)).min
+        est >= n
+      }
+    }, n = 50)
+  }
 }
