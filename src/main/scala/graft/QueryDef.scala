@@ -31,7 +31,8 @@ object QueryRegistry {
       queries.Dashboard.all ++
       queries.Temporal.all ++
       queries.Sampling.all ++
-      queries.Privacy.all
+      queries.Privacy.all ++
+      queries.Graph.all
 
   def asMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

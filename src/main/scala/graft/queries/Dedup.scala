@@ -388,8 +388,63 @@ object Dedup {
     }
   )
 
+  /** Dedup survivorship — the final deliverable of the near-dup
+    * pipeline: every document labeled keep/drop. Clustered docs (from
+    * the MinHash-LSH pairs chained into connected components) survive
+    * only as their component's canonical (min doc_id); unclustered
+    * docs survive trivially with cluster_size 1. Downstream consumers
+    * filter `is_survivor = 1` and train on the deduplicated corpus.
+    *
+    * Scale shape: the component-label table covers only CLUSTERED docs
+    * — on a web corpus a few percent of rows — so both attachment
+    * joins (labels, sizes) broadcast and the corpus itself is scanned
+    * once, map-only. Cluster sizes come from aggregating the small
+    * label table, never from a window over the corpus.
+    */
+  val dedupSurvivors = QueryDef(
+    "q_dedup_survivors",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.candidatePairs(
+        MinHashDedup.signatures(docs), 0.5)
+        .select("doc_a", "doc_b")
+      val labels = graft.operators.ConnectedComponents
+        .components(pairs, "doc_a", "doc_b")
+        .select(col("n").as("doc_id"), col("comp"))
+      val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      docs.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("comp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component_id"),
+          coalesce(col("sz"), lit(1L)).as("cluster_size"))
+        .withColumn("is_survivor",
+          (col("doc_id") === col("component_id")).cast("int"))
+    },
+    Some(s"""WITH RECURSIVE
+             pairs AS (SELECT doc_a, doc_b
+                       FROM (${MinHashDedup.candidatePairsSqlDuck(0.5)})),
+             bi AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+             walk(n, m) AS (
+               SELECT DISTINCT n, n FROM bi
+               UNION
+               SELECT w.n, b.m FROM walk w JOIN bi b ON w.m = b.n),
+             comp AS (SELECT n AS doc_id, MIN(m) AS comp
+                      FROM walk GROUP BY n),
+             sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp)
+             SELECT d.doc_id,
+                    COALESCE(c.comp, d.doc_id) AS component_id,
+                    CAST(COALESCE(s.sz, 1) AS BIGINT) AS cluster_size,
+                    CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id
+                         THEN 1 ELSE 0 END AS is_survivor
+             FROM documents d
+             LEFT JOIN comp c ON c.doc_id = d.doc_id
+             LEFT JOIN sizes s ON s.comp = c.comp""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
     jaccardPairs, simhashNeardup, dedupClusters, editNeardup,
-    minhashEstQuality, dedupIncremental)
+    minhashEstQuality, dedupIncremental, dedupSurvivors)
 }

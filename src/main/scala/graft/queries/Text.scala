@@ -766,8 +766,76 @@ object Text {
           FROM p GROUP BY labeled_lang, pred_lang""")
   )
 
+  /** BPE vocabulary induction — the pair-counting merge step a
+    * tokenizer TRAINER runs (vs `q_token_bpe`, which APPLIES a fixed
+    * tokenization). Two merge rounds, exactly the BPE recipe:
+    * count adjacent-symbol pairs weighted by word frequency, adopt the
+    * most frequent pair as merge 1, rewrite the vocab with the merged
+    * symbol, recount, and report the top table of both rounds (the
+    * round-2 top is merge 2's candidate list).
+    *
+    * The key scale property of real BPE training is reproduced: after
+    * ONE corpus pass builds the word-frequency table, every merge round
+    * runs over the VOCAB (Zipf: millions of types vs trillions of
+    * corpus tokens) — the corpus is never rescanned. The chosen merge
+    * is a 1-row driver value between rounds (the Lloyd-centroid
+    * contract); the merged symbol is carried as a sentinel char(1)
+    * inside vocab words and rendered as "[pair]" on output.
+    */
+  val bpeMerges = QueryDef(
+    "q_bpe_merges",
+    (s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("w0"))
+        .select(lower(col("w0")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .cache() // the vocab table: tiny vs corpus, reused by every round
+      def pairCounts(words: org.apache.spark.sql.DataFrame) =
+        words.filter(length(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(0), length(col("w")) - 2),
+            i => col("w").substr(i + 1, lit(2)))).as("pair"), col("f"))
+          .groupBy("pair").agg(sum(col("f")).as("merge_count"))
+      val pc1 = pairCounts(wf)
+      val p1 = pc1.orderBy(desc("merge_count"), asc("pair")).limit(1)
+        .collect()(0).getString(0)
+      require(p1.forall(_.isLetterOrDigit), s"merge pair '$p1' not embeddable")
+      val wf2 = wf.select(expr(s"replace(w, '$p1', char(1))").as("w"), col("f"))
+      val pc2 = pairCounts(wf2)
+        .select(expr(s"replace(pair, char(1), '[$p1]')").as("pair"),
+          col("merge_count"))
+      def top(pc: org.apache.spark.sql.DataFrame, r: Int) =
+        pc.orderBy(desc("merge_count"), asc("pair")).limit(10)
+          .select(lit(r).as("merge_round"), col("pair"), col("merge_count"))
+      top(pc1, 1).unionByName(top(pc2, 2))
+    },
+    Some {
+      val pc = (src: String) =>
+        s"""SELECT pair, CAST(SUM(f) AS BIGINT) AS merge_count FROM (
+              SELECT unnest(list_transform(range(0, length(w) - 1),
+                       i -> substring(w, i + 1, 2))) AS pair, f
+              FROM $src WHERE length(w) >= 2)
+            GROUP BY pair"""
+      s"""WITH tok AS (SELECT unnest(${TS.tokens("text")}) AS w0 FROM documents),
+          wf AS (SELECT lower(w0) AS w, COUNT(*) AS f FROM tok GROUP BY 1),
+          pc1 AS (${pc("wf")}),
+          p1 AS (SELECT pair FROM pc1 ORDER BY merge_count DESC, pair LIMIT 1),
+          wf2 AS (SELECT replace(w, (SELECT pair FROM p1), chr(1)) AS w, f
+                  FROM wf),
+          pc2r AS (${pc("wf2")}),
+          pc2 AS (SELECT replace(pair, chr(1),
+                    '[' || (SELECT pair FROM p1) || ']') AS pair, merge_count
+                  FROM pc2r),
+          t1 AS (SELECT 1 AS merge_round, pair, merge_count FROM pc1
+                 ORDER BY merge_count DESC, pair LIMIT 10),
+          t2 AS (SELECT 2 AS merge_round, pair, merge_count FROM pc2
+                 ORDER BY merge_count DESC, pair LIMIT 10)
+          SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade, scalarArray, heavyHitters, lmScore, langConfusion)
+      filterCascade, scalarArray, heavyHitters, lmScore, langConfusion,
+      bpeMerges)
 }

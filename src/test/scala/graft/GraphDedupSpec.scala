@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral invariants for the round-5 additions: dedup survivorship,
+  * BPE merge induction, and PageRank power iteration. Oracle equality is
+  * the driver's DuckDB gate; these tests pin the algebraic properties
+  * that must hold at ANY scale.
+  */
+class GraphDedupSpec extends SparkSpec {
+
+  test("q_dedup_survivors: one survivor per component, all docs covered") {
+    val out = SparkEntry.queries("q_dedup_survivors")(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(out.count() === nDocs) // every doc gets a verdict
+    // exactly one survivor per component, and it is the component id
+    val perComp = out.groupBy("component_id")
+      .agg(sum("is_survivor").as("n_surv"), count(lit(1)).as("n"),
+        max("cluster_size").as("sz"))
+    assert(perComp.filter(col("n_surv") =!= 1).count() === 0)
+    // the recorded cluster_size matches the actual member count
+    assert(perComp.filter(col("n") =!= col("sz")).count() === 0)
+    // survivors are their own canonical
+    assert(out.filter(col("is_survivor") === 1 &&
+      col("doc_id") =!= col("component_id")).count() === 0)
+    out.unpersist()
+  }
+
+  test("q_bpe_merges: 10 candidates per round, merge-1 dominates round 2") {
+    val out = SparkEntry.queries("q_bpe_merges")(spark, sf0001).cache()
+    assert(out.filter(col("merge_round") === 1).count() === 10)
+    assert(out.filter(col("merge_round") === 2).count() === 10)
+    // merging can only remove or relabel pair occurrences, never add:
+    // round-2's best count is bounded by round-1's best count
+    val m1 = out.filter(col("merge_round") === 1)
+      .agg(max("merge_count")).head.getLong(0)
+    val m2 = out.filter(col("merge_round") === 2)
+      .agg(max("merge_count")).head.getLong(0)
+    assert(m2 <= m1, s"round-2 max $m2 exceeds round-1 max $m1")
+    // every reported pair is two symbols: two chars, or one char plus
+    // the rendered "[pair]" merge symbol
+    val pairOk = out.filter(
+      length(col("pair")) === 2 || col("pair").rlike("^(\\[..\\].|.\\[..\\]|\\[..\\]\\[..\\])$"))
+    assert(pairOk.count() === 20, out.collect().mkString("\n"))
+    out.unpersist()
+  }
+
+  test("q_pagerank: scores in (0,1], monotone list, stable top node") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, sf0001).collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(s => s > 0.0 && s <= 1.0))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "not sorted desc")
+    // symmetrized bipartite graph: the high-degree side (suppliers are
+    // ~100x fewer than customers in TPC-H) accumulates authority — the
+    // top node must be a supplier
+    assert(rows.head.getString(0).startsWith("s"), rows.head.toString)
+  }
+}
