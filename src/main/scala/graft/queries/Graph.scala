@@ -38,16 +38,20 @@ object Graph {
     "q_pagerank",
     (s, d) => {
       val D = 0.85
+      // distinct runs on the 16-byte long pair; node-id strings are built
+      // AFTER the dedup shuffle, so the exchange never carries strings
       val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("a"),
+          concat(lit("s"), col("sk")).as("b"))
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
         .cache() // rescanned every iteration; at scale: a persisted table
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .cache() // joined into both rounds + counted for N
       val n = deg.count().toDouble
       def step(ranks: DataFrame): DataFrame =
         edges
