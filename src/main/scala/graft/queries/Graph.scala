@@ -97,5 +97,65 @@ object Graph {
     }
   )
 
-  def all: Seq[QueryDef] = Seq(pagerank)
+  /** Co-occurrence (item–item) similarity: supplier pairs scored by the
+    * Jaccard of their customer sets — the collaborative-filtering
+    * building block ("suppliers who share buyers"), and the relational
+    * twin of the document near-dup family (same inverted-index shape:
+    * the pair space is generated per CUSTOMER, never items×items).
+    *
+    * Scale shape: the self-join on ck explodes pairs per customer, so
+    * volume is Σ deg(c)² over customers, not |suppliers|² — bounded by
+    * the per-key degree. On a web-scale interaction graph the standard
+    * guard is capping each user's item list (p99 degree) before the
+    * join; here degree is bounded by construction (TPC-H order fanout),
+    * so the cap stays a documented knob, as with the Jaccard
+    * df-prefilter. The shuffle carries only long keys; degrees attach
+    * to the 20 surviving pairs by two joins on a deg table that is
+    * |suppliers| rows — broadcast-sized at any corpus scale.
+    */
+  val cooccur = QueryDef(
+    "q_cooccur_similarity",
+    (s, d) => {
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .cache() // read by the pair join (twice) + the degree agg
+      val deg = e.groupBy("sk").agg(count(lit(1)).as("n"))
+      val a = e.alias("a")
+      val b = e.alias("b")
+      a.join(b, col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("supp_a"), col("b.sk").as("supp_b"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 10)
+        .join(broadcast(deg.select(col("sk").as("supp_a"), col("n").as("na"))),
+          "supp_a")
+        .join(broadcast(deg.select(col("sk").as("supp_b"), col("n").as("nb"))),
+          "supp_b")
+        .select(col("supp_a"), col("supp_b"), col("common"), col("na"),
+          col("nb"),
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("supp_a"), asc("supp_b"))
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY sk),
+            pairs AS (SELECT a.sk AS supp_a, b.sk AS supp_b,
+                             CAST(COUNT(*) AS BIGINT) AS common
+                      FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+                      GROUP BY 1, 2)
+            SELECT supp_a, supp_b, common, da.n AS na, db.n AS nb,
+                   ROUND(CAST(common AS DOUBLE) / (da.n + db.n - common), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN deg da ON da.sk = supp_a
+            JOIN deg db ON db.sk = supp_b
+            WHERE common >= 10
+            ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""")
+  )
+
+  def all: Seq[QueryDef] = Seq(pagerank, cooccur)
 }

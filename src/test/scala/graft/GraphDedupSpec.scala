@@ -45,6 +45,19 @@ class GraphDedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_cooccur_similarity: symmetric-canonical pairs, jaccard bounds") {
+    val rows = SparkEntry.queries("q_cooccur_similarity")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (common, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(5)
+      assert(a < b, s"pair not canonical: $a,$b")
+      assert(common <= math.min(na, nb), r.toString) // |∩| ≤ min set size
+      assert(j > 0.0 && j <= 1.0, r.toString)
+    }
+  }
+
   test("q_pagerank: scores in (0,1], monotone list, stable top node") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf0001).collect()
     assert(rows.length === 20)
