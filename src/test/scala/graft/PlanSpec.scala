@@ -267,4 +267,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_survivors: labels and sizes broadcast onto the corpus, no corpus window") {
+    // the label table covers only clustered docs — both attachment
+    // joins must be broadcasts and cluster sizes must come from
+    // aggregating the label table, never a window over the corpus
+    val p = plan("q_dedup_survivors")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_cooccur_similarity: degree table broadcasts; top-k never global-sorts") {
+    val p = plan("q_cooccur_similarity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_pagerank: no nested-loop anywhere in the iteration chain") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
