@@ -29,6 +29,34 @@ object Sources {
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
 
+  /** S1 hardened: PERMISSIVE CSV ingest with a dead-letter split. The
+    * reference's ingestion drops rows that fail parsing inside
+    * try/except loops (enhanced_ingestion.py:432-545) — at scale the
+    * production posture is: malformed rows must neither fail the load
+    * (FAILFAST) nor vanish silently (DROPMALFORMED); they keep their
+    * raw text in `_corrupt_record` and land in a quarantine sink for
+    * replay after the upstream fix. One scan: the cache makes the
+    * good/bad split two filters over the same parse (Spark also
+    * requires materialization before filtering on the corrupt column).
+    * Returns the clean rows; quarantined raw lines (plus a load batch
+    * id) are written to `quarantinePath`.
+    */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      quarantinePath: String, batchId: String = "batch0"): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+      .cache()
+    raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"),
+        lit(batchId).as("load_batch"),
+        input_file_name().as("src_file"))
+      .write.mode(SaveMode.Append).parquet(quarantinePath)
+    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
   /** S3: latest-file discovery (enhanced_spark_etl.py:824-831 globs and
     * picks by mtime). Driver-side listing is fine — it's metadata, not
     * data.

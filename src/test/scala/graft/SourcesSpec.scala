@@ -25,6 +25,34 @@ class SourcesSpec extends SparkSpec {
     assert(inf.count() === 2)
   }
 
+  test("S1 hardened: malformed CSV rows quarantine, clean rows load") {
+    val dir = tmp()
+    // 3 parseable rows + 2 malformed (bad long, wrong arity)
+    val lines = Seq(
+      "id,name,v",
+      "1,a,1.5",
+      "not_a_long,b,2.5",
+      "2,c,3.5",
+      "3,d",
+      "4,e,4.5")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val good = Sources.readCsvQuarantine(
+      spark, s"$dir/in.csv", schema, s"$dir/quarantine", "b1")
+    assert(good.count() === 3)
+    assert(good.columns.toSeq === Seq("id", "name", "v"))
+    val q = spark.read.parquet(s"$dir/quarantine")
+    assert(q.count() === 2)
+    // raw lines survive verbatim for replay after the upstream fix
+    val rawLines = q.select("raw_line").as[String].collect().toSet
+    assert(rawLines === Set("not_a_long,b,2.5", "3,d"))
+    assert(q.select("load_batch").distinct().as[String].collect().toSeq === Seq("b1"))
+  }
+
   test("S5/S6: partitioned write prunes partitions on read") {
     val dir = tmp()
     val df = Seq(
