@@ -37,35 +37,23 @@ object Graph {
   val pagerank = QueryDef(
     "q_pagerank",
     (s, d) => {
-      val D = 0.85
-      // distinct runs on the 16-byte long pair; node-id strings are built
-      // AFTER the dedup shuffle, so the exchange never carries strings
+      // long node ids end-to-end (customer 2k, supplier 2k+1): the
+      // iteration shuffles never carry strings; the 'c…'/'s…' label is
+      // rendered on the 20-row result only
       val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-        .select(concat(lit("c"), col("ck")).as("a"),
-          concat(lit("s"), col("sk")).as("b"))
       val edges = e0.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-        .cache() // rescanned every iteration; at scale: a persisted table
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .cache() // joined into both rounds + counted for N
-      val n = deg.count().toDouble
-      def step(ranks: DataFrame): DataFrame =
-        edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
-          .select(col("dst").as("node"), (col("r") / col("deg")).as("contrib"))
-          .groupBy("node")
-          .agg(round(lit(0.15) / n + lit(D) *
-            sum(col("contrib").cast(DecimalType(28, 20))).cast("double"),
-            12).as("r"))
-      val r0 = deg.select(col("src").as("node"), (lit(1.0) / n).as("r"))
-      val r2 = step(step(r0))
+      val r2 = graft.operators.PageRank.ranks(edges, iters = 2)
       r2.orderBy(desc("r"), asc("node")).limit(20)
-        .select(col("node"), col("r").as("rank_score"))
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
+          col("r").as("rank_score"))
     },
     Some {
       def step(ranks: String, out: String) =
@@ -80,8 +68,8 @@ object Graph {
               JOIN deg d ON d.src = e.src
               GROUP BY e.dst)"""
       s"""WITH e0 AS (SELECT DISTINCT
-                        'c' || CAST(o_custkey AS VARCHAR) AS a,
-                        's' || CAST(l_suppkey AS VARCHAR) AS b
+                        o_custkey * 2 AS a,
+                        l_suppkey * 2 + 1 AS b
                       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
           edges AS (SELECT a AS src, b AS dst FROM e0
                     UNION ALL SELECT b, a FROM e0),
@@ -92,8 +80,10 @@ object Graph {
                  FROM deg),
           ${step("r0", "r1")},
           ${step("r1", "r2")}
-          SELECT node, r AS rank_score FROM r2
-          ORDER BY rank_score DESC, node LIMIT 20"""
+          SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                      ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+                 r AS rank_score
+          FROM (SELECT node, r FROM r2 ORDER BY r DESC, node LIMIT 20)"""
     }
   )
 

@@ -58,6 +58,29 @@ class GraphDedupSpec extends SparkSpec {
     }
   }
 
+  test("PageRank operator: uniform on regular graphs, mass conserved") {
+    import spark.implicits._
+    // K3 (symmetric triangle): regular graph → PageRank is exactly
+    // uniform at every iteration
+    val k3 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L), (1L, 2L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = graft.operators.PageRank.ranks(k3, iters = 3).collect()
+    assert(r.length === 3)
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0 / 3) < 1e-9, row))
+    // the real graph: no dangling nodes (symmetrized), so total rank
+    // mass stays 1 up to the per-round 12-dp rounding
+    val e0 = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    val mass = graft.operators.PageRank.ranks(edges, iters = 2)
+      .agg(sum("r")).head.getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass leaked")
+  }
+
   test("q_pagerank: scores in (0,1], monotone list, stable top node") {
     val rows = SparkEntry.queries("q_pagerank")(spark, sf0001).collect()
     assert(rows.length === 20)
