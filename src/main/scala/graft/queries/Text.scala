@@ -699,7 +699,12 @@ object Text {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", "_").as("t"))
         .select(col("doc_id"), explode(
           expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
-      val occ = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      // one explode pass total: the (doc, bigram) counts are the staging
+      // table; the corpus bigram counts RE-AGGREGATE that reduced side
+      // (the q_tfidf pattern) instead of re-exploding the raw stream,
+      // and the cache serves both the model build and the scoring join
+      val dt = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("n")).cache()
+      val occ = dt.groupBy("b").agg(sum(col("n")).as("c2"))
       val pre = occ.groupBy(substring(col("b"), 1, 1).as("p"))
         .agg(sum(col("c2")).as("c1"))
       val model = occ.withColumn("p", substring(col("b"), 1, 1))
@@ -707,7 +712,7 @@ object Text {
         .select(col("b"),
           round(log(col("c2").cast("double") / col("c1")), 9)
             .cast(DecimalType(18, 9)).as("logp"))
-      bg.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      dt
         .join(broadcast(model), Seq("b"))
         .groupBy("doc_id")
         .agg(sum(col("n")).as("n_bigrams"),
