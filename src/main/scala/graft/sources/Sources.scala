@@ -165,6 +165,18 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolution read (beyond the reference): a long-lived lake
+    * table accretes columns over time (the reference itself grew its
+    * 8-col core schema to the 20-col enhanced one); batches written
+    * before the change lack the new columns. `mergeSchema` unions the
+    * footer schemas across files and nulls the missing columns — the
+    * read-side contract for additive evolution. Footer merging costs a
+    * metadata pass over file footers, so production turns it on for
+    * the table's registered schema resolution, not every ad-hoc scan.
+    */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S12: size-gated cache (enhanced_spark_etl.py:134-140 caches only
     * when <10M rows). Gated on Catalyst plan statistics (file sizes /
     * CBO estimates) — metadata only, NO scan: paying a full count() to

@@ -53,6 +53,21 @@ class SourcesSpec extends SparkSpec {
     assert(q.select("load_batch").distinct().as[String].collect().toSeq === Seq("b1"))
   }
 
+  test("schema evolution: mergeSchema unions additive columns, nulls the gap") {
+    val dir = tmp()
+    // v1 batch: 3 columns; v2 batch (post-evolution): adds quality
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+      .write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 3.0, 0.9)).toDF("id", "name", "v", "quality")
+      .write.parquet(s"$dir/t/batch=2")
+    val merged = Sources.readParquetEvolved(spark, s"$dir/t")
+    assert(merged.columns.toSet === Set("id", "name", "v", "quality", "batch"))
+    assert(merged.count() === 3)
+    // pre-evolution rows surface the new column as null
+    assert(merged.filter(col("quality").isNull).count() === 2)
+    assert(merged.filter(col("quality") === 0.9).select("id").head.getLong(0) === 3L)
+  }
+
   test("S5/S6: partitioned write prunes partitions on read") {
     val dir = tmp()
     val df = Seq(
