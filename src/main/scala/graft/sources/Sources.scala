@@ -165,6 +165,25 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Range-sorted layout write (beyond the reference): global sort
+    * order as a FILE property. `repartitionByRange` samples the sort
+    * key and splits it into n contiguous ranges; `sortWithinPartitions`
+    * orders inside each file. The result: every file covers a DISJOINT
+    * key range, so parquet min/max footer stats let any range predicate
+    * skip whole files (and row groups) — the time-locality layout a
+    * 100 TB event table needs for "last 7 days" scans when the
+    * partition grain (day dirs) is too coarse or the key isn't a
+    * partition column. One shuffle at write time, amortized over every
+    * later range scan; the clustered-layout half of what z-ordering
+    * buys, without the bit-interleave (single-key workloads need no
+    * more).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, key: String,
+      files: Int): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Schema-evolution read (beyond the reference): a long-lived lake
     * table accretes columns over time (the reference itself grew its
     * 8-col core schema to the 20-col enhanced one); batches written

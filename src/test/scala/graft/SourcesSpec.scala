@@ -53,6 +53,29 @@ class SourcesSpec extends SparkSpec {
     assert(q.select("load_batch").distinct().as[String].collect().toSeq === Seq("b1"))
   }
 
+  test("range-sorted write: files cover disjoint key ranges (file-skipping layout)") {
+    val dir = tmp()
+    val ev = Tables.events(spark, sf0001).select("event_id", "ts", "value")
+    Sources.writeRangeSorted(ev, s"$dir/sorted", "ts", 4)
+    val parts = new java.io.File(s"$dir/sorted").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length === 4)
+    // per-file (min, max) of the sort key must be pairwise disjoint —
+    // that is the property parquet footer stats turn into file skipping
+    // TIMESTAMP_NTZ: compare as ISO strings (lexicographic == temporal)
+    val ranges = parts.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .select(min("ts").cast("string"), max("ts").cast("string")).head
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    assert(ev.count() === spark.read.parquet(s"$dir/sorted").count())
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+
   test("schema evolution: mergeSchema unions additive columns, nulls the gap") {
     val dir = tmp()
     // v1 batch: 3 columns; v2 batch (post-evolution): adds quality
