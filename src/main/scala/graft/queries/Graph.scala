@@ -1,9 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph analytics over a relationally-derived graph — the
   * second distributed-graph operator next to
@@ -20,10 +18,11 @@ object Graph {
     * nodes); output = the top-20 authority nodes.
     *
     * Determinism across engines: each round's rank is
-    * round((1-d)/N + d·Σ contrib, 12) where the contribution sum runs
+    * round(0.15/N + 0.85·Σ contrib, 12) where the contribution sum runs
     * through DECIMAL(28,20) — order-independent, so partition count and
     * merge order can't perturb the 12-dp result both engines carry into
-    * the next round (the same mechanism as the exact k-means centroids).
+    * the next round (see [[graft.operators.PageRank]] for the teleport
+    * literal rationale and the full mechanism).
     *
     * Scale shape per round: ranks and degrees are node-keyed (one hash
     * partitioning, reused), edges join ranks on src and aggregate
