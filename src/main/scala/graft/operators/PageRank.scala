@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.DecimalType
   * ride every iteration's shuffle; label rendering belongs on the
   * k-row result, not the edge list), and every node must have
   * out-degree ≥ 1 (symmetrize the graph or pre-drop dangling nodes —
-  * otherwise their mass silently leaks each round).
+  * otherwise their mass silently leaks each round). Nodes with
+  * in-degree 0 ARE handled: each round re-attaches the full node set,
+  * so they keep the bare teleport rank instead of vanishing.
   *
   * Determinism: each round's rank is
   * `round(teleport/N + damping · Σ r(u)/deg(u), 12)` with the
@@ -41,15 +43,31 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .cache() // joined into every round + counted for N
     val n = deg.count().toDouble
-    def step(r: DataFrame): DataFrame =
-      e.join(r.withColumnRenamed("node", "src"), "src")
+    // each round re-attaches the FULL node set: a node nobody links to
+    // receives no contribution rows, and rebuilding ranks from the
+    // groupBy(dst) alone would silently drop it (and leak its mass)
+    // from every later round — it must instead keep the bare teleport
+    // rank. The node set is deg's key column, already cached.
+    val nodes = deg.select(col("src").as("node"))
+    def step(r: DataFrame): DataFrame = {
+      val contrib = e.join(r.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"), (col("r") / col("deg")).as("contrib"))
         .groupBy("node")
-        .agg(round(lit(teleport) / n + lit(damping) *
-          sum(col("contrib").cast(DecimalType(28, 20))).cast("double"),
-          12).as("r"))
-    val r0 = deg.select(col("src").as("node"), (lit(1.0) / n).as("r"))
-    (1 to iters).foldLeft(r0)((r, _) => step(r))
+        .agg(sum(col("contrib").cast(DecimalType(28, 20))).as("csum"))
+      nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) / n + lit(damping) *
+            coalesce(col("csum").cast("double"), lit(0.0)),
+            12).as("r"))
+    }
+    val r0 = nodes.select(col("node"), (lit(1.0) / n).as("r"))
+    val out = (1 to iters).foldLeft(r0)((r, _) => step(r))
+      // materialize, then release the iteration caches — a long-lived
+      // session (the 136-query bench suite) must not keep them pinned
+      .localCheckpoint(true)
+    e.unpersist()
+    deg.unpersist()
+    out
   }
 }

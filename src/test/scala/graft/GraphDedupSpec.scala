@@ -67,6 +67,14 @@ class GraphDedupSpec extends SparkSpec {
     val r = graft.operators.PageRank.ranks(k3, iters = 3).collect()
     assert(r.length === 3)
     r.foreach(row => assert(math.abs(row.getDouble(1) - 1.0 / 3) < 1e-9, row))
+    // in-degree-0 node: 3 links to 2 but nobody links to 3 — it must
+    // keep the bare teleport rank, not vanish (and not leak its mass)
+    val spur = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val rs = graft.operators.PageRank.ranks(spur, iters = 2).collect()
+    assert(rs.length === 3, rs.mkString(","))
+    val m = rs.map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(math.abs(m(3L) - 0.05) < 1e-9, m) // teleport-only: 0.15/3
+    assert(math.abs(rs.map(_.getDouble(1)).sum - 1.0) < 1e-9, m)
     // the real graph: no dangling nodes (symmetrized), so total rank
     // mass stays 1 up to the per-round 12-dp rounding
     val e0 = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
