@@ -838,9 +838,57 @@ object Text {
     }
   )
 
+  /** Boilerplate / template detection: per source, the most-shared
+    * 30-char document prefix and how much of the source it covers —
+    * the signal a header/footer-stripping cleaning stage keys on
+    * (crawled corpora repeat site templates; docs opening identically
+    * are template instances, and the prefix is what gets stripped).
+    * Complements the dedup family: near-dup catches whole-document
+    * repeats, this catches SHARED AFFIXES on otherwise-distinct docs.
+    *
+    * Scale shape: one narrow substring projection, one (source,
+    * prefix) hash-agg, a per-source top-1 window over the already-
+    * reduced counts, and a broadcast-sized per-source total — the
+    * corpus is scanned once and never shuffles raw text (30-char
+    * prefixes only).
+    */
+  val boilerplate = QueryDef(
+    "q_boilerplate_prefix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.documents(s, d)
+        .select(col("source"), substring(col("text"), 1, 30).as("pfx"))
+      val counts = p.groupBy("source", "pfx").agg(count(lit(1)).as("n_docs_pfx"))
+      val tot = p.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_docs_pfx"), asc("pfx"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .join(broadcast(tot), "source")
+        .select(col("source"), col("pfx").as("top_prefix"),
+          col("n_docs_pfx"), col("n_docs"),
+          round(col("n_docs_pfx").cast("double") / col("n_docs"), 6)
+            .as("share"))
+    },
+    Some("""WITH p AS (SELECT source, substring(text, 1, 30) AS pfx
+                       FROM documents),
+            counts AS (SELECT source, pfx, CAST(COUNT(*) AS BIGINT) AS n_docs_pfx
+                       FROM p GROUP BY source, pfx),
+            tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM p GROUP BY source),
+            top AS (SELECT source, pfx, n_docs_pfx,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY n_docs_pfx DESC, pfx) AS rn
+                    FROM counts)
+            SELECT top.source, pfx AS top_prefix, n_docs_pfx, n_docs,
+                   ROUND(CAST(n_docs_pfx AS DOUBLE) / n_docs, 6) AS share
+            FROM top JOIN tot ON tot.source = top.source
+            WHERE rn = 1""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
       filterCascade, scalarArray, heavyHitters, lmScore, langConfusion,
-      bpeMerges)
+      bpeMerges, boilerplate)
 }
