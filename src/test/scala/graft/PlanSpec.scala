@@ -288,4 +288,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_lm_score: one corpus explode — model re-aggregates the cached reduced side") {
+    // the (doc, bigram) staging table is cached and serves both the
+    // model build and the scoring join; if either consumer falls off
+    // the cache, the doubled interpreted transform() explode pass is
+    // back. Asserted on the logical plan (AQE's string collapses the
+    // broadcast-side stage, hiding its cache scan).
+    val df = SparkEntry.queries("q_lm_score")(spark, sf0001)
+    df.collect()
+    val cachedRefs = df.queryExecution.withCachedData.collect {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => 1
+    }.sum
+    assert(cachedRefs >= 2, df.queryExecution.withCachedData.toString)
+  }
+
+  test("q_boilerplate_prefix: per-source totals broadcast; window over reduced counts") {
+    val p = plan("q_boilerplate_prefix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
