@@ -412,9 +412,14 @@ object Dedup {
         .components(pairs, "doc_a", "doc_b")
         .select(col("n").as("doc_id"), col("comp"))
       val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      // label-table size scales with the corpus DUP RATE, so broadcast
+      // must stay a size-based decision (Catalyst stats / AQE), never a
+      // forced hint: at a few % dups it broadcasts (asserted in
+      // PlanSpec); a high-dup crawl degrades to a shuffle join instead
+      // of OOMing the driver on a forced build side
       docs.select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"), "left")
-        .join(broadcast(sizes), Seq("comp"), "left")
+        .join(labels, Seq("doc_id"), "left")
+        .join(sizes, Seq("comp"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("component_id"),
           coalesce(col("sz"), lit(1L)).as("cluster_size"))

@@ -118,10 +118,12 @@ object Graph {
         .groupBy(col("a.sk").as("supp_a"), col("b.sk").as("supp_b"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= 10)
-        .join(broadcast(deg.select(col("sk").as("supp_a"), col("n").as("na"))),
-          "supp_a")
-        .join(broadcast(deg.select(col("sk").as("supp_b"), col("n").as("nb"))),
-          "supp_b")
+        // degree-table size scales with the item catalog — broadcast is
+        // Catalyst's size-based call (it fires at any sane catalog; a
+        // 100M-item catalog falls back to a shuffle join instead of a
+        // forced OOM build)
+        .join(deg.select(col("sk").as("supp_a"), col("n").as("na")), "supp_a")
+        .join(deg.select(col("sk").as("supp_b"), col("n").as("nb")), "supp_b")
         .select(col("supp_a"), col("supp_b"), col("common"), col("na"),
           col("nb"),
           round(col("common").cast("double") /
