@@ -200,7 +200,9 @@ object Relational {
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // customer scales with SF → size-based broadcast (Catalyst);
+        // nation/region are FIXED 25/5 rows → hinted
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -60,7 +60,11 @@ object Warehouse {
         Tables.orders(s, d).select("o_orderpriority").distinct(),
         "priority_key", col("o_orderpriority"))
       Tables.orders(s, d)
-        .join(broadcast(dimCustomer), col("o_custkey") === col("c_custkey"))
+        // customer dim scales with SF — broadcast stays Catalyst's
+        // size-based call (fires here; a billion-row dim degrades to a
+        // shuffle join, the correct big-dim star shape). The priority
+        // dim is structurally k rows → hinted.
+        .join(dimCustomer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(dimPriority), Seq("o_orderpriority"))
         .select(
           col("o_orderkey"),

@@ -86,8 +86,11 @@ object Streams {
     * bounded dimension (re-read per micro-batch, so slowly-changing
     * dims pick up updates), then aggregates per (hour, segment). The
     * static side is broadcast — the stream side never shuffles for the
-    * join, which is the only sane shape when the stream is the 100 TB
-    * side. No state beyond the windowed agg.
+    * join, which is the right shape while the dim fits an executor
+    * (segment/config dims do). A dim that scales with the user base
+    * outgrows any broadcast: that regime drops the hint (shuffled
+    * stream-static join) or moves the dim into keyed state. No state
+    * here beyond the windowed agg.
     */
   def enrichAgg(events: DataFrame, dim: DataFrame,
       watermarkDelay: String = "2 hours"): DataFrame =
