@@ -169,8 +169,12 @@ object Relational {
   )
 
   /** J1 — broadcast hash join: fact x small dim, grouped revenue.
-    * Ref: spark_etl.py:87-92 (stats enrichment join). `broadcast(part)`
-    * keeps the 100 TB plan shuffle-free on the fact side.
+    * Ref: spark_etl.py:87-92 (stats enrichment join). The explicit
+    * hint IS the J1 operator surface (the reference broadcasts its
+    * stats table by hand); it keeps the fact side shuffle-free while
+    * `part` fits an executor (GBs at mid SFs — fine). A dim that has
+    * outgrown every executor needs the hint removed — the size-based
+    * pattern q_join_star/q_star_fact use for their SF-scaling dims.
     */
   val joinBroadcast = QueryDef(
     "q_join_broadcast",
