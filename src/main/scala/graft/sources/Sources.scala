@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -182,6 +182,36 @@ object Sources {
       files: Int): Unit =
     df.repartitionByRange(files, col(key))
       .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Morton (Z-order) code over two bucketed dimensions: interleaves
+    * the low `bits` bits of each (a→even positions, b→odd), so sorting
+    * by the code clusters rows that are close in BOTH dimensions.
+    * Pure integer shift/mask Column expression — codegen'd, portable.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ordered layout write (the two-dimensional sibling of
+    * [[writeRangeSorted]]): range-partition + sort on the Morton code
+    * of two bucketed keys. Each output file then covers a small
+    * RECTANGLE in (a, b) space instead of a thin stripe — parquet
+    * min/max stats on BOTH columns stay tight, so predicates on either
+    * dimension (or both) skip files. This is what "OPTIMIZE ZORDER BY
+    * (user, ts)" buys on a lakehouse table, as a plain Spark write:
+    * the layout cost is one shuffle, amortized over every later scan
+    * that filters on either key. Callers pass integer bucket columns
+    * (value→bucket mapping is workload-specific: hash, range, or date).
+    */
+  def writeZOrdered(df: DataFrame, path: String, bucketA: Column,
+      bucketB: Column, files: Int, bits: Int = 8): Unit =
+    df.withColumn("_z", mortonCode(bucketA, bucketB, bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Schema-evolution read (beyond the reference): a long-lived lake

@@ -76,6 +76,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write: files cover rectangles in BOTH dims, not stripes") {
+    val dir = tmp()
+    // the full 256x256 grid, uniform: the ideal layout splits it into
+    // 16 64x64 tiles (Morton's recursive quadrant structure)
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    Sources.writeZOrdered(grid, s"$dir/z", col("a"), col("b"), 16)
+    def spans(path: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .select(max("a") - min("a"), max("b") - min("b")).head
+          (r.getLong(0), r.getLong(1))
+        }
+    val z = spans(s"$dir/z")
+    assert(z.length === 16)
+    assert(spark.read.parquet(s"$dir/z").count() === 65536)
+    // range-partition boundaries are sampled, so a file may straddle a
+    // quadrant edge — but most files must be near-tiles, bounded in
+    // BOTH dimensions
+    assert(z.count { case (sa, sb) => sa <= 128 && sb <= 128 } >= 12,
+      z.mkString(","))
+    // contrast: single-key sort gives thin stripes — every file spans
+    // (nearly) the full b range; that is the layout z-ordering replaces
+    Sources.writeRangeSorted(
+      grid.select(col("a"), col("b")), s"$dir/stripe", "a", 16)
+    val s = spans(s"$dir/stripe")
+    assert(s.count { case (_, sb) => sb >= 192 } >= 12, s.mkString(","))
+  }
+
   test("schema evolution: mergeSchema unions additive columns, nulls the gap") {
     val dir = tmp()
     // v1 batch: 3 columns; v2 batch (post-evolution): adds quality
