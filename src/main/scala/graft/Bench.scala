@@ -77,7 +77,9 @@ object Bench {
       "q_join_star", "q_hourly_agg", "q_window_range", "q_fact_enhanced",
       "q_dedup_exact", "q_minhash_lsh_pairs", "q_simhash_neardup",
       "q_jaccard_pairs", "q_dedup_clusters", "q_ann_ivf", "q_knn_brute",
-      "q_validation_report", "q_ml_cluster_summary")
+      "q_validation_report", "q_ml_cluster_summary",
+      "q_dedup_survivors", "q_bpe_merges", "q_pagerank",
+      "q_cooccur_similarity", "q_embed_truncation", "q_boilerplate_prefix")
     val slowest = results.sortBy(-_._2).take(5).map(_._1).toSet
     val printed = results.filter { case (k, _) => headline(k) || slowest(k) }
     val qs = printed.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
