@@ -86,5 +86,36 @@ object Temporal {
              GROUP BY 1, 2""")
   )
 
-  def all: Seq[QueryDef] = Seq(asofJoin, rangeJoin)
+  /** Z-order key derivation under the correctness gate: the Morton
+    * code `Sources.writeZOrdered` sorts by, computed over (user
+    * bucket, minute-of-day bucket) for every event, plus the per-file
+    * tile summary a layout job reports (events per z-tile of 256
+    * codes). Pure integer shift/mask arithmetic — bit-identical in
+    * both engines, so the oracle pins the exact interleave the layout
+    * relies on. Map-only + one tiny hash-agg.
+    */
+  val zorderKey = QueryDef(
+    "q_zorder_key",
+    (s, d) => {
+      val a = col("user_id") % 256
+      val b = (hour(col("ts")) * 60 + minute(col("ts"))) % 256
+      Tables.events(s, d)
+        .select((graft.sources.Sources.mortonCode(a, b) / 256)
+          .cast("long").as("z_tile"))
+        .groupBy("z_tile")
+        .agg(count(lit(1)).as("n_events"))
+    },
+    Some {
+      val a = "(user_id % 256)"
+      val b = "((hour(ts) * 60 + minute(ts)) % 256)"
+      val z = (0 until 8).map { i =>
+        s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+      }.mkString("(", " + ", ")")
+      s"""SELECT CAST($z // 256 AS BIGINT) AS z_tile,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1"""
+    }
+  )
+
+  def all: Seq[QueryDef] = Seq(asofJoin, rangeJoin, zorderKey)
 }
