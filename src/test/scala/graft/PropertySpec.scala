@@ -217,4 +217,24 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 50)
   }
+
+  test("morton code is a bijection on the 8-bit grid with quadrant structure") {
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+      .select(col("a"), col("b"),
+        graft.sources.Sources.mortonCode(col("a"), col("b")).as("z"))
+      .cache()
+    // bijective onto [0, 65536): file-layout tiles partition the space
+    val stats = grid.agg(countDistinct("z"), min("z"), max("z")).head
+    assert(stats.getLong(0) === 65536L)
+    assert(stats.getLong(1) === 0L && stats.getLong(2) === 65535L)
+    // recursive quadrant structure: the top two code bits are exactly
+    // the top bits of (a, b) — each code quarter is one 128x128 block
+    val bad = grid.filter(
+      (col("z") / 16384).cast("long") =!=
+        shiftleft((col("b") / 128).cast("long"), 1) + (col("a") / 128).cast("long"))
+    assert(bad.count() === 0)
+    grid.unpersist()
+  }
 }
