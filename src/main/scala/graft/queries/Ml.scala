@@ -163,6 +163,112 @@ object Ml {
                          END, 6) AS r2
             FROM dd"""))
 
+  /** Multiple linear regression (2 features + intercept) by distributed
+    * normal equations — the canonical big-data GLM shape: ONE
+    * aggregation pass accumulates XᵀX and Xᵀy (10 sums), the 3×3
+    * system solves in closed form (Cramer), and R² follows from the
+    * identity RSS = Σy² − βᵀXᵀy — no second data pass, no driver-side
+    * solve step, no MLlib. At 100 TB this is a single map-side-combined
+    * hash-agg to ONE row; the k³ solve is constant work.
+    *
+    * Determinism: integer-feature sums are exact BIGINTs, y-sums run
+    * through DECIMAL(18,4) (order-free), and both engines then execute
+    * the IDENTICAL double-arithmetic Cramer expansion — same ops, same
+    * order, same 1-ulp roundings. Features use weekday-Mon=0 on both
+    * sides (Spark `weekday` ≡ DuckDB `isodow - 1`; their `dayofweek`s
+    * disagree on Sunday). Formula validated against an independent
+    * least-squares solver on the test corpus.
+    */
+  val linreg = QueryDef(
+    "q_ml_linreg",
+    (s, d) => {
+      val D = graft.util.Exact.D
+      val base = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(hour(col("ts")).cast("long").as("x1"),
+          weekday(col("ts")).cast("long").as("x2"),
+          col("value").as("y"))
+      val m = base.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("y").cast(D)).as("sy_d"),
+        sum(col("x1").cast(D) * col("y").cast(D)).as("sx1y_d"),
+        sum(col("x2").cast(D) * col("y").cast(D)).as("sx2y_d"),
+        sum(col("y").cast(D) * col("y").cast(D)).as("syy_d"))
+      val n = col("n").cast("double")
+      val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+      val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
+      val sx22 = col("sx22").cast("double")
+      val sy = col("sy_d").cast("double"); val sx1y = col("sx1y_d").cast("double")
+      val sx2y = col("sx2y_d").cast("double"); val syy = col("syy_d").cast("double")
+      val det = n * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val b0 = (sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) +
+        sx2 * (sx1y * sx12 - sx11 * sx2y)) / det
+      val b1 = (n * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)) / det
+      val b2 = (n * (sx11 * sx2y - sx1y * sx12) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)) / det
+      val rss = syy - b0 * sy - b1 * sx1y - b2 * sx2y
+      val tss = syy - sy * sy / n
+      m.select(col("n"),
+        round(b0, 6).as("beta0"), round(b1, 6).as("beta1"),
+        round(b2, 6).as("beta2"),
+        round(lit(1.0) - rss / tss, 6).as("r2"))
+    },
+    Some("""WITH b AS (
+              SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                     CAST(isodow(ts) - 1 AS BIGINT) AS x2,
+                     value AS y
+              FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+            m AS (
+              SELECT COUNT(*) AS n,
+                     SUM(x1) AS sx1, SUM(x2) AS sx2,
+                     SUM(x1 * x1) AS sx11, SUM(x1 * x2) AS sx12,
+                     SUM(x2 * x2) AS sx22,
+                     SUM(CAST(y AS DECIMAL(18,4))) AS sy_d,
+                     SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS sx1y_d,
+                     SUM(CAST(x2 AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS sx2y_d,
+                     SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS syy_d
+              FROM b),
+            dd AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+                     CAST(sx11 AS DOUBLE) AS sx11d, CAST(sx12 AS DOUBLE) AS sx12d,
+                     CAST(sx22 AS DOUBLE) AS sx22d,
+                     CAST(sy_d AS DOUBLE) AS syd, CAST(sx1y_d AS DOUBLE) AS sx1yd,
+                     CAST(sx2y_d AS DOUBLE) AS sx2yd, CAST(syy_d AS DOUBLE) AS syyd
+              FROM m),
+            sol AS (
+              SELECT n, nd, syd, sx1yd, sx2yd, syyd,
+                     nd * (sx11d * sx22d - sx12d * sx12d) -
+                       sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                       sx2d * (sx1d * sx12d - sx11d * sx2d) AS det,
+                     (syd * (sx11d * sx22d - sx12d * sx12d) -
+                       sx1d * (sx1yd * sx22d - sx12d * sx2yd) +
+                       sx2d * (sx1yd * sx12d - sx11d * sx2yd)) AS det0,
+                     (nd * (sx1yd * sx22d - sx12d * sx2yd) -
+                       syd * (sx1d * sx22d - sx12d * sx2d) +
+                       sx2d * (sx1d * sx2yd - sx1yd * sx2d)) AS det1,
+                     (nd * (sx11d * sx2yd - sx1yd * sx12d) -
+                       sx1d * (sx1d * sx2yd - sx1yd * sx2d) +
+                       syd * (sx1d * sx12d - sx11d * sx2d)) AS det2
+              FROM dd)
+            SELECT n,
+                   ROUND(det0 / det, 6) AS beta0,
+                   ROUND(det1 / det, 6) AS beta1,
+                   ROUND(det2 / det, 6) AS beta2,
+                   ROUND(1.0 - (syyd - (det0 / det) * syd - (det1 / det) * sx1yd
+                                - (det2 / det) * sx2yd)
+                         / (syyd - syd * syd / nd), 6) AS r2
+            FROM sol""")
+  )
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
-    groupOls)
+    groupOls, linreg)
 }
