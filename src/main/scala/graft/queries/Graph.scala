@@ -86,6 +86,28 @@ object Graph {
     }
   )
 
+  /** Per-key degree cap: keep at most `k` items per key, chosen by a
+    * deterministic portable rank (md5 of "key:item", ties by item) so
+    * both engines — and any two runs — keep the same survivors. This is
+    * the standard hot-user guard in front of a co-occurrence self-join:
+    * one user with degree d contributes d² pairs, so capping at k bounds
+    * the pair volume by Σ min(deg, k)² regardless of how skewed the
+    * interaction graph is. The rank's window partitioning is on the same
+    * key the pair join shuffles on, so the exchange is reused, not
+    * added.
+    */
+  def capDegree(e: org.apache.spark.sql.DataFrame, key: String,
+      item: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"degree cap must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("hr"), col(item))
+    e.withColumn("hr",
+        md5(concat(col(key).cast("string"), lit(":"), col(item).cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("hr", "rn")
+  }
+
   /** Co-occurrence (item–item) similarity: supplier pairs scored by the
     * Jaccard of their customer sets — the collaborative-filtering
     * building block ("suppliers who share buyers"), and the relational
@@ -93,28 +115,34 @@ object Graph {
     * the pair space is generated per CUSTOMER, never items×items).
     *
     * Scale shape: the self-join on ck explodes pairs per customer, so
-    * volume is Σ deg(c)² over customers, not |suppliers|² — bounded by
-    * the per-key degree. On a web-scale interaction graph the standard
-    * guard is capping each user's item list (p99 degree) before the
-    * join; here degree is bounded by construction (TPC-H order fanout),
-    * so the cap stays a documented knob, as with the Jaccard
-    * df-prefilter. The shuffle carries only long keys; degrees attach
-    * to the 20 surviving pairs by two joins on a deg table that is
-    * |suppliers| rows — broadcast-sized at any corpus scale.
+    * volume is Σ deg(c)² over customers, not |suppliers|² — and one hot
+    * customer would make that quadratic in its degree, so the edge list
+    * runs through [[capDegree]] (K = 128) first: pair volume is bounded
+    * by Σ min(deg, 128)² BY CONSTRUCTION, and the cap's deterministic
+    * md5 rank is mirrored in the oracle SQL so both engines keep the
+    * same survivors at any scale (at the test SFs max degree is 102, so
+    * the cap passes everything through — the guard costs nothing until
+    * it is needed). Degrees are computed on the capped set, keeping the
+    * Jaccard internally consistent with the pair counts. The shuffle
+    * carries only long keys; degrees attach to the 20 surviving pairs
+    * by two joins on a deg table that is |suppliers| rows —
+    * size-based-broadcast at any sane catalog scale.
     */
   val cooccur = QueryDef(
     "q_cooccur_similarity",
     (s, d) => {
-      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val raw = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+      val e = capDegree(raw, "ck", "sk", 128)
         .cache() // read by the pair join (twice) + the degree agg
       val deg = e.groupBy("sk").agg(count(lit(1)).as("n"))
       val a = e.alias("a")
       val b = e.alias("b")
-      a.join(b, col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+      val out = a
+        .join(b, col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("supp_a"), col("b.sk").as("supp_b"))
         .agg(count(lit(1)).as("common"))
         .filter(col("common") >= 10)
@@ -130,9 +158,19 @@ object Graph {
             (col("na") + col("nb") - col("common")), 6).as("jaccard"))
         .orderBy(desc("jaccard"), asc("supp_a"), asc("supp_b"))
         .limit(20)
+        // materialize the 20-row result, then release the edge cache —
+        // the 140-query shared session must not keep it pinned
+        .localCheckpoint(true)
+      e.unpersist()
+      out
     },
-    Some("""WITH e AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-                       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    Some("""WITH raw AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT ck, sk FROM (
+                    SELECT ck, sk, ROW_NUMBER() OVER (PARTITION BY ck
+                      ORDER BY md5(CAST(ck AS VARCHAR) || ':' ||
+                                   CAST(sk AS VARCHAR)), sk) AS rn
+                    FROM raw) WHERE rn <= 128),
             deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY sk),
             pairs AS (SELECT a.sk AS supp_a, b.sk AS supp_b,
                              CAST(COUNT(*) AS BIGINT) AS common

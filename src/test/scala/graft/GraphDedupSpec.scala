@@ -58,6 +58,33 @@ class GraphDedupSpec extends SparkSpec {
     }
   }
 
+  test("capDegree: hot key bounded at K, cold keys untouched, deterministic") {
+    import spark.implicits._
+    // one hot customer with 500 items, two cold ones with 3 and 1
+    val hot = (1 to 500).map(i => (1L, i.toLong))
+    val cold = Seq((2L, 7L), (2L, 8L), (2L, 9L), (3L, 42L))
+    val e = (hot ++ cold).toDF("ck", "sk")
+    val k = 16
+    val capped = queries.Graph.capDegree(e, "ck", "sk", k).cache()
+    val perKey = capped.groupBy("ck").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey(1L) === k.toLong, perKey)        // hot key capped
+    assert(perKey(2L) === 3L && perKey(3L) === 1L) // cold keys intact
+    // pair volume after the cap is Σ C(min(deg,K),2) — the self-join
+    // on the capped set can never exceed it, no matter the input skew
+    val pairs = capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+      .count()
+    val bound = Seq(k, 3, 1).map(d => d.toLong * (d - 1) / 2).sum
+    assert(pairs === bound, s"pair volume $pairs != Σ C(min(deg,K),2) $bound")
+    // deterministic: a second run keeps the identical survivor set
+    val again = queries.Graph.capDegree(e, "ck", "sk", k)
+    assert(capped.exceptAll(again).count() === 0)
+    assert(again.exceptAll(capped).count() === 0)
+    capped.unpersist()
+  }
+
   test("PageRank operator: uniform on regular graphs, mass conserved") {
     import spark.implicits._
     // K3 (symmetric triangle): regular graph → PageRank is exactly
