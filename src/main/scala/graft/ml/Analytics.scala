@@ -130,6 +130,15 @@ object Analytics {
         round(stddev_samp(col("sc")), 6).as("scaled_std"))
   }
 
+  /** Shared guard for the bounded global hourly window (forecastRmse
+    * and q_forecast_linreg — the Star.withSurrogateKey require-pattern):
+    * 2M hourly rows ≈ 228 years of data, so anything larger means the
+    * caller is ordering un-aggregated grain through one task.
+    */
+  private[graft] def requireHourlyGrain(n: Long, who: String): Unit =
+    require(n <= 2_000_000L,
+      s"$who orders $n rows in one global window — aggregate first")
+
   /** M4+M5+M6: next-hour event-count forecast. Features are lag counts
     * (W3) + calendar; pipeline = assembler → RF; evaluated with RMSE on
     * a deterministic time split (last 20% of hours).
@@ -147,10 +156,7 @@ object Analytics {
     // Guard the global time-ordered window: hourly counts are small by
     // construction (one row per hour), but cap it so misuse on raw
     // event grain fails loudly instead of serializing to one task.
-    // 2M hourly rows ≈ 228 years of data.
-    val nHours = hourly.count()
-    require(nHours <= 2_000_000L,
-      s"forecastRmse orders $nHours rows in one global window — aggregate first")
+    requireHourlyGrain(hourly.count(), "forecastRmse")
     val Array(minH, maxH) = hourly.agg(
       min(unix_timestamp(col("h"))), max(unix_timestamp(col("h"))))
       .collect()(0).toSeq.map(_.toString.toLong).toArray

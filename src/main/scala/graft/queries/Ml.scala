@@ -13,11 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object Ml {
 
-  /** M1+M3+A5: KMeans over embeddings → cluster sizes + inertia. */
+  /** M1+M3+A5: k-means over embeddings → cluster sizes + inertia +
+    * label diversity (ref: src/spark_etl.py:220-231). The fit is the
+    * shared deterministic Lloyd loop ([[Vectors.lloyd]], k = 10,
+    * 2 rounds, seeds = the 10 lowest vec_ids) — the same algorithm
+    * MLlib's KMeans runs, but with exact DECIMAL centroid means and a
+    * pinned init so DuckDB replays it bit-for-bit; the MLlib engine
+    * itself (Analytics.clusterSummary) is pinned against this path in
+    * MlSpec (k-means|| init + float merge order make ITS exact output
+    * engine-specific, so the fit that feeds the oracle gate is the
+    * deterministic one). Inertia rides DECIMAL(28,12) partials —
+    * order-free.
+    */
   val clusterSummary = QueryDef(
     "q_ml_cluster_summary",
-    (s, d) => Analytics.clusterSummary(Tables.embeddings(s, d), k = 10),
-    None)
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val (a, _) = Vectors.lloyd(Tables.embeddings(s, d), k = 10, iters = 2,
+        passthrough = Seq("label"))
+      a.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("d2").cast(DecimalType(28, 12))).cast("double"), 4)
+            .as("inertia"),
+          countDistinct(col("label")).as("n_labels"))
+    },
+    Some(s"""WITH seed AS (${Vectors.lloydSeedSql(10)}),
+             a1 AS (${Vectors.lloydAssignSql("seed")}),
+             c1 AS (${Vectors.lloydUpdateSql("a1")}),
+             a2 AS (${Vectors.lloydAssignSql("c1", Seq("label"))})
+             SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+                    ROUND(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 4)
+                      AS inertia,
+                    CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+             FROM a2 GROUP BY cluster"""))
 
   /** M2: assembler+scaler — per-feature n / raw min/max (exact) and
     * scaled mean/std, which a correct standardizer pins to 0 / 1
@@ -269,6 +297,156 @@ object Ml {
             FROM sol""")
   )
 
+  /** Deterministic, fully-oracled twin of `q_ml_forecast_rmse` — the
+    * same forecasting task (next-hour event count from lag features,
+    * RMSE on the last-20% time split, ref:
+    * src/enhanced_spark_etl.py:466-511) with the RF swapped for a
+    * closed-form linear model so DuckDB can replay it bit-for-bit:
+    *
+    *  - features: x1 = this hour's count, x2 = the count 24 rows back
+    *    (daily seasonality); target y = next hour's count — all exact
+    *    BIGINTs, so the train moments (XᵀX, Xᵀy) are order-free integer
+    *    sums;
+    *  - betas: one 3×3 Cramer solve over those moments, the identical
+    *    double expression tree on both engines (the `q_ml_linreg`
+    *    recipe), rounded to 8 dp before prediction;
+    *  - RMSE: per-row squared residuals ride DECIMAL(28,12) partials
+    *    (order-free), one sqrt at the end.
+    *
+    * Scale shape: one hash-agg to hourly grain, one bounded global
+    * window on that grain (guarded like Analytics.forecastRmse — hourly
+    * rows are ≤ 2M for 228 years of data), then TWO scalar aggregations
+    * and a map-only residual pass — the corpus itself is never windowed
+    * or shuffled past the first agg. The train moments reduce to ONE
+    * row, so "fit" costs one map-side-combined pass regardless of SF.
+    */
+  val forecastLinreg = QueryDef(
+    "q_forecast_linreg",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val hourly = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      Analytics.requireHourlyGrain(hourly.count(), "forecastLinreg")
+      val w = Window.orderBy("h")
+      val feat = hourly
+        .withColumn("x2", lag(col("n"), 24).over(w))
+        .withColumn("y", lead(col("n"), 1).over(w))
+        .filter(col("x2").isNotNull && col("y").isNotNull)
+        .select(expr("unix_micros(cast(h as timestamp)) div 1000000").as("hs"),
+          col("n").as("x1"), col("x2"), col("y"))
+        // materialized once (≤2M rows): read by the cut scalar, the
+        // train moments, and the test residual pass
+        .localCheckpoint(true)
+      val cut = feat.agg((min(col("hs")) +
+        floor((max(col("hs")) - min(col("hs"))) * lit(0.8)).cast("long")).as("c"))
+      val train = feat.crossJoin(broadcast(cut)).filter(col("hs") <= col("c"))
+      val test = feat.crossJoin(broadcast(cut)).filter(col("hs") > col("c"))
+      val m = train.agg(
+        count(lit(1)).as("n_train"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"))
+      val nD = col("n_train").cast("double")
+      val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+      val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
+      val sx22 = col("sx22").cast("double")
+      val sy = col("sy").cast("double"); val sx1y = col("sx1y").cast("double")
+      val sx2y = col("sx2y").cast("double")
+      val det = nD * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+      val det1 = nD * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+      val det2 = nD * (sx11 * sx2y - sx1y * sx12) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+      val sol = m.select(col("n_train"),
+        round(det0 / det, 8).as("b0"),
+        round(det1 / det, 8).as("b1"),
+        round(det2 / det, 8).as("b2"))
+      val pred = round(col("b0") + col("b1") * col("x1") + col("b2") * col("x2"), 8)
+      val resid = col("y").cast("double") - pred
+      test.crossJoin(broadcast(sol))
+        .select(col("n_train"), col("b0"), col("b1"), col("b2"),
+          (resid * resid).cast(DecimalType(28, 12)).as("e2"))
+        .groupBy("n_train", "b0", "b1", "b2")
+        .agg(count(lit(1)).as("n_test"),
+          round(sqrt(sum(col("e2")).cast("double") / count(lit(1))), 6).as("rmse"))
+        .select(col("n_train"), col("n_test"), col("rmse"),
+          round(col("b0"), 6).as("beta0"), round(col("b1"), 6).as("beta1"),
+          round(col("b2"), 6).as("beta2"))
+    },
+    Some("""WITH hourly AS (
+              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            feat AS (
+              SELECT epoch_us(h) // 1000000 AS hs,
+                     n AS x1,
+                     lag(n, 24) OVER (ORDER BY h) AS x2,
+                     lead(n, 1) OVER (ORDER BY h) AS y
+              FROM hourly),
+            f AS (SELECT hs, x1, x2, y FROM feat
+                  WHERE x2 IS NOT NULL AND y IS NOT NULL),
+            cut AS (SELECT MIN(hs) + CAST(FLOOR((MAX(hs) - MIN(hs))
+                             * CAST(0.8 AS DOUBLE)) AS BIGINT) AS c FROM f),
+            train AS (SELECT * FROM f WHERE hs <= (SELECT c FROM cut)),
+            test AS (SELECT * FROM f WHERE hs > (SELECT c FROM cut)),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+                    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+                    CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+                    CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+                    CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+                    CAST(SUM(y) AS BIGINT) AS sy,
+                    CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+                    CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+                  FROM train),
+            dd AS (SELECT n_train,
+                     CAST(n_train AS DOUBLE) AS nd,
+                     CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+                     CAST(sx11 AS DOUBLE) AS sx11d, CAST(sx12 AS DOUBLE) AS sx12d,
+                     CAST(sx22 AS DOUBLE) AS sx22d,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(sx1y AS DOUBLE) AS sx1yd, CAST(sx2y AS DOUBLE) AS sx2yd
+                   FROM m),
+            sol AS (SELECT n_train,
+                      ROUND((syd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1yd * sx22d - sx12d * sx2yd) +
+                             sx2d * (sx1yd * sx12d - sx11d * sx2yd)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b0,
+                      ROUND((nd * (sx1yd * sx22d - sx12d * sx2yd) -
+                             syd * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx2yd - sx1yd * sx2d)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b1,
+                      ROUND((nd * (sx11d * sx2yd - sx1yd * sx12d) -
+                             sx1d * (sx1d * sx2yd - sx1yd * sx2d) +
+                             syd * (sx1d * sx12d - sx11d * sx2d)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b2
+                    FROM dd),
+            res AS (SELECT n_train, b0, b1, b2,
+                      (CAST(y AS DOUBLE) - ROUND(b0 + b1 * x1 + b2 * x2, 8)) *
+                      (CAST(y AS DOUBLE) - ROUND(b0 + b1 * x1 + b2 * x2, 8)) AS e2
+                    FROM test CROSS JOIN sol)
+            SELECT n_train, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   ROUND(SQRT(CAST(SUM(CAST(e2 AS DECIMAL(28,12))) AS DOUBLE)
+                              / COUNT(*)), 6) AS rmse,
+                   ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+                   ROUND(b2, 6) AS beta2
+            FROM res GROUP BY n_train, b0, b1, b2"""))
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
-    groupOls, linreg)
+    forecastLinreg, groupOls, linreg)
 }

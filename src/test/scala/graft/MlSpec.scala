@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the MLlib engines against their deterministic, oracle-proven
+  * twins. The DuckDB gate proves the closed-form paths; these tests
+  * prove MLlib's fits AGREE with them — closing the "nothing proves
+  * MLlib's fit agrees with anything" gap without pretending MLlib's
+  * engine-specific float behavior can hash-match an oracle.
+  */
+class MlSpec extends SparkSpec {
+
+  test("MLlib KMeans agrees with the oracled Lloyd twin (k=10)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val total = emb.count()
+
+    // the oracle-gated fit: pinned-seed exact Lloyd, 2 rounds
+    val (lloydAssigned, _) = queries.Vectors.lloyd(emb, k = 10, iters = 2)
+    val lloydInertia = lloydAssigned.agg(sum("d2")).head.getDouble(0)
+    val lloydN = lloydAssigned.count()
+
+    // the MLlib fit behind Analytics.clusterSummary: k-means|| init,
+    // 8 seeded iterations
+    val mllib = ml.Analytics.clusterSummary(emb, k = 10).cache()
+    val mlInertia = mllib.agg(sum("inertia")).head.getDouble(0)
+    val mlN = mllib.agg(sum("n")).head.getLong(0)
+
+    // both cluster every vector exactly once
+    assert(lloydN === total && mlN === total)
+    assert(mllib.count() <= 10 && mllib.count() >= 2)
+    // agreement: k-means minimizes inertia, and MLlib's smarter init +
+    // more iterations must land at least as tight a solution as the
+    // 2-round pinned-seed Lloyd (slack for its earlier convergence
+    // tolerance). A broken MLlib integration (wrong features, wrong
+    // distance, unseeded nondeterminism) lands far outside this band.
+    assert(mlInertia > 0.0)
+    assert(mlInertia <= lloydInertia * 1.05,
+      s"MLlib inertia $mlInertia not within 5% of Lloyd $lloydInertia")
+    // determinism of the pinned seed: a refit is bit-identical
+    val refit = ml.Analytics.clusterSummary(emb, k = 10)
+    assert(refit.exceptAll(mllib).count() === 0)
+    mllib.unpersist()
+  }
+
+  test("MLlib RF forecast agrees in magnitude with the oracled linear twin") {
+    val rf = SparkEntry.queries("q_ml_forecast_rmse")(spark, sf0001).collect()
+    assert(rf.length === 1)
+    val rfRmse = rf(0).getAs[Double]("rmse")
+    val lin = SparkEntry.queries("q_forecast_linreg")(spark, sf0001).collect()
+    assert(lin.length === 1)
+    val linRmse = lin(0).getAs[Double]("rmse")
+    // same task, same split discipline: the RF must be in the same
+    // error regime as the closed-form linear model — a broken pipeline
+    // (leaked target, wrong split, unfit model) is orders of magnitude off
+    assert(rfRmse > 0.0 && linRmse > 0.0)
+    assert(rfRmse < linRmse * 3.0 && rfRmse > linRmse / 10.0,
+      s"RF rmse $rfRmse out of regime vs linear $linRmse")
+  }
+
+  test("global-window guards reject un-aggregated grain") {
+    import spark.implicits._
+    // 2M+ distinct hours of synthetic events: both forecast paths must
+    // refuse to serialize them through one global window
+    val wide = spark.range(2_200_000)
+      .select(expr("cast(timestamp_micros(id * 3600000000) as timestamp_ntz)")
+        .as("ts"))
+    val e1 = intercept[IllegalArgumentException] {
+      ml.Analytics.forecastRmse(wide)
+    }
+    assert(e1.getMessage.contains("global window"))
+    // the shared guard both forecast paths call
+    val e2 = intercept[IllegalArgumentException] {
+      ml.Analytics.requireHourlyGrain(2_000_001L, "spec")
+    }
+    assert(e2.getMessage.contains("aggregate first"))
+    ml.Analytics.requireHourlyGrain(2_000_000L, "spec") // boundary passes
+  }
+}
