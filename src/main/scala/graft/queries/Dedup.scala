@@ -220,11 +220,16 @@ object Dedup {
     * duplicates (typo'd titles, re-encoded headers) that shingle-based
     * MinHash/SimHash under-weight.
     *
-    * Scale shape: pair generation is a BLOCKED equi self-join — the
-    * quadratic space only exists inside a (lang, source) block, the
-    * standard blocking-key design; `abs(len_a - len_b) <= 80` prunes
-    * before the O(40×40) DP runs. Levenshtein is classic integer DP in
-    * both engines, so the distances compare exactly.
+    * Scale shape: pair generation is a BLOCKED equi self-join on
+    * (lang, source, length-band) — the quadratic space only exists
+    * inside a block whose LENGTH extent is fixed (band = len div 80),
+    * so blocks stop growing linearly with the corpus the way bare
+    * (lang, source) blocks do; the probe side fans out to its own band
+    * ±1, which together with `abs(len_a - len_b) <= 80` covers exactly
+    * the pairs the unbanded join kept (|len diff| ≤ 80 ⇒ |band diff|
+    * ≤ 1), so results are unchanged while the len prefilter now acts AT
+    * pair GENERATION, not after it. Levenshtein is classic integer DP
+    * in both engines, so the distances compare exactly.
     */
   val editNeardup = QueryDef(
     "q_edit_neardup",
@@ -236,7 +241,11 @@ object Dedup {
       def side(p: String) = t.select(
         col("doc_id").as(s"${p}_id"), col("lang"), col("source"),
         col("p").as(s"${p}_p"), col("len").as(s"${p}_len"))
-      side("a").join(side("b"), Seq("lang", "source"))
+      val a = side("a").withColumn("band", expr("a_len div 80"))
+      val b = side("b").withColumn("band",
+        explode(array(expr("b_len div 80 - 1"), expr("b_len div 80"),
+          expr("b_len div 80 + 1"))))
+      a.join(b, Seq("lang", "source", "band"))
         .filter(col("a_id") < col("b_id") &&
           abs(col("a_len") - col("b_len")) <= 80)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),

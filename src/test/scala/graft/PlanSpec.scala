@@ -109,6 +109,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_edit_neardup: length band is part of the pair-generation equi-join") {
+    val p = plan("q_edit_neardup")
+    // the blocking key must include the len-div-80 band so the
+    // quadratic pair space is bounded by the band extent, not by how
+    // many corpus docs share a (lang, source) — the join keys line of
+    // the hash/sort-merge join carries all three columns
+    val joinKeyLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("lang")).getOrElse("")
+    assert(joinKeyLine.contains("band"), s"band not in join keys:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sampling, split, and chunking stay map-only (no hash shuffle)") {
     // deterministic md5-bucket assignment and chunk explode are narrow
     // per-row transforms; the only Exchange permitted is the RoundRobin
