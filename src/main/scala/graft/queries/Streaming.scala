@@ -139,7 +139,8 @@ object Streaming {
       q.awaitTermination()
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       s.read.parquet(statusPath)
-        .withColumn("last_ts", col("last_ts").cast("timestamp_ntz"))
+        .select(col("user_id"), col("last_ts").cast("timestamp_ntz").as("last_ts"),
+          col("last_value"), col("last_type"))
     },
     Some("""SELECT user_id, last_ts, last_value, last_type FROM (
               SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
@@ -148,7 +149,38 @@ object Streaming {
                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
               FROM events) WHERE rn = 1"""))
 
+  /** Streaming exact dedup under the oracle gate: the events source is
+    * streamed TWICE (a union of two scans — every event_id arrives at
+    * least twice, since the raw table's ids are unique), run through
+    * `dropDuplicatesWithinWatermark`, and the surviving rows aggregate
+    * per event_type. The oracle is the single-copy batch aggregate: the
+    * counts match only if the dedup removed every injected duplicate
+    * and kept every original — the same acceptance the batch
+    * `q_dedup_exact` oracle enforces (ref dedup semantics:
+    * src/data_validator.py:406-415). Duplicate copies are bit-identical,
+    * so which copy survives can't perturb the aggregate.
+    */
+  val streamDedup = QueryDef(
+    "q_stream_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val twice = Streams.readEvents(s, d)
+        .unionByName(Streams.readEvents(s, d))
+      val deduped = Streams.dedupEvents(twice)
+      Streams.runToTable(deduped, "stream_dedup", "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double")
+            .as("sum_value"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+                   COUNT(DISTINCT event_id) AS n_ids,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1"""))
+
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
-      streamSessionize, streamAttrib)
+      streamSessionize, streamAttrib, streamDedup)
 }

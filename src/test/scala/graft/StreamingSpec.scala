@@ -182,4 +182,37 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "last_value").as[(Long, Double)].collect().toSet
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
+
+  test("statusUpsert rewrites only the buckets a micro-batch touches") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("status_bkt").toString
+    val path = s"$dir/status"
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val p = Paths.get(path, s"bucket=$b")
+      if (!Files.exists(p)) Map.empty
+      else Files.list(p).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    // users 1 and 2 land in buckets 1 and 2
+    val b1 = Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    Streams.statusUpsert(b1, path)
+    val bucket1Before = bucketFiles(1)
+    val bucket2Before = bucketFiles(2)
+    assert(bucket1Before.nonEmpty && bucket2Before.nonEmpty)
+    // second batch touches ONLY user 1 → only bucket 1 may be rewritten
+    val b2 = Seq((1L, ts(500), 9.0, "flow", 3L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    Streams.statusUpsert(b2, path)
+    assert(bucketFiles(2) === bucket2Before,
+      "untouched bucket was rewritten — write amplification is O(table)")
+    assert(bucketFiles(1) !== bucket1Before, "touched bucket not rewritten")
+    // and the merge is still last-writer-wins
+    val out = spark.read.parquet(path)
+      .select("user_id", "last_value").as[(Long, Double)].collect().toSet
+    assert(out === Set((1L, 9.0), (2L, 2.0)))
+  }
 }
