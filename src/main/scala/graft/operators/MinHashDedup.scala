@@ -109,10 +109,17 @@ object MinHashDedup {
     val matches = (0 until NumHashes)
       .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
       .reduce(_ + _)
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
+    // materialize the (narrow, collision-bounded) pair list, then
+    // release the staged signatures — in a long-lived shared session
+    // the cache must not stay pinned past the operator (the
+    // PageRank.ranks pattern)
+    val out = pairs.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   /** DuckDB SQL for [[candidatePairs]] (small-scale OR-join is fine for

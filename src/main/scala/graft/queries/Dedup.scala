@@ -363,12 +363,17 @@ object Dedup {
       val dups = cand.join(sa, "doc").join(sb, "partner")
         .filter(matches.cast("double") / MH.NumHashes >= 0.5)
         .select(col("doc"), col("partner"))
-      sigs.filter(col("is_new")).select(col("doc_id"))
+      // materialize the new-batch report, then release the staged
+      // signatures (cache-hygiene standard: PageRank.ranks pattern)
+      val out = sigs.filter(col("is_new")).select(col("doc_id"))
         .join(dups, col("doc_id") === col("doc"), "left")
         .groupBy("doc_id")
         .agg(count(col("partner")).as("n_dups"),
           (count(col("partner")) > 0).as("is_dup"),
           min(col("partner")).as("dup_of"))
+        .localCheckpoint(true)
+      sigs.unpersist()
+      out
     },
     Some {
       val MH = MinHashDedup

@@ -712,7 +712,10 @@ object Text {
         .select(col("b"),
           round(log(col("c2").cast("double") / col("c1")), 9)
             .cast(DecimalType(18, 9)).as("logp"))
-      dt
+      // materialize the per-doc scores (narrower than the (doc, bigram)
+      // staging table), then release the staged counts (cache-hygiene
+      // standard: PageRank.ranks pattern)
+      val out = dt
         .join(broadcast(model), Seq("b"))
         .groupBy("doc_id")
         .agg(sum(col("n")).as("n_bigrams"),
@@ -720,6 +723,9 @@ object Text {
             .cast("double") / sum(col("n")).cast("double"), 6).as("avg_logp"))
         .withColumn("lm_class",
           when(col("avg_logp") < -3.0, "suspect").otherwise("ok"))
+        .localCheckpoint(true)
+      dt.unpersist()
+      out
     },
     Some(s"""WITH t0 AS (SELECT doc_id,
                     regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t

@@ -54,7 +54,12 @@ object Sources {
         lit(batchId).as("load_batch"),
         input_file_name().as("src_file"))
       .write.mode(SaveMode.Append).parquet(quarantinePath)
-    raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    // materialize the clean rows, then release the two-sided scan cache
+    // (cache-hygiene standard: PageRank.ranks pattern)
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record").localCheckpoint(true)
+    raw.unpersist()
+    clean
   }
 
   /** S3: latest-file discovery (enhanced_spark_etl.py:824-831 globs and

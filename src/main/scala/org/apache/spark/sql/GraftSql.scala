@@ -14,4 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSql {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** True when no Dataset.cache()/persist() entries remain registered —
+    * the cache-hygiene assertion (operators must release their staged
+    * caches before returning; localCheckpoint blocks are tracked by the
+    * ContextCleaner, not the CacheManager, so they don't count).
+    */
+  def noPinnedCaches(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -1,0 +1,34 @@
+package graft
+
+/** Cache-hygiene contract: every operator that stages a cache()
+  * (signatures, edge lists, subvector views, bigram counts) must
+  * materialize its result and RELEASE the cache before returning —
+  * in the 140-query shared session a leaked cache stays pinned until
+  * LRU eviction, taxing every later query's executor memory. The
+  * standard is the PageRank.ranks pattern: localCheckpoint(true) the
+  * (small) result, unpersist the staging relation.
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  private val cacheStagingQueries = Seq(
+    "q_pagerank",            // edge list + degree table
+    "q_cooccur_similarity",  // capped edge list
+    "q_minhash_lsh_pairs",   // staged signatures
+    "q_minhash_est_quality", // staged signatures (via candidatePairs)
+    "q_dedup_incremental",   // signatures + is_new flag
+    "q_dedup_clusters",      // signatures + CC edge list
+    "q_dedup_survivors",     // signatures + CC edge list
+    "q_pq_encode",           // subvector staging view
+    "q_lm_score"             // (doc, bigram) counts
+  )
+
+  test("cache-staging queries leave no pinned Dataset caches behind") {
+    spark.catalog.clearCache() // isolate from earlier suites in this JVM
+    for (q <- cacheStagingQueries) {
+      val n = SparkEntry.queries(q)(spark, sf0001).count()
+      assert(n > 0, s"$q returned no rows")
+      assert(org.apache.spark.sql.GraftSql.noPinnedCaches(spark),
+        s"$q left a cache registered after its action completed")
+    }
+  }
+}
