@@ -751,6 +751,97 @@ object Text {
           FROM dt JOIN model USING (b) GROUP BY doc_id""")
   )
 
+  /** DSIR-style importance weights for data selection (hashed-n-gram
+    * importance resampling, the public recipe for targeting a
+    * pretraining mix at a domain): build TWO char-bigram models — the
+    * target domain (lang = 'en') and the full corpus — and weight every
+    * document by its average per-bigram log-likelihood RATIO
+    * log p_target(b) − log p_corpus(b); the top 50 by weight are the
+    * selection batch. Bigrams unseen in the target back off to a fixed
+    * floor (−21 ≈ ln 1e-9).
+    *
+    * Scale shape: both models are ≤ 38² broadcast rows built from the
+    * SAME staged (doc, bigram, n) counts the q_lm_score pass produces
+    * (one explode of the corpus, re-aggregated per model — the reduced-
+    * side re-agg pattern); scoring is two broadcast joins + one per-doc
+    * roll-up, and selection is TakeOrderedAndProject, never a global
+    * sort. Determinism: both models' log-probs round to DECIMAL(18,9),
+    * the ratio is exact decimal subtraction, and the weighted sum is
+    * count×DECIMAL — order-free.
+    */
+  val dsirWeights = QueryDef(
+    "q_dsir_weights",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val bg = Tables.documents(s, d)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", "_").as("t"))
+        .select(col("doc_id"), col("lang"), explode(
+          expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
+      val dt = bg.groupBy("doc_id", "lang", "b")
+        .agg(count(lit(1)).as("n")).cache()
+      def model(occ: org.apache.spark.sql.DataFrame, out: String) = {
+        val pre = occ.groupBy(substring(col("b"), 1, 1).as("p"))
+          .agg(sum(col("c2")).as("c1"))
+        occ.withColumn("p", substring(col("b"), 1, 1))
+          .join(broadcast(pre), Seq("p"))
+          .select(col("b"),
+            round(log(col("c2").cast("double") / col("c1")), 9)
+              .cast(DecimalType(18, 9)).as(out))
+      }
+      val corpus = model(dt.groupBy("b").agg(sum(col("n")).as("c2")), "logp_s")
+      val target = model(dt.filter(col("lang") === "en")
+        .groupBy("b").agg(sum(col("n")).as("c2")), "logp_t")
+      val lt = coalesce(col("logp_t"), lit(-21).cast(DecimalType(18, 9)))
+      val out = dt
+        .join(broadcast(corpus), Seq("b"))
+        .join(broadcast(target), Seq("b"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(round(
+          sum(col("n").cast(DecimalType(10, 0)) * (lt - col("logp_s")))
+            .cast("double") / sum(col("n")).cast("double"), 6)
+          .as("dsir_weight"))
+        .orderBy(desc("dsir_weight"), asc("doc_id"))
+        .limit(50)
+        .localCheckpoint(true)
+      dt.unpersist()
+      out
+    },
+    Some("""WITH t0 AS (SELECT doc_id, lang,
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t
+                 FROM documents WHERE length(text) >= 2),
+          bg AS (SELECT doc_id, lang,
+                   unnest(list_transform(range(1, length(t)),
+                     i -> substr(t, CAST(i AS INT), 2))) AS b
+                 FROM t0),
+          dt AS (SELECT doc_id, lang, b, COUNT(*) AS n
+                 FROM bg GROUP BY doc_id, lang, b),
+          occ_s AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c2 FROM dt GROUP BY b),
+          pre_s AS (SELECT substr(b, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
+                    FROM occ_s GROUP BY 1),
+          model_s AS (SELECT b,
+                        CAST(ROUND(LN(CAST(c2 AS DOUBLE) / c1), 9)
+                          AS DECIMAL(18,9)) AS logp_s
+                      FROM occ_s JOIN pre_s ON substr(occ_s.b, 1, 1) = pre_s.p),
+          occ_t AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c2 FROM dt
+                    WHERE lang = 'en' GROUP BY b),
+          pre_t AS (SELECT substr(b, 1, 1) AS p, CAST(SUM(c2) AS BIGINT) AS c1
+                    FROM occ_t GROUP BY 1),
+          model_t AS (SELECT b,
+                        CAST(ROUND(LN(CAST(c2 AS DOUBLE) / c1), 9)
+                          AS DECIMAL(18,9)) AS logp_t
+                      FROM occ_t JOIN pre_t ON substr(occ_t.b, 1, 1) = pre_t.p)
+          SELECT doc_id, lang,
+                 ROUND(CAST(SUM(CAST(n AS DECIMAL(10,0)) *
+                   (COALESCE(logp_t, CAST(-21 AS DECIMAL(18,9))) - logp_s))
+                   AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS dsir_weight
+          FROM dt
+          JOIN model_s USING (b)
+          LEFT JOIN model_t USING (b)
+          GROUP BY doc_id, lang
+          ORDER BY dsir_weight DESC, doc_id LIMIT 50"""))
+
   /** Language-ID evaluation: the labeled-vs-predicted confusion matrix
     * over the whole corpus, with each cell's share of its labeled row
     * — the accuracy artifact a lang-ID model review reads. Reuses the
@@ -895,6 +986,7 @@ object Text {
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade, scalarArray, heavyHitters, lmScore, langConfusion,
+      filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
+      langConfusion,
       bpeMerges, boilerplate)
 }
