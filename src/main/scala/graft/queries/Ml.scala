@@ -447,6 +447,104 @@ object Ml {
                    ROUND(b2, 6) AS beta2
             FROM res GROUP BY n_train, b0, b1, b2"""))
 
+  /** Distributed logistic regression WITHOUT MLlib: full-batch gradient
+    * descent, 3 fixed rounds, predicting P(event_type = 'purchase')
+    * from (hour, weekday). The exact distributed-GLM shape at 100 TB:
+    * each round is ONE map-side-combined aggregation producing the
+    * 3-component gradient, the k-row β lives on the driver between
+    * rounds (the Lloyd-centroid contract), and nothing else crosses.
+    *
+    * Cross-engine determinism (the Lloyd/PageRank recipe applied to a
+    * transcendental): the sigmoid rounds to 9 dp per row — absorbing
+    * any libm EXP ulp skew — per-row gradient terms ride
+    * DECIMAL(28,12) partials (order-free), and each round's β is
+    * rounded to 12 dp by the ENGINE (not the driver) before becoming
+    * next round's literal, so both engines carry identical β into
+    * every round. Accuracy needs no sigmoid at all: σ(z) ≥ 0.5 ⟺
+    * z ≥ 0. Iteration budget is explicit — every GD round is a full
+    * corpus pass.
+    */
+  val logregGd = QueryDef(
+    "q_ml_logreg_gd",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(hour(col("ts")).cast("double").as("x1"),
+          weekday(col("ts")).cast("double").as("x2"),
+          (col("event_type") === "purchase").cast("double").as("y"))
+        .cache() // 3 gradient passes + the scoring pass
+      val n = base.count()
+      def z(b: (Double, Double, Double)) =
+        lit(b._1) + lit(b._2) * col("x1") + lit(b._3) * col("x2")
+      var b = (0.0, 0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val sig = round(lit(1.0) / (lit(1.0) + exp(-z(b))), 9)
+        val r = base
+          .agg(sum((col("y") - sig).cast(DecimalType(28, 12))).as("g0"),
+            sum(((col("y") - sig) * col("x1")).cast(DecimalType(28, 12))).as("g1"),
+            sum(((col("y") - sig) * col("x2")).cast(DecimalType(28, 12))).as("g2"))
+          .select(
+            round(lit(b._1) + lit(0.5) * col("g0").cast("double") /
+              lit(n.toDouble), 12).as("b0"),
+            round(lit(b._2) + lit(0.5) * col("g1").cast("double") /
+              lit(n.toDouble), 12).as("b1"),
+            round(lit(b._3) + lit(0.5) * col("g2").cast("double") /
+              lit(n.toDouble), 12).as("b2"))
+          .head()
+        b = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      }
+      val correct = sum(when((z(b) >= 0) === (col("y") === 1.0), 1L)
+        .otherwise(0L))
+      val out = base.agg(count(lit(1)).as("n"),
+          round(correct.cast("double") / count(lit(1)), 6).as("accuracy"))
+        .select(col("n"), round(lit(b._1), 6).as("beta0"),
+          round(lit(b._2), 6).as("beta1"),
+          round(lit(b._3), 6).as("beta2"), col("accuracy"))
+        .localCheckpoint(true)
+      base.unpersist()
+      out
+    },
+    Some {
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+              SELECT ROUND(p.b0 + CAST(0.5 AS DOUBLE) * CAST(g.g0 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b0,
+                     ROUND(p.b1 + CAST(0.5 AS DOUBLE) * CAST(g.g1 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b1,
+                     ROUND(p.b2 + CAST(0.5 AS DOUBLE) * CAST(g.g2 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b2
+              FROM (SELECT SUM(CAST((y - s) AS DECIMAL(28,12))) AS g0,
+                           SUM(CAST((y - s) * x1 AS DECIMAL(28,12))) AS g1,
+                           SUM(CAST((y - s) * x2 AS DECIMAL(28,12))) AS g2
+                    FROM (SELECT y, x1, x2,
+                            ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                              + EXP(-(p.b0 + p.b1 * x1 + p.b2 * x2))), 9) AS s
+                          FROM base CROSS JOIN $prev p)) g
+              CROSS JOIN $prev p CROSS JOIN nn)"""
+      s"""WITH base AS (
+            SELECT CAST(hour(ts) AS DOUBLE) AS x1,
+                   CAST(isodow(ts) - 1 AS DOUBLE) AS x2,
+                   CASE WHEN event_type = 'purchase' THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS y
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+          i0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+                        CAST(0 AS DOUBLE) AS b2),
+          ${iter("i0", "i1")},
+          ${iter("i1", "i2")},
+          ${iter("i2", "i3")}
+          SELECT nn.n AS n,
+                 ROUND(p.b0, 6) AS beta0, ROUND(p.b1, 6) AS beta1,
+                 ROUND(p.b2, 6) AS beta2,
+                 ROUND(CAST(SUM(CASE WHEN (p.b0 + p.b1 * x1 + p.b2 * x2 >= 0)
+                                        = (y = 1)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 6) AS accuracy
+          FROM base CROSS JOIN i3 p CROSS JOIN nn
+          GROUP BY nn.n, p.b0, p.b1, p.b2"""
+    })
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
-    forecastLinreg, groupOls, linreg)
+    forecastLinreg, groupOls, linreg, logregGd)
 }
