@@ -158,11 +158,9 @@ object Graph {
             (col("na") + col("nb") - col("common")), 6).as("jaccard"))
         .orderBy(desc("jaccard"), asc("supp_a"), asc("supp_b"))
         .limit(20)
-        // materialize the 20-row result, then release the edge cache —
-        // the 140-query shared session must not keep it pinned
-        .localCheckpoint(true)
-      e.unpersist()
-      out
+      // materialize the 20-row result, then release the edge cache —
+      // the 140-query shared session must not keep it pinned
+      graft.util.Staged.checkpointRelease("q_cooccur_similarity", out, e)
     },
     Some("""WITH raw AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
                          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -723,9 +723,7 @@ object Text {
             .cast("double") / sum(col("n")).cast("double"), 6).as("avg_logp"))
         .withColumn("lm_class",
           when(col("avg_logp") < -3.0, "suspect").otherwise("ok"))
-        .localCheckpoint(true)
-      dt.unpersist()
-      out
+      graft.util.Staged.checkpointRelease("q_lm_score", out, dt)
     },
     Some(s"""WITH t0 AS (SELECT doc_id,
                     regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t

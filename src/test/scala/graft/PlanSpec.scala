@@ -240,8 +240,11 @@ class PlanSpec extends SparkSpec {
   test("q_pq_encode: assign passes are map-only against driver-held codebooks") {
     // M×K codebook entries inline as literals (nearestLit), so the
     // final plan is explode → map argmin → one (m, code) hash-agg:
-    // no join of any kind, no per-(vec_id, m) window
-    val p = plan("q_pq_encode")
+    // no join of any kind, no per-(vec_id, m) window. The operator
+    // checkpoints its result (cache hygiene), so the plan that ran is
+    // read from the Staged recorder, not the returned DataFrame.
+    plan("q_pq_encode")
+    val p = graft.util.Staged.plan("q_pq_encode")
     assert(p.contains("vec_d2"), p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
@@ -261,7 +264,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_lm_score: the bigram model joins as a broadcast") {
-    val p = plan("q_lm_score")
+    plan("q_lm_score") // runs the query; the recorder captures the real plan
+    val p = graft.util.Staged.plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -290,7 +294,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_cooccur_similarity: degree table broadcasts; top-k never global-sorts") {
-    val p = plan("q_cooccur_similarity")
+    plan("q_cooccur_similarity")
+    val p = graft.util.Staged.plan("q_cooccur_similarity")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
@@ -305,14 +310,12 @@ class PlanSpec extends SparkSpec {
     // the (doc, bigram) staging table is cached and serves both the
     // model build and the scoring join; if either consumer falls off
     // the cache, the doubled interpreted transform() explode pass is
-    // back. Asserted on the logical plan (AQE's string collapses the
-    // broadcast-side stage, hiding its cache scan).
-    val df = SparkEntry.queries("q_lm_score")(spark, sf0001)
-    df.collect()
-    val cachedRefs = df.queryExecution.withCachedData.collect {
-      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => 1
-    }.sum
-    assert(cachedRefs >= 2, df.queryExecution.withCachedData.toString)
+    // back. Asserted on the recorded logical plan (AQE's string
+    // collapses the broadcast-side stage, hiding its cache scan; the
+    // checkpointed result hides the whole thing).
+    SparkEntry.queries("q_lm_score")(spark, sf0001).collect()
+    assert(graft.util.Staged.cachedRefCount("q_lm_score") >= 2,
+      graft.util.Staged.plan("q_lm_score"))
   }
 
   test("q_boilerplate_prefix: per-source totals broadcast; window over reduced counts") {
