@@ -29,8 +29,8 @@ object Ml {
     "q_ml_cluster_summary",
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val (a, _) = Vectors.lloyd(Tables.embeddings(s, d), k = 10, iters = 2,
-        passthrough = Seq("label"))
+      val a = Vectors.lloyd(Tables.embeddings(s, d), k = 10, iters = 2,
+        passthrough = Seq("label")).assigned
       a.groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           round(sum(col("d2").cast(DecimalType(28, 12))).cast("double"), 4)

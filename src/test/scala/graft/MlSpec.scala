@@ -15,7 +15,7 @@ class MlSpec extends SparkSpec {
     val total = emb.count()
 
     // the oracle-gated fit: pinned-seed exact Lloyd, 2 rounds
-    val (lloydAssigned, _) = queries.Vectors.lloyd(emb, k = 10, iters = 2)
+    val lloydAssigned = queries.Vectors.lloyd(emb, k = 10, iters = 2).assigned
     val lloydInertia = lloydAssigned.agg(sum("d2")).head.getDouble(0)
     val lloydN = lloydAssigned.count()
 
