@@ -199,5 +199,43 @@ object Sampling {
     }
   )
 
-  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample, domainCaps)
+  /** Weighted sampling WITHOUT replacement, exact size k = 50 — the
+    * Efraimidis–Spirakis reservoir as a distributed one-pass: each doc
+    * gets priority ln(u)/w (u = its deterministic md5-uniform in (0,1),
+    * w = its weight — here n_chars, i.e. longer docs proportionally
+    * more likely), and the sample is the top k by priority. This is the
+    * exact-size complement of q_mix_sample's Bernoulli rates: a mixture
+    * builder that must hit a token budget uses THIS, not a rate.
+    *
+    * Scale shape: priorities are map-only (one md5 + one ln per row);
+    * selection is TakeOrderedAndProject (per-partition top-k then a
+    * k-row merge on the driver) — no sort, no shuffle of the corpus.
+    * Determinism: u is a pure function of doc_id, priorities round to
+    * 9 dp, ties break on doc_id — identical sample on any layout, and
+    * bit-identical in DuckDB.
+    */
+  val weightedSample = QueryDef(
+    "q_weighted_sample",
+    (s, d) => {
+      val h = "md5(concat(cast(doc_id as string), '#wsample'))"
+      val u = (expr(PortableHash.laneSpark(h, 0)).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("weight"),
+          round(log(u) / col("n_chars").cast("double"), 9).as("priority"))
+        .orderBy(desc("priority"), asc("doc_id"))
+        .limit(50)
+    },
+    Some {
+      val h = "md5(CAST(doc_id AS VARCHAR) || '#wsample')"
+      s"""SELECT doc_id, lang, n_chars AS weight,
+                 ROUND(LN((CAST(${PortableHash.laneDuck(h, 0)} AS DOUBLE) + 0.5)
+                   / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS priority
+          FROM documents WHERE n_chars > 0
+          ORDER BY priority DESC, doc_id LIMIT 50"""
+    })
+
+  def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample,
+    domainCaps, weightedSample)
 }

@@ -109,6 +109,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_weighted_sample: priorities map-only, selection is top-k not a sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_edit_neardup: length band is part of the pair-generation equi-join") {
     val p = plan("q_edit_neardup")
     // the blocking key must include the len-div-80 band so the
