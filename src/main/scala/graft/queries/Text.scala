@@ -802,9 +802,7 @@ object Text {
           .as("dsir_weight"))
         .orderBy(desc("dsir_weight"), asc("doc_id"))
         .limit(50)
-        .localCheckpoint(true)
-      dt.unpersist()
-      out
+      graft.util.Staged.checkpointRelease("q_dsir_weights", out, dt)
     },
     Some("""WITH t0 AS (SELECT doc_id, lang,
                    regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t

@@ -57,6 +57,40 @@ class MlSpec extends SparkSpec {
       s"RF rmse $rfRmse out of regime vs linear $linRmse")
   }
 
+  test("q_silhouette: scores in [-1, 1], every vector counted once") {
+    val rows = SparkEntry.queries("q_silhouette")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.embeddings(spark, sf0001).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("avg_silhouette")
+      assert(s >= -1.0 && s <= 1.0, r.toString)
+    }
+  }
+
+  test("q_weighted_sample: negative priorities, sorted, exactly k rows") {
+    val rows = SparkEntry.queries("q_weighted_sample")(spark, sf0001).collect()
+    assert(rows.length === math.min(50,
+      Tables.documents(spark, sf0001).filter(col("n_chars") > 0).count()).toInt)
+    val ps = rows.map(_.getAs[Double]("priority"))
+    assert(ps.forall(_ <= 0.0), "ln(u)/w must be negative") // u in (0,1)
+    assert(ps.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), "not sorted")
+  }
+
+  test("q_dsir_weights: target-domain docs outscore the rest on average") {
+    val rows = SparkEntry.queries("q_dsir_weights")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    // the weight IS the avg log-likelihood ratio toward the en model —
+    // en docs must average higher than non-en docs, or the models are
+    // swapped/broken
+    if (en.nonEmpty && rest.nonEmpty) {
+      val enAvg = en.map(_.getAs[Double]("dsir_weight")).sum / en.length
+      val restAvg = rest.map(_.getAs[Double]("dsir_weight")).sum / rest.length
+      assert(enAvg > restAvg, s"en avg $enAvg <= non-en avg $restAvg")
+    }
+  }
+
   test("global-window guards reject un-aggregated grain") {
     import spark.implicits._
     // 2M+ distinct hours of synthetic events: both forecast paths must

@@ -109,6 +109,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_semantic_dedup: within-cluster pairs are an equi-join, never all-pairs") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_semantic_decontaminate: eval set broadcasts, corpus never shuffles for the probe") {
+    val p = plan("q_semantic_decontaminate")
+    // the probe is an intentional broadcast cross join (map-only argmax
+    // against the small eval side); the corpus side must not sort-merge
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_dsir_weights: models broadcast; selection is top-k not a sort") {
+    plan("q_dsir_weights")
+    val p = graft.util.Staged.plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_weighted_sample: priorities map-only, selection is top-k not a sort") {
     val p = plan("q_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
