@@ -269,6 +269,48 @@ object Dedup {
             WHERE levenshtein(a.p, b.p) <= 24""")
   )
 
+  /** N-gram novelty score — the memorization-risk / content-freshness
+    * signal a training-mix review reads: per document, the fraction of its
+    * distinct 5-gram shingles that appear in NO other document. Low
+    * novelty = the doc is mostly assembled from corpus-shared n-grams
+    * (template, quote-heavy, near-dup survivor); high = unique prose.
+    *
+    * Scale shape: ONE codegen'd shingle-hash pass (ShingleHash — 8 B
+    * per shingle, no strings) explodes into the staged (doc, shingle)
+    * relation; the document-frequency side RE-AGGREGATES that reduced
+    * relation (the q_tfidf pattern), and the novelty join is
+    * shingle-keyed — co-partitioned with the df agg, so the exchange
+    * is reused. The per-doc rollup is the only other shuffle. Oracle
+    * compares hash-free string shingles — identical up to 64-bit hash
+    * collisions (the q_minhash_est_quality bet, green at both SFs).
+    */
+  val ngramNovelty = QueryDef(
+    "q_ngram_novelty",
+    (s, d) => {
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TF.shingleHashes(col("text"), 5)).as("sh"))
+        .cache() // document-frequency agg + novelty join both read it
+      val df = dt.groupBy("sh").agg(count(lit(1)).as("nd"))
+      val out = dt.join(df, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_novel"),
+          round(sum(when(col("nd") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("novelty"))
+      graft.util.Staged.checkpointRelease("q_ngram_novelty", out, dt)
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, unnest(${TS.shingles("text", 5)}) AS sh
+                         FROM documents),
+             df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS nd
+                    FROM dt GROUP BY sh)
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                    CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_novel,
+                    ROUND(CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+             FROM dt JOIN df USING (sh) GROUP BY doc_id"""))
+
   /** MinHash estimate-accuracy audit: for every LSH candidate pair
     * (est ≥ 0.5), the 16-lane estimate next to the EXACT 3-shingle
     * Jaccard and the absolute error — the sketch-quality report that
@@ -464,6 +506,6 @@ object Dedup {
 
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs, simhashNeardup, dedupClusters, editNeardup,
+    jaccardPairs, simhashNeardup, dedupClusters, editNeardup, ngramNovelty,
     minhashEstQuality, dedupIncremental, dedupSurvivors)
 }
