@@ -180,7 +180,56 @@ object Streaming {
                      AS sum_value
             FROM events GROUP BY 1"""))
 
+  /** Built-in session windows (`session_window`, the native session
+    * state store) — the idiomatic twin of the custom
+    * flatMapGroupsWithState path (`q_stream_sessionize`): same 30-min
+    * gap, merged-window semantics, watermark-driven flush. Append mode
+    * emits a session once the watermark passes its end, so over the
+    * bounded input the emitted set is exactly the sessions with
+    * end + gap ≤ max_ts − delay — the oracle states that closure rule
+    * directly. Two differences from the FMGWS twin, both inherent to
+    * the operator: window end is last-event + gap (not last event),
+    * and an event at EXACTLY gap distance starts a NEW session (the
+    * window interval is half-open), so the oracle breaks sessions on
+    * `diff >= gap` where the FMGWS twin breaks on `>`.
+    */
+  val streamSessionWindow = QueryDef(
+    "q_stream_session_window",
+    (s, d) => {
+      val sess = Streams.readEvents(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("w.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+      Streams.runToTable(sess, "stream_session_window", "append")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                       FROM events),
+            g AS (SELECT *, CASE WHEN us - LAG(us)
+                      OVER (PARTITION BY user_id ORDER BY us, event_id)
+                        >= 1800000000
+                    THEN 1 ELSE 0 END AS brk FROM e),
+            sx AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_idx FROM g),
+            sess AS (SELECT user_id,
+                            MIN(us) AS start_us, MAX(us) AS end_us,
+                            COUNT(*) AS n_events
+                     FROM sx GROUP BY user_id, session_idx),
+            wm AS (SELECT MAX(us) - 7200000000 AS w FROM e)
+            SELECT user_id,
+                   make_timestamp(start_us) AS session_start,
+                   make_timestamp(end_us + 1800000000) AS session_end,
+                   n_events
+            FROM sess CROSS JOIN wm
+            WHERE end_us + 1800000000 <= w"""))
+
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
-      streamSessionize, streamAttrib, streamDedup)
+      streamSessionize, streamAttrib, streamDedup, streamSessionWindow)
 }
