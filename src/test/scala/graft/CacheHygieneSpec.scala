@@ -19,7 +19,10 @@ class CacheHygieneSpec extends SparkSpec {
     "q_dedup_clusters",      // signatures + CC edge list
     "q_dedup_survivors",     // signatures + CC edge list
     "q_pq_encode",           // subvector staging view
-    "q_lm_score"             // (doc, bigram) counts
+    "q_lm_score",            // (doc, bigram) counts
+    "q_dsir_weights",        // (doc, lang, bigram) counts, two models
+    "q_ngram_novelty",       // (doc, shingle-hash) relation
+    "q_ml_logreg_gd"         // feature staging across GD rounds
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
