@@ -109,6 +109,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_ngram_novelty: df join reads the staged cache, no corpus re-explode") {
+    plan("q_ngram_novelty")
+    // both consumers (df agg + novelty join) must read the cached
+    // (doc, shingle) relation — falling off the cache doubles the
+    // ShingleHash explode pass
+    assert(graft.util.Staged.cachedRefCount("q_ngram_novelty") >= 2,
+      graft.util.Staged.plan("q_ngram_novelty"))
+  }
+
   test("q_semantic_dedup: within-cluster pairs are an equi-join, never all-pairs") {
     val p = plan("q_semantic_dedup")
     assert(!p.contains("CartesianProduct") &&
