@@ -12,10 +12,27 @@ import org.apache.spark.sql.SparkSession
   * GC interference; the reported total is the sum of medians.
   */
 object Bench {
+  /** 1/5/15-min load averages; empty if /proc is unavailable. */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split(" ").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Nil }
+
+  /** A run started on a loaded box is tagged, not trusted: two rounds of
+    * medians have been muddied by co-tenant CPU contention (r2 ~3.4x,
+    * r6 up to 3x on the stream family — both recovered unchanged on a
+    * quiet box). The 1-min loadavg at start is the tag; per-query
+    * medians from a contended run should be compared only against other
+    * contended runs.
+    */
+  private val ContendedLoad = 4.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,14 +110,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val loadAfter = loadavg()
+    val contended = loadBefore.headOption.exists(_ > ContendedLoad)
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    val batchJson = graft.streaming.Streams.lastBatchCounts.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"stream_batches":$batchJson}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"BENCH_DETAIL.json","sf":"$sfTag","loadavg":${loadBefore.headOption.getOrElse(-1.0)},"contended":$contended}""")
     System.out.flush()
   }
 }

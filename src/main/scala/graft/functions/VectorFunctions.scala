@@ -32,6 +32,12 @@ object VectorFunctions {
   /** Spark Column: dot(a, b), natively codegen'd, left-to-right order. */
   def dotSpark(a: String, b: String): Column = vecDot(expr(a), expr(b))
 
+  /** Squared-L2 distance between two Columns (works inside higher-order
+    * lambdas too — the broadcast-row centroid form uses it to score a
+    * transform() over an array of centroid structs).
+    */
+  def d2Spark(a: Column, b: Column): Column = vecD2(a, b)
+
   /** Squared-L2 distance to a DRIVER-SIDE centroid vector, embedded as
     * an `array<double>` literal — natively codegen'd, same chain as the
     * oracle's explicit term sum.

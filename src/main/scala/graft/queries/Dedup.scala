@@ -144,8 +144,13 @@ object Dedup {
   val simhashNeardup = QueryDef(
     "q_simhash_neardup",
     (s, d) => {
+      // the banded view self-joins below: stage the signature relation
+      // so the 60-vote aggregation runs ONCE, not once per join side
+      // (a DataFrame referenced twice recomputes its subtree), and
+      // release it after the pair list materializes
       val sig = SimHash.simhash(Tables.documents(s, d))
         .join(Tables.documents(s, d).select("doc_id", "lang", "source"), "doc_id")
+        .cache()
       val banded = sig.select(
         col("doc_id"), col("simhash"), col("lang"), col("source"),
         explode(array((0 until SimHash.NumBands).map(b =>
@@ -155,7 +160,7 @@ object Dedup {
           col("bd.band_idx"), col("bd.band_val"))
       val a = banded.alias("a")
       val b = banded.alias("b")
-      a.join(b,
+      val out = a.join(b,
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
             col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -164,6 +169,7 @@ object Dedup {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct() // a pair can collide in several bands
+      graft.util.Staged.checkpointRelease("q_simhash_neardup", out, sig)
     },
     // Oracle: small-scale blocked all-pairs is fine for DuckDB; the
     // pigeonhole guarantees the banded Spark plan finds the same pairs.

@@ -137,6 +137,7 @@ object Streaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      Streams.lastBatchCounts.put("stream_upsert", q.recentProgress.length.toLong)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       s.read.parquet(statusPath)
         .select(col("user_id"), col("last_ts").cast("timestamp_ntz").as("last_ts"),

@@ -233,9 +233,16 @@ object Text {
     *
     * Scale shape: the eval set is small BY CONSTRUCTION (benchmarks are
     * thousands of documents, the corpus is billions), so its distinct
-    * n-gram set is broadcast and the whole check is a map-side
+    * n-gram set broadcasts and the whole check is a map-side
     * broadcast-hash-join over the exploded train shingles + one
-    * hash-agg per contaminated doc. The corpus is never shuffled.
+    * hash-agg per contaminated doc — the corpus is never shuffled.
+    * The broadcast is SIZE-BASED, not forced: the eval-gram relation
+    * comes out of an aggregation, so AQE knows its true size at runtime
+    * and broadcasts while it fits an executor; an eval band that
+    * outgrows the broadcast threshold (here the test split is a corpus
+    * FRACTION, not a fixed benchmark) degrades to a shuffled hash join
+    * instead of an OOM — the round-5 broadcast rule. PlanSpec asserts
+    * the broadcast shape at test scale.
     */
   val decontaminate = QueryDef(
     "q_decontaminate",
@@ -256,7 +263,7 @@ object Text {
       val train = b.filter(col("bucket") < 80)
         .select(col("doc_id"), size(col("sh")).as("n_grams"),
           explode(col("sh")).as("gh"))
-      train.join(broadcast(evalGrams), Seq("gh"))
+      train.join(evalGrams, Seq("gh"))
         .groupBy("doc_id", "n_grams")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
@@ -904,7 +911,10 @@ object Text {
       def top(pc: org.apache.spark.sql.DataFrame, r: Int) =
         pc.orderBy(desc("merge_count"), asc("pair")).limit(10)
           .select(lit(r).as("merge_round"), col("pair"), col("merge_count"))
-      top(pc1, 1).unionByName(top(pc2, 2))
+      // materialize the 20-row report, then release the staged vocab
+      // (cache-hygiene standard — CacheHygieneSpec covers this query)
+      graft.util.Staged.checkpointRelease("q_bpe_merges",
+        top(pc1, 1).unionByName(top(pc2, 2)), wf)
     },
     Some {
       val pc = (src: String) =>

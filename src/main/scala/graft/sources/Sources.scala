@@ -55,7 +55,13 @@ object Sources {
         input_file_name().as("src_file"))
       .write.mode(SaveMode.Append).parquet(quarantinePath)
     // materialize the clean rows, then release the two-sided scan cache
-    // (cache-hygiene standard: PageRank.ranks pattern)
+    // (cache-hygiene standard: PageRank.ranks pattern). Trade-off:
+    // localCheckpoint blocks are executor-local and unreplicated, so an
+    // executor loss makes `clean` unrecomputable and fails the load —
+    // acceptable for a batch ingest the orchestrator retries (the
+    // quarantine append is idempotent per load_batch: a retry re-reads
+    // the SOURCE, not lineage). A pipeline without retry semantics
+    // should write `clean` to a staging sink instead.
     val clean = raw.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record").localCheckpoint(true)
     raw.unpersist()

@@ -254,18 +254,21 @@ object Streams {
             col("s.last_type").as("last_type")))
       }
     // materialize the merged slice before overwriting the partitions it
-    // was read from, then release the blocks
+    // was read from, then release the blocks. localCheckpoint blocks are
+    // executor-local and non-replicated: executor loss between the
+    // checkpoint and the write fails THIS micro-batch, and the stream
+    // retries it from the source — acceptable because the merge is
+    // idempotent (last-writer-wins re-derives the same slice); an
+    // engine without micro-batch retry would need reliable checkpointing
+    // here instead.
     val out = merged.localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("bucket").parquet(statusPath)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      out.unpersist()
-    }
+    // per-WRITE dynamic-overwrite scope: a session-level conf flip would
+    // leak dynamic semantics to any concurrent writer in the shared
+    // session and two concurrent upsert streams could race the restore
+    try out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(statusPath)
+    finally out.unpersist()
   }
 
   /** Run a streaming DataFrame to completion over bounded input
@@ -291,6 +294,15 @@ object Streams {
     * reload lazily on the next streaming start, so this is pure
     * hygiene, not a behavior change.
     */
+  /** Micro-batch counts of the last completed bounded run, per memory
+    * sink name — bench instrumentation: a batch-count change explains a
+    * stream timing shift that a code diff doesn't (each extra
+    * micro-batch pays full state-store commit overhead). Bench embeds
+    * this map in BENCH_DETAIL.json.
+    */
+  val lastBatchCounts: scala.collection.concurrent.TrieMap[String, Long] =
+    scala.collection.concurrent.TrieMap.empty
+
   def runToTable(df: DataFrame, name: String, outputMode: String,
       statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
@@ -301,6 +313,7 @@ object Streams {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      lastBatchCounts.put(name, q.recentProgress.length.toLong)
       spark.table(name)
     } finally {
       statePartitions.foreach(_ =>

@@ -22,7 +22,10 @@ class CacheHygieneSpec extends SparkSpec {
     "q_lm_score",            // (doc, bigram) counts
     "q_dsir_weights",        // (doc, lang, bigram) counts, two models
     "q_ngram_novelty",       // (doc, shingle-hash) relation
-    "q_ml_logreg_gd"         // feature staging across GD rounds
+    "q_ml_logreg_gd",        // feature staging across GD rounds
+    "q_bpe_merges",          // word-frequency vocab table
+    "q_simhash_neardup",     // staged signature relation
+    "q_ann_recall"           // truth + per-method candidate sets
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

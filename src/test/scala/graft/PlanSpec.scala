@@ -124,12 +124,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_semantic_decontaminate: eval set broadcasts, corpus never shuffles for the probe") {
+  test("q_semantic_decontaminate: candidates come from a cell EQUI-join, never a forced eval broadcast") {
+    // the eval split is an SF-scaling FRACTION of the corpus — any
+    // forced broadcast of it grows with the corpus and OOMs at scale.
+    // Candidate generation must be the Lloyd-cell equi-join (pair
+    // volume bounded per cell); whether the small side broadcasts is
+    // AQE's size-based call, never a hint.
     val p = plan("q_semantic_decontaminate")
-    // the probe is an intentional broadcast cross join (map-only argmax
-    // against the small eval side); the corpus side must not sort-merge
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("cell")).getOrElse("")
+    assert(joinLine.contains("cell"), s"probe join not keyed on cell:\n$p")
   }
 
   test("q_dsir_weights: models broadcast; selection is top-k not a sort") {
