@@ -68,9 +68,10 @@ class VectorCellSpec extends SparkSpec {
     }
   }
 
-  test("q_ann_recall: sane audit numbers (2 methods, recall in [0,1], candidates < corpus)") {
+  test("q_ann_recall: sane audit numbers (3 methods, recall in [0,1], candidates < corpus)") {
     val rows = SparkEntry.queries("q_ann_recall")(spark, sf0001).collect()
-    assert(rows.map(_.getAs[String]("method")).sorted.toSeq === Seq("ivf", "lsh"))
+    assert(rows.map(_.getAs[String]("method")).sorted.toSeq ===
+      Seq("ivf", "ivfpq", "lsh"))
     val n = Tables.embeddings(spark, sf0001).count()
     rows.foreach { r =>
       val rec = r.getAs[Double]("recall_at_10")
@@ -78,5 +79,12 @@ class VectorCellSpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0, r.toString)
       assert(cands > 0.0 && cands < n, r.toString) // cheaper than brute
     }
+    val m = rows.map(r => r.getAs[String]("method") -> r).toMap
+    // ivfpq ranks the SAME candidate set by the quantized distance:
+    // identical cost, recall can only degrade vs the exact-cosine rank
+    assert(m("ivfpq").getAs[Double]("avg_candidates") ===
+      m("ivf").getAs[Double]("avg_candidates"))
+    assert(m("ivfpq").getAs[Double]("recall_at_10") <=
+      m("ivf").getAs[Double]("recall_at_10"))
   }
 }
