@@ -15,7 +15,10 @@ object Streaming {
     "q_stream_hourly",
     (s, d) => {
       val agg = Streams.hourlyAgg(Streams.readEvents(s, d))
-      Streams.runToTable(agg, "stream_hourly", "complete")
+      // windowed-agg state is (window, type) rows — volume-sized state
+      // partitioning (the runToTable contract)
+      Streams.runToTable(agg, "stream_hourly", "complete",
+        statePartitions = Some(8))
         .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
     },
     Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
@@ -33,7 +36,8 @@ object Streaming {
     "q_stream_sliding",
     (s, d) => {
       val agg = Streams.slidingAgg(Streams.readEvents(s, d))
-      Streams.runToTable(agg, "stream_sliding", "complete")
+      Streams.runToTable(agg, "stream_sliding", "complete",
+        statePartitions = Some(8))
         .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
     },
     Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
@@ -57,7 +61,8 @@ object Streaming {
         .select(col("c_custkey").as("user_id"),
           col("c_mktsegment").as("segment"))
       val agg = Streams.enrichAgg(Streams.readEvents(s, d), dim)
-      Streams.runToTable(agg, "stream_enrich", "complete")
+      Streams.runToTable(agg, "stream_enrich", "complete",
+        statePartitions = Some(8))
         .withColumn("hour_start", col("hour_start").cast("timestamp_ntz"))
     },
     Some("""SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS hour_start,
@@ -79,7 +84,9 @@ object Streaming {
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[Streams.Ev]
       val sess = Streams.sessionize(evs, gapSec = 1800L, withTimeout = false)
-      Streams.runToTable(sess.toDF(), "stream_sessions", "append")
+      // one open session per user in state — volume-sized partitioning
+      Streams.runToTable(sess.toDF(), "stream_sessions", "append",
+        statePartitions = Some(8))
     },
     Some("""WITH e AS (SELECT user_id, event_id,
                               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
@@ -168,7 +175,11 @@ object Streaming {
       val twice = Streams.readEvents(s, d)
         .unionByName(Streams.readEvents(s, d))
       val deduped = Streams.dedupEvents(twice)
-      Streams.runToTable(deduped, "stream_dedup", "append")
+      // state = one entry per key inside the watermark horizon — small
+      // relative to core count here; partition state by its VOLUME (the
+      // runToTable contract), not the session's compute parallelism
+      Streams.runToTable(deduped, "stream_dedup", "append",
+        statePartitions = Some(8))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("event_id")).as("n_ids"),
@@ -206,7 +217,10 @@ object Streaming {
           col("w.start").cast("timestamp_ntz").as("session_start"),
           col("w.end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
-      Streams.runToTable(sess, "stream_session_window", "append")
+      // per-user session state is tiny at any one watermark horizon:
+      // size state partitioning by volume (the runToTable contract)
+      Streams.runToTable(sess, "stream_session_window", "append",
+        statePartitions = Some(8))
     },
     Some("""WITH e AS (SELECT user_id, event_id,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS us
