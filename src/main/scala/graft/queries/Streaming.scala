@@ -126,6 +126,47 @@ object Streaming {
              AND p.event_type = 'purchase'
              AND c.us BETWEEN p.us - 1800000000 AND p.us"""))
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits —
+    * matched ones with their in-band clicks (identical rows to
+    * q_stream_attrib), unmatched ones with a NULL click id. The outer
+    * rows carry the operator's defining rules: (1) an unmatched
+    * purchase emits only once the GLOBAL watermark passes its event
+    * time (until then a matching click could still arrive — only
+    * clicks ≤ p_ts qualify, so eviction is exactly p_ts < watermark);
+    * (2) with TWO watermarked inputs the global watermark is the MIN
+    * over both sides' (ms-truncated) max event time − delay — the
+    * slower side holds back outer emission for the whole join. The
+    * oracle states both rules directly, like q_stream_session_window
+    * does for session flush.
+    */
+  val streamAttribOuter = QueryDef(
+    "q_stream_attrib_outer",
+    (s, d) => Streams.runToTable(
+      Streams.attributionJoinOuter(Streams.readEvents(s, d)),
+      "stream_attrib_outer", "append", statePartitions = Some(8)),
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+            -- the join's global watermark: MIN over the two watermarked
+            -- inputs (clicks, purchases) of their ms-truncated max
+            -- event time, minus the shared 2 h delay
+            wm AS (SELECT LEAST(
+                     (MAX(CASE WHEN event_type = 'click' THEN us END)
+                        // 1000) * 1000,
+                     (MAX(CASE WHEN event_type = 'purchase' THEN us END)
+                        // 1000) * 1000) - 7200000000 AS w FROM e),
+            p AS (SELECT event_id, user_id, us FROM e
+                  WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, user_id, us FROM e
+                  WHERE event_type = 'click'),
+            j AS (SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+                         p.user_id, p.us
+                  FROM p LEFT JOIN c
+                    ON c.user_id = p.user_id
+                   AND c.us BETWEEN p.us - 1800000000 AND p.us)
+            SELECT p_event_id, c_event_id, user_id
+            FROM j CROSS JOIN wm
+            WHERE c_event_id IS NOT NULL OR us < w"""))
+
   /** foreachBatch upsert under the gate: the stream drives
     * `Streams.statusUpsert` (merge each micro-batch's per-user latest
     * reading into a parquet status table — the Postgres-trigger
@@ -246,5 +287,6 @@ object Streaming {
 
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
-      streamSessionize, streamAttrib, streamDedup, streamSessionWindow)
+      streamSessionize, streamAttrib, streamAttribOuter, streamDedup,
+      streamSessionWindow)
 }

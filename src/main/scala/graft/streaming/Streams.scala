@@ -206,6 +206,33 @@ object Streams {
       .select(col("p_event_id"), col("c_event_id"), col("p_user").as("user_id"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoin]] — the unattributed-
+    * purchase report (purchases with NO click in the 30-min band emit
+    * with a null click id). The semantics only a STREAMING left join
+    * has: an unmatched purchase cannot emit when processed (a matching
+    * click may still arrive); it emits exactly when the watermark
+    * passes the last instant a match could carry — state eviction IS
+    * outer-row emission. Same watermark/band state bounds as the inner
+    * join.
+    */
+  def attributionJoinOuter(events: DataFrame, windowSec: Long = 1800L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts").between(
+            col("p_ts") - expr(s"INTERVAL '$windowSec' SECOND"), col("p_ts")),
+        "left_outer")
+      .select(col("p_event_id"), col("c_event_id"), col("p_user").as("user_id"))
+  }
+
   /** foreachBatch upsert (the Postgres AFTER INSERT trigger rewrite,
     * enhanced_data_schema.sql:566-591): merge each micro-batch's
     * per-user latest reading into a status table kept as parquet,

@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("attributionJoinOuter: inner rows plus watermark-released null rows, nothing else") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val evs = input.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val joined = Streams.attributionJoinOuter(evs, windowSec = 1800L,
+      watermarkDelay = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("t_attrib_outer")
+      .outputMode("append").start()
+    // purchase 10 has an in-band click; purchase 11 has none
+    input.addData(
+      (ts(5000), 1L, "click", 2L),
+      (ts(6000), 1L, "purchase", 10L), (ts(6100), 2L, "purchase", 11L))
+    q.processAllAvailable()
+    // advance BOTH sides' watermarks past purchase 11: the unmatched
+    // row must flush with a null click id (state eviction = emission)
+    input.addData(
+      (ts(9000), 3L, "click", 4L), (ts(9000), 3L, "purchase", 12L))
+    q.processAllAvailable()
+    input.addData(
+      (ts(9010), 3L, "click", 5L), (ts(9020), 3L, "purchase", 13L))
+    q.processAllAvailable()
+    val out = spark.table("t_attrib_outer")
+      .select("p_event_id", "c_event_id").as[(Long, Option[Long])]
+      .collect().toSet
+    assert(out.contains((10L, Some(2L))), out)   // matched row intact
+    assert(out.contains((11L, None)), out)       // unmatched row flushed
+    // purchases still inside the watermark horizon must NOT have
+    // emitted outer rows yet
+    assert(!out.contains((13L, None)), out)
+    q.stop()
+  }
+
   test("restart from checkpoint recovers agg state: no loss, no double count") {
     // MemoryStream is not replayable across restarts, so this uses a
     // real file source: run 1 consumes part1 and checkpoints; run 2
