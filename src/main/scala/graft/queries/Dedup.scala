@@ -317,6 +317,96 @@ object Dedup {
                       AS DOUBLE) / COUNT(*), 6) AS novelty
              FROM dt JOIN df USING (sh) GROUP BY doc_id"""))
 
+  /** Duplicated-substring SPAN detection (the exact-substring
+    * memorization signal): per document, the longest consecutive RUN of
+    * positions whose 8-gram appears in at least one OTHER document,
+    * plus the duplicated-position fraction. Where `q_ngram_novelty`
+    * counts how MUCH of a doc is corpus-duplicated, this measures how
+    * CONTIGUOUS the duplication is — a 200-shingle verbatim span is a
+    * memorized/boilerplate block worth cutting even in a doc that is
+    * 95% novel overall, and span length is the decision variable the
+    * exact-substring dedup recipe cuts on.
+    *
+    * Scale shape: one corpus explode into the staged (doc, pos, hash)
+    * relation — POSITIONAL shingles, not the distinct set the other
+    * n-gram queries stage (order matters here; hashes are xxhash64 of
+    * the shingle text, 8 B/gram, cached once); document frequency
+    * re-aggregates that staged side; the flag join is the
+    * inverted-index equi-join on the hash; and the run detection is
+    * the islands trick — pos minus per-doc row_number is constant
+    * within a consecutive run, so runs fall out of one per-doc window
+    * + hash-agg, no self-join, no quadratic span scan. Per-doc
+    * partitions bound the window.
+    */
+  val dupSpans = QueryDef(
+    "q_dup_spans",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), posexplode(
+          when(size(col("tk")) >= K,
+            transform(sequence(lit(0), size(col("tk")) - K),
+              i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(K))))))
+            .otherwise(array(xxhash64(concat_ws(" ", col("tk"))))))
+          .as(Seq("pos", "sh")))
+        .cache() // df agg + flag join both read it
+      val df = dt.groupBy("sh").agg(countDistinct(col("doc_id")).as("nd"))
+      val flagged = dt.join(df, Seq("sh"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = flagged.filter(col("nd") >= 2)
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max(col("run")).as("max_dup_run"))
+      val out = flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("nd") >= 2).cast("long")).as("n_dup"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+          round(col("n_dup").cast("double") / col("n_shingles"), 6)
+            .as("dup_frac"))
+      graft.util.Staged.checkpointRelease("q_dup_spans", out, dt)
+    },
+    // oracle joins on the shingle TEXT where the engine joins 64-bit
+    // xxhash64 values — identical semantics absent a 64-bit collision
+    // (the q_ngram_novelty argument; a collision would hash-fail the
+    // gate). Shingles are POSITIONAL (no list_distinct — DuckDB's
+    // list_distinct reorders, and runs live on positions).
+    Some(s"""WITH src AS (SELECT doc_id, ${TS.tokens("text")} AS tk
+                          FROM documents),
+             shl AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 8
+                         THEN list_transform(range(0, len(tk) - 8 + 1),
+                           i -> array_to_string(list_slice(tk, i + 1, i + 8), ' '))
+                         ELSE [array_to_string(tk, ' ')] END AS shl
+                     FROM src),
+             dt AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+                      SELECT doc_id,
+                             unnest(list_transform(range(len(shl)),
+                               i -> {'pos': i, 'sh': shl[i + 1]})) AS u
+                      FROM shl)),
+             df AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd
+                    FROM dt GROUP BY sh),
+             fl AS (SELECT dt.doc_id, dt.pos, df.nd FROM dt JOIN df USING (sh)),
+             runs AS (SELECT doc_id, MAX(run) AS max_dup_run FROM (
+                        SELECT doc_id, grp, COUNT(*) AS run FROM (
+                          SELECT doc_id, pos - ROW_NUMBER() OVER (
+                            PARTITION BY doc_id ORDER BY pos) AS grp
+                          FROM fl WHERE nd >= 2)
+                        GROUP BY doc_id, grp)
+                      GROUP BY doc_id),
+             base AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_dup
+                      FROM fl GROUP BY doc_id)
+             SELECT base.doc_id, base.n_shingles, base.n_dup,
+                    COALESCE(runs.max_dup_run, 0) AS max_dup_run,
+                    ROUND(CAST(base.n_dup AS DOUBLE) / base.n_shingles, 6)
+                      AS dup_frac
+             FROM base LEFT JOIN runs USING (doc_id)"""))
+
   /** MinHash estimate-accuracy audit: for every LSH candidate pair
     * (est ≥ 0.5), the 16-lane estimate next to the EXACT 3-shingle
     * Jaccard and the absolute error — the sketch-quality report that
@@ -513,5 +603,5 @@ object Dedup {
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
     jaccardPairs, simhashNeardup, dedupClusters, editNeardup, ngramNovelty,
-    minhashEstQuality, dedupIncremental, dedupSurvivors)
+    dupSpans, minhashEstQuality, dedupIncremental, dedupSurvivors)
 }

@@ -25,7 +25,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_ml_logreg_gd",        // feature staging across GD rounds
     "q_bpe_merges",          // word-frequency vocab table
     "q_simhash_neardup",     // staged signature relation
-    "q_ann_recall"           // truth + per-method candidate sets
+    "q_ann_recall",          // truth + per-method candidate sets
+    "q_dup_spans"            // positional (doc, pos, hash) relation
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
