@@ -71,5 +71,35 @@ object Privacy {
             GROUP BY 1, 2, 3""")
   )
 
-  def all: Seq[QueryDef] = Seq(piiMask, kanonAudit)
+  /** l-diversity audit (distinct-l, l = 3) — k-anonymity's required
+    * complement: a group can be large (k-safe) yet leak the sensitive
+    * attribute anyway when every member shares one value (homogeneity
+    * attack: "everyone in this group has balance band 0"). Per
+    * quasi-identifier group (nation, segment): size, number of DISTINCT
+    * sensitive values (balance band), and the at-risk flag when
+    * diversity < l. Same scale shape as the k-audit — one partial-agg
+    * rollup on the QI key; countDistinct adds a per-group distinct
+    * (two-level hash-agg), still one shuffle.
+    */
+  val ldivAudit = QueryDef(
+    "q_ldiv_audit",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000.0) * 1000).cast("long").as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("band")).as("l_distinct"))
+        .withColumn("at_risk", (col("l_distinct") < 3).cast("int")),
+    Some("""SELECT c_nationkey, c_mktsegment,
+            COUNT(*) AS group_size,
+            COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) * 1000 AS BIGINT))
+              AS l_distinct,
+            CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) * 1000
+              AS BIGINT)) < 3 THEN 1 ELSE 0 END AS at_risk
+            FROM customer
+            GROUP BY 1, 2""")
+  )
+
+  def all: Seq[QueryDef] = Seq(piiMask, kanonAudit, ldivAudit)
 }
