@@ -484,6 +484,78 @@ object Text {
     }
   )
 
+  /** BM25 ranked retrieval (Robertson/Lucene idf, k1 = 1.2, b = 0.75)
+    * for a fixed 5-term query — the retrieval side of a corpus
+    * pipeline (find the docs most like a probe text; `q_tfidf` scores
+    * terms within a doc, this ranks DOCS for a query). Top-20 docs by
+    * summed per-term score.
+    *
+    * Scale shape: the corpus token stream filters to the QUERY TERMS
+    * FIRST (isin over a k-term literal list — map-only, prunes ~all
+    * rows), so tf/df aggregate a relation proportional to query-term
+    * hits, never the corpus vocabulary; doc lengths are one corpus agg
+    * reused via a keyed join; N/avgdl ride a 1-row broadcast; the
+    * final ranking is TakeOrderedAndProject. Determinism: avgdl is an
+    * exact-decimal mean rounded to 6, per-term scores (one LN each)
+    * round to 9 dp and sum through DECIMAL — the transcendental-exact
+    * recipe (LN matches across engines at 9 dp).
+    */
+  val bm25Topk = QueryDef(
+    "q_bm25_topk",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val terms = Seq("spark", "vector", "merge", "filter", "shuffle")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        round(sum(col("dl").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)), 6).as("avgdl"))
+      val tf = toks.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val sc = round(idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+      tf.join(broadcast(df), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), sc.as("sc"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("sc").cast(DecimalType(28, 12))).cast("double"), 6)
+          .as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(desc("bm25"), asc("doc_id")).limit(20)
+    },
+    Some {
+      val tk = TS.tokens("lower(text)")
+      val terms = "'spark', 'vector', 'merge', 'filter', 'shuffle'"
+      val dbl = (x: String) => s"CAST($x AS DOUBLE)"
+      val idf = s"LN(${dbl("1")} + (${dbl("n_docs")} - ${dbl("df")} + ${dbl("0.5")}) / (${dbl("df")} + ${dbl("0.5")}))"
+      val sc = s"ROUND($idf * (tf * ${dbl("2.2")}) / (tf + ${dbl("1.2")} * (${dbl("0.25")} + ${dbl("0.75")} * dl / avgdl)), 9)"
+      s"""WITH toks AS (SELECT doc_id, unnest($tk) AS token FROM documents),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                      ROUND(CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+                 WHERE token IN ($terms) GROUP BY 1, 2),
+          dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+          scored AS (SELECT tf.doc_id, $sc AS sc
+                     FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id)
+                     CROSS JOIN stats)
+          SELECT doc_id,
+                 ROUND(CAST(SUM(CAST(sc AS DECIMAL(28,12))) AS DOUBLE), 6)
+                   AS bm25,
+                 COUNT(*) AS n_terms
+          FROM scored GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id LIMIT 20"""
+    }
+  )
+
   /** The composite pretraining filter gate: length, char entropy, and
     * bigram repetition combine into a reject-reason BITMASK (1 = too
     * short, 2 = low entropy, 4 = repetitive) and a final keep flag —
@@ -992,7 +1064,7 @@ object Text {
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
-      filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
+      bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
       bpeMerges, boilerplate)
 }
