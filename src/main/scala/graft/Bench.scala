@@ -63,12 +63,22 @@ object Bench {
     // Warmup pass: the full suite, untimed.
     suite.foreach { case (name, fn) => once(name, fn) }
 
+    // Residue isolation: checkpoint/shuffle blocks are reclaimed by the
+    // ContextCleaner only AFTER their DataFrames are GC'd, so without
+    // explicit collection a 154-query suite accumulates storage-pool
+    // pressure and later queries pay earlier queries' garbage (measured:
+    // q_cooccur_similarity 2.7 s solo vs 5.7 s late in the suite, same
+    // code). One GC after warmup and between queries keeps each timing
+    // a per-query cost, not a suite-position cost; GC time itself is
+    // outside every timed region.
+    System.gc()
     val timings = suite.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         once(name, fn)
         (System.nanoTime() - t0) / 1e9
       }
+      System.gc()
       name -> times
     }
     val results = timings.map { case (name, times) =>
