@@ -184,5 +184,139 @@ object Graph {
             ORDER BY jaccard DESC, supp_a, supp_b LIMIT 20""")
   )
 
-  def all: Seq[QueryDef] = Seq(pagerank, cooccur)
+  /** Triangle census of the supplier similarity graph — the standard
+    * community-structure probe (a triangle = three suppliers whose
+    * customer bases mutually overlap). The raw co-purchase projection is
+    * near-complete on this synthetic corpus (every supplier pair shares
+    * customers), so triangles are counted on the top-3-neighbor
+    * similarity graph: each supplier keeps edges to its 3 most
+    * Jaccard-similar peers — the kNN-graph construction every
+    * production similarity-graph pipeline uses, because it bounds the
+    * EDGE COUNT by k·n BY CONSTRUCTION independent of corpus density
+    * (individual degree can still spike on a hub everyone picks —
+    * which is exactly what the degree-ordered orientation below
+    * absorbs).
+    *
+    * Scale shape: pair generation rides the same [[capDegree]]'d
+    * inverted index as q_cooccur_similarity (volume ≤ Σ min(deg,128)²);
+    * the kNN edge pick is one window rank per node over its similarity
+    * list; triangle enumeration uses DEGREE-ORDERED ORIENTATION — each
+    * undirected edge points from its (deg, id)-lower endpoint, wedges
+    * are generated per orientation-source and closed against the edge
+    * set, so each triangle is found exactly once from its minimum
+    * vertex and wedge volume is Σ outdeg² ≤ Σ min(deg, O(√m))² — the
+    * classic bound that keeps triangle counting feasible on skewed
+    * graphs. On the kNN graph outdeg ≤ 2k anyway; the orientation keeps
+    * the operator safe if the edge source is swapped for an uncapped
+    * graph. Ties in similarity break on neighbor id; all shuffles carry
+    * long keys.
+    */
+  val triangles = QueryDef(
+    "q_triangles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = capDegree(raw, "ck", "sk", 128)
+        .cache() // read by the pair self-join (twice) + the degree agg
+      val deg0 = e.groupBy("sk").agg(count(lit(1)).as("n"))
+      val pairs = e.alias("a")
+        .join(e.alias("b"), col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("common"))
+      val sim = pairs
+        .join(deg0.select(col("sk").as("u"), col("n").as("nu")), "u")
+        .join(deg0.select(col("sk").as("v"), col("n").as("nv")), "v")
+        .select(col("u"), col("v"),
+          round(col("common").cast("double") /
+            (col("nu") + col("nv") - col("common")), 6).as("j"))
+        .cache() // the symmetrized union below reads it twice
+      val dir = sim.select(col("u").as("a"), col("v").as("b"), col("j"))
+        .unionByName(sim.select(col("v").as("a"), col("u").as("b"), col("j")))
+      val knn = dir
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(desc("j"), asc("b"))))
+        .filter(col("rn") <= 3)
+      val und = knn
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .cache() // read by degree agg, orientation, and wedge closure
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val ori = und
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+          when(lower, col("v")).otherwise(col("u")).as("t"))
+        .cache() // the wedge self-join reads it twice
+      val tri = ori.alias("e1")
+        .join(ori.alias("e2"),
+          col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .join(und.alias("c"),
+          col("c.u") === least(col("e1.t"), col("e2.t")) &&
+            col("c.v") === greatest(col("e1.t"), col("e2.t")))
+        .select(col("e1.s").as("na"), col("e1.t").as("nb"), col("e2.t").as("nc"))
+      val pn = tri
+        .select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      val out = pn.join(deg, "node")
+        .orderBy(desc("tri"), asc("node")).limit(20)
+        .select(concat(lit("s"), col("node")).as("supplier"),
+          col("tri"), col("deg"),
+          round((col("tri") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)), 6).as("clust_coeff"))
+      graft.util.Staged.checkpointRelease("q_triangles", out, e, sim, und, ori)
+    },
+    Some("""WITH raw AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS MATERIALIZED (SELECT ck, sk FROM (
+                    SELECT ck, sk, ROW_NUMBER() OVER (PARTITION BY ck
+                      ORDER BY md5(CAST(ck AS VARCHAR) || ':' ||
+                                   CAST(sk AS VARCHAR)), sk) AS rn
+                    FROM raw) WHERE rn <= 128),
+            deg0 AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY sk),
+            pairs AS (SELECT a.sk AS u, b.sk AS v, CAST(COUNT(*) AS BIGINT) AS common
+                      FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+                      GROUP BY 1, 2),
+            sim AS MATERIALIZED (
+              SELECT u, v, ROUND(CAST(common AS DOUBLE) / (du.n + dv.n - common), 6) AS j
+              FROM pairs JOIN deg0 du ON du.sk = u JOIN deg0 dv ON dv.sk = v),
+            dir AS (SELECT u AS a, v AS b, j FROM sim
+                    UNION ALL SELECT v, u, j FROM sim),
+            knn AS (SELECT a, b FROM (
+                      SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+                        ORDER BY j DESC, b) AS rn
+                      FROM dir) WHERE rn <= 3),
+            und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                                 FROM knn),
+            deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                      SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                    GROUP BY 1),
+            ori AS MATERIALIZED (
+              SELECT CASE WHEN (du.deg, u) < (dv.deg, v) THEN u ELSE v END AS s,
+                     CASE WHEN (du.deg, u) < (dv.deg, v) THEN v ELSE u END AS t
+              FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+            tri AS MATERIALIZED (
+              SELECT e1.s AS a, e1.t AS b, e2.t AS c
+              FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+              JOIN und ON und.u = LEAST(e1.t, e2.t)
+                      AND und.v = GREATEST(e1.t, e2.t)),
+            pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                     SELECT a AS node FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT 's' || CAST(node AS VARCHAR) AS supplier, tri, deg,
+                   ROUND(CAST(2 * tri AS DOUBLE) / (deg * (deg - 1)), 6) AS clust_coeff
+            FROM (SELECT pn.node, pn.tri, deg.deg
+                  FROM pn JOIN deg ON deg.node = pn.node
+                  ORDER BY pn.tri DESC, pn.node LIMIT 20)""")
+  )
+
+  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles)
 }

@@ -26,7 +26,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_bpe_merges",          // word-frequency vocab table
     "q_simhash_neardup",     // staged signature relation
     "q_ann_recall",          // truth + per-method candidate sets
-    "q_dup_spans"            // positional (doc, pos, hash) relation
+    "q_dup_spans",           // positional (doc, pos, hash) relation
+    "q_triangles"            // capped edges + sim + kNN graph + orientation
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

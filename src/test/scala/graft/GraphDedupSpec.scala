@@ -127,4 +127,22 @@ class GraphDedupSpec extends SparkSpec {
     // top node must be a supplier
     assert(rows.head.getString(0).startsWith("s"), rows.head.toString)
   }
+
+  test("q_triangles: census bounds and exact clustering coefficients") {
+    val rows = SparkEntry.queries("q_triangles")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (tri, deg, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // a node in t triangles needs >= 2 neighbors, and at most
+      // C(deg, 2) of its neighbor pairs can close
+      assert(deg >= 2, r.toString)
+      assert(tri >= 1 && tri <= deg * (deg - 1) / 2, r.toString)
+      assert(cc > 0.0 && cc <= 1.0, r.toString)
+      assert(math.abs(cc - 2.0 * tri / (deg * (deg - 1))) < 1e-6, r.toString)
+      assert(r.getString(0).startsWith("s"), r.toString)
+    }
+    // deterministic: a rebuild yields the identical census
+    val again = SparkEntry.queries("q_triangles")(spark, sf0001).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
