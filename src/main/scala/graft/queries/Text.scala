@@ -1061,10 +1061,68 @@ object Text {
             WHERE rn = 1""")
   )
 
+  /** Corpus-overlap audit: pairwise 3-gram Jaccard between SOURCES —
+    * the "how redundant are my data sources" number that sets dedup
+    * expectations and mixing weights before a training run (two
+    * sources at jaccard 0.25 share a quarter of their n-gram inventory;
+    * sampling both at full weight double-counts it).
+    *
+    * Scale shape: the corpus collapses FIRST to the distinct
+    * (source, shingle-hash) relation — one codegen'd ShingleHash pass,
+    * 8 B per shingle, then a distinct that is the only corpus-sized
+    * shuffle. The pair join is shingle-keyed on that reduced relation:
+    * per-shingle work is C(df, 2) where df ≤ |sources| (a few hundred
+    * in any real mixture), so pair volume is bounded by shingles ×
+    * |sources|²/2 — never corpus². Per-source inventory sizes attach to
+    * the k²-row pair table by joins on a |sources|-row relation
+    * (size-based broadcast). Oracle compares hash-free string shingles —
+    * identical up to 64-bit collisions (the q_minhash_est_quality bet).
+    */
+  val sourceOverlap = QueryDef(
+    "q_source_overlap",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(TF.shingleHashes(col("text"), 3)).as("sh"))
+        .distinct()
+        .cache() // per-source totals + the pair join both read it
+      val ns = st.groupBy("source").agg(count(lit(1)).as("n"))
+      val out = st.alias("a")
+        .join(st.alias("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(ns.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(ns.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("common"), col("n_a"), col("n_b"),
+          round(col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("src_a"), asc("src_b"))
+        .limit(20)
+      graft.util.Staged.checkpointRelease("q_source_overlap", out, st)
+    },
+    Some(s"""WITH st AS MATERIALIZED (
+               SELECT DISTINCT source, unnest(${TS.shingles("text", 3)}) AS sh
+               FROM documents),
+             ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM st GROUP BY source),
+             pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                              CAST(COUNT(*) AS BIGINT) AS common
+                       FROM st a JOIN st b
+                         ON a.sh = b.sh AND a.source < b.source
+                       GROUP BY 1, 2)
+             SELECT src_a, src_b, common, na.n AS n_a, nb.n AS n_b,
+                    ROUND(CAST(common AS DOUBLE) / (na.n + nb.n - common), 6)
+                      AS jaccard
+             FROM pairs
+             JOIN ns na ON na.source = src_a
+             JOIN ns nb ON nb.source = src_b
+             ORDER BY jaccard DESC, src_a, src_b LIMIT 20""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
-      bpeMerges, boilerplate)
+      bpeMerges, boilerplate, sourceOverlap)
 }

@@ -27,7 +27,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_simhash_neardup",     // staged signature relation
     "q_ann_recall",          // truth + per-method candidate sets
     "q_dup_spans",           // positional (doc, pos, hash) relation
-    "q_triangles"            // capped edges + sim + kNN graph + orientation
+    "q_triangles",           // capped edges + sim + kNN graph + orientation
+    "q_source_overlap"       // distinct (source, shingle) relation
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

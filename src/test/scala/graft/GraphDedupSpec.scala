@@ -128,6 +128,20 @@ class GraphDedupSpec extends SparkSpec {
     assert(rows.head.getString(0).startsWith("s"), rows.head.toString)
   }
 
+  test("q_source_overlap: canonical pairs, intersection and jaccard bounds") {
+    val rows = SparkEntry.queries("q_source_overlap")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (common, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(5)
+      assert(a < b, s"pair not canonical: $a,$b")
+      assert(common >= 1 && common <= math.min(na, nb), r.toString)
+      assert(j > 0.0 && j <= 1.0, r.toString)
+      assert(math.abs(j - common.toDouble / (na + nb - common)) < 1e-6, r.toString)
+    }
+  }
+
   test("q_triangles: census bounds and exact clustering coefficients") {
     val rows = SparkEntry.queries("q_triangles")(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
