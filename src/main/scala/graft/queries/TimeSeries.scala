@@ -298,6 +298,93 @@ object TimeSeries {
             HAVING SUM(dt) > 0""")
   )
 
+  /** Changepoint detection: sliding two-sample mean-shift scan over the
+    * hourly mean series of each event type — at every hour, Welch-style
+    * z between the 6 hours BEFORE and the 6 hours FROM that point; the
+    * top-20 |z| rows are the level-shift candidates (deploy broke the
+    * error rate, pricing change moved purchase values). The two-window
+    * scan is the streaming-friendly changepoint recipe: unlike CUSUM it
+    * has no unbounded recursion, so it is ONE window pass.
+    *
+    * Determinism across engines: the hourly means ride DECIMAL partials
+    * and are rounded to 9 dp BEFORE the windows, window sums over those
+    * rounded doubles are DECIMAL again (frame content is identical in
+    * both engines — ROWS frames over the same series), and each derived
+    * stat is rounded before it feeds the next expression, so the final
+    * z at 6 dp is bit-identical. The ε=1e-9 under the sqrt guards the
+    * constant-series case.
+    *
+    * Scale shape: one corpus-sized shuffle (the hourly agg, keyed by
+    * (type, hour)); the window pass re-shuffles only the hourly series —
+    * |types| × |hours| rows, thousands per year per series — partitioned
+    * BY SERIES KEY, so a million-sensor deployment spreads across the
+    * cluster and per-partition state is one series. TakeOrdered keeps
+    * the top-20 without a global sort.
+    */
+  val changepoint = QueryDef(
+    "q_changepoint",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(round(sum(col("value").cast(DecimalType(28, 20))).cast("double") /
+          count(lit(1)), 9).as("m"))
+      val left = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-6, -1)
+      val right = Window.partitionBy("event_type").orderBy("hr").rowsBetween(0, 5)
+      def dsum(c: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.expressions.WindowSpec) =
+        sum(c.cast(DecimalType(28, 20))).over(w).cast("double")
+      val win = hourly
+        .withColumn("nl", count(lit(1)).over(left))
+        .withColumn("nr", count(lit(1)).over(right))
+        .withColumn("ml", round(dsum(col("m"), left) / 6, 9))
+        .withColumn("mr", round(dsum(col("m"), right) / 6, 9))
+        .withColumn("sql_", dsum(col("m") * col("m"), left))
+        .withColumn("sqr_", dsum(col("m") * col("m"), right))
+      win.filter(col("nl") === 6 && col("nr") === 6)
+        .select(col("event_type"), col("hr"),
+          col("ml").as("mean_before"), col("mr").as("mean_after"),
+          round((col("mr") - col("ml")) /
+            sqrt((round((col("sql_") - col("ml") * col("ml") * lit(6)) / 5, 9) +
+                  round((col("sqr_") - col("mr") * col("mr") * lit(6)) / 5, 9)) / 6
+              + lit(0.000000001)), 6).as("shift_z"))
+        .orderBy(abs(col("shift_z")).desc, col("event_type"), col("hr"))
+        .limit(20)
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(28,20))) AS DOUBLE)
+                       / COUNT(*), 9) AS m
+              FROM events GROUP BY 1, 2),
+            win AS (
+              SELECT event_type, hr,
+                COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nl,
+                COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS nr,
+                ROUND(CAST(SUM(CAST(m AS DECIMAL(28,20))) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 6, 9) AS ml,
+                ROUND(CAST(SUM(CAST(m AS DECIMAL(28,20))) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS DOUBLE) / 6, 9) AS mr,
+                CAST(SUM(CAST(m * m AS DECIMAL(28,20))) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sql_,
+                CAST(SUM(CAST(m * m AS DECIMAL(28,20))) OVER (
+                  PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS DOUBLE) AS sqr_
+              FROM hourly)
+            SELECT event_type, hr, ml AS mean_before, mr AS mean_after,
+                   ROUND((mr - ml) / SQRT(
+                     (ROUND((sql_ - ml * ml * 6) / 5, 9)
+                      + ROUND((sqr_ - mr * mr * 6) / 5, 9)) / 6
+                     + 0.000000001), 6) AS shift_z
+            FROM win WHERE nl = 6 AND nr = 6
+            ORDER BY ABS(shift_z) DESC, event_type, hr
+            LIMIT 20""")
+  )
+
   def all: Seq[QueryDef] =
-    Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa)
+    Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa,
+      changepoint)
 }

@@ -96,4 +96,19 @@ class TemporalSpec extends SparkSpec {
     assert(counts("train") > n / 2, counts)
     assert(out.exceptAll(queries.Sampling.sampleSplit.fn(spark, sf0001)).isEmpty)
   }
+
+  test("q_changepoint: ranked by |z|, full windows only, finite scores") {
+    val rows = SparkEntry.queries("q_changepoint")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val zs = rows.map(_.getDouble(4))
+    assert(zs.forall(z => !z.isNaN && !z.isInfinite))
+    assert(zs.map(math.abs).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "not sorted by |shift_z| desc")
+    rows.foreach { r =>
+      // a full 6-before window means the flagged hour sits at least 6
+      // series points past the start — never the series head itself
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0,
+        s"hourly means must be positive for this value domain: $r")
+    }
+  }
 }
