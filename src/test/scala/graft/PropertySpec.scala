@@ -237,4 +237,26 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() === 0)
     grid.unpersist()
   }
+
+  test("TopKPerKey partial + finish window == plain window top-k (random data)") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.chooseNum(1, 400)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(0L, 7L)
+        score <- Gen.oneOf(Gen.chooseNum(-100, 100).map(_ / 10.0), Gen.const(1.5))
+        id <- Gen.chooseNum(0L, 1000L)
+      } yield (key, score, id))
+    } yield rows
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("k", "score", "id").repartition(7) // force multi-partition heaps
+      val w = Window.partitionBy("k").orderBy(desc("score"), asc("id"))
+      def finish(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .drop("rn").collect().map(_.toString).sorted.toSeq
+      val plain = finish(df)
+      val reduced = finish(graft.operators.TopKPerKey.partial(df, "k", "score", "id", 3))
+      plain == reduced
+    }, n = 30)
+  }
 }
