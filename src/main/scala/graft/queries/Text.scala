@@ -1119,10 +1119,168 @@ object Text {
              ORDER BY jaccard DESC, src_a, src_b LIMIT 20""")
   )
 
+  /** Model-based quality filtering — the classifier-filter stage of the
+    * standard LLM data recipe: train a linear classifier to separate a
+    * CURATED reference slice from the rest of the crawl, then keep the
+    * crawl documents the model scores as reference-like (GPT-3/LLaMA
+    * style, with the curated sources standing in for the quality
+    * corpus). Positives = sources src0–src4; features = avg token
+    * length and type-token ratio, STANDARDIZED to zero-mean/unit-
+    * variance first (unit-scale features are what make a fixed GD
+    * learning rate sane); 3 rounds of full-batch logistic GD (the
+    * q_ml_logreg_gd recipe verbatim); decision threshold = the
+    * CORPUS-MEAN classifier score — keep documents scoring above
+    * average. An absolute σ cut is degenerate on a weakly-separable
+    * imbalanced corpus (σ ≥ 0.5 keeps nothing, σ ≥ prior keeps
+    * everything after a finite GD budget); the relative cut is how
+    * production quality filters are actually operated (rank by score,
+    * keep the top slice). Output = per-source keep rate.
+    *
+    * Scale shape: features are one narrow map pass staged once; the
+    * standardization stats are one DECIMAL-exact aggregate (4 driver
+    * doubles); each GD round is ONE map-side-combined aggregation
+    * producing a 3-component gradient; β lives on the driver between
+    * rounds (the Lloyd-centroid contract). Cross-engine determinism:
+    * stats and standardized features rounded 9 dp, σ rounded 9 dp per
+    * row, gradient partials ride DECIMAL(28,12), β rounded 12 dp
+    * IN-ENGINE each round — bit-identical β in both engines at every
+    * step; per-row scores and their corpus mean round to 9 dp the same
+    * way, so the keep decision is bit-identical too.
+    */
+  val qualityFilter = QueryDef(
+    "q_quality_filter",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val D = DecimalType(28, 12)
+      val curated = Seq("src0", "src1", "src2", "src3", "src4")
+      val tk = TF.tokens(col("text"))
+      val raw = Tables.documents(s, d)
+        .select(col("source"),
+          round(TF.avgTokenLenA(tk), 6).as("x1"),
+          round(size(array_distinct(tk)).cast("double") / size(tk), 6).as("x2"),
+          col("source").isin(curated.map(lit): _*).cast("double").as("y"))
+      val st = raw.agg(count(lit(1)).as("n"),
+          sum(col("x1").cast(D)).as("s1"), sum((col("x1") * col("x1")).cast(D)).as("q1"),
+          sum(col("x2").cast(D)).as("s2"), sum((col("x2") * col("x2")).cast(D)).as("q2"))
+        .select(col("n"),
+          round(col("s1").cast("double") / col("n"), 9).as("m1"),
+          round(col("s2").cast("double") / col("n"), 9).as("m2"),
+          col("q1").cast("double").as("q1"), col("q2").cast("double").as("q2"))
+        .select(col("n"), col("m1"), col("m2"),
+          round(sqrt((col("q1") - col("m1") * col("m1") * col("n")) / col("n")
+            + lit(0.000000000001)), 9).as("sd1"),
+          round(sqrt((col("q2") - col("m2") * col("m2") * col("n")) / col("n")
+            + lit(0.000000000001)), 9).as("sd2"))
+        .head()
+      val n = st.getLong(0)
+      val (m1, m2, sd1, sd2) =
+        (st.getDouble(1), st.getDouble(2), st.getDouble(3), st.getDouble(4))
+      val base = raw
+        .select(col("source"), col("y"),
+          round((col("x1") - lit(m1)) / lit(sd1), 9).as("u1"),
+          round((col("x2") - lit(m2)) / lit(sd2), 9).as("u2"))
+        .cache() // 3 gradient passes + the scoring rollup
+      def z(b: (Double, Double, Double)) =
+        lit(b._1) + lit(b._2) * col("u1") + lit(b._3) * col("u2")
+      var b = (0.0, 0.0, 0.0)
+      for (_ <- 1 to 3) {
+        val sig = round(lit(1.0) / (lit(1.0) + exp(-z(b))), 9)
+        val r = base
+          .agg(sum((col("y") - sig).cast(D)).as("g0"),
+            sum(((col("y") - sig) * col("u1")).cast(D)).as("g1"),
+            sum(((col("y") - sig) * col("u2")).cast(D)).as("g2"))
+          .select(
+            round(lit(b._1) + lit(0.5) * col("g0").cast("double") /
+              lit(n.toDouble), 12).as("b0"),
+            round(lit(b._2) + lit(0.5) * col("g1").cast("double") /
+              lit(n.toDouble), 12).as("b1"),
+            round(lit(b._3) + lit(0.5) * col("g2").cast("double") /
+              lit(n.toDouble), 12).as("b2"))
+          .head()
+        b = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      }
+      val zc = round(z(b), 9)
+      val zbar = base
+        .agg(round(sum(zc.cast(D)).cast("double") / count(lit(1)), 9))
+        .head().getDouble(0)
+      val keep = zc >= lit(zbar)
+      val out = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+          round(sum(when(keep, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"))
+        .localCheckpoint(true)
+      base.unpersist()
+      out
+    },
+    Some {
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+              SELECT ROUND(p.b0 + CAST(0.5 AS DOUBLE) * CAST(g.g0 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b0,
+                     ROUND(p.b1 + CAST(0.5 AS DOUBLE) * CAST(g.g1 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b1,
+                     ROUND(p.b2 + CAST(0.5 AS DOUBLE) * CAST(g.g2 AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE), 12) AS b2
+              FROM (SELECT SUM(CAST((y - sg) AS DECIMAL(28,12))) AS g0,
+                           SUM(CAST((y - sg) * u1 AS DECIMAL(28,12))) AS g1,
+                           SUM(CAST((y - sg) * u2 AS DECIMAL(28,12))) AS g2
+                    FROM (SELECT y, u1, u2,
+                            ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+                              + EXP(-(p.b0 + p.b1 * u1 + p.b2 * u2))), 9) AS sg
+                          FROM base CROSS JOIN $prev p)) g
+              CROSS JOIN $prev p CROSS JOIN nn)"""
+      val toks = TS.tokens("text")
+      s"""WITH raw AS MATERIALIZED (
+            SELECT source,
+                   ROUND(${TS.avgTokenLen("text")}, 6) AS x1,
+                   ROUND(CAST(len(list_distinct($toks)) AS DOUBLE)
+                     / len($toks), 6) AS x2,
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+            FROM documents),
+          stm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    ROUND(CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*), 9) AS m1,
+                    ROUND(CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*), 9) AS m2,
+                    CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS q1,
+                    CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS q2
+                  FROM raw),
+          st AS (SELECT n, m1, m2,
+                   ROUND(SQRT((q1 - m1 * m1 * n) / n + 0.000000000001), 9) AS sd1,
+                   ROUND(SQRT((q2 - m2 * m2 * n) / n + 0.000000000001), 9) AS sd2
+                 FROM stm),
+          base AS MATERIALIZED (
+            SELECT source, y,
+                   ROUND((x1 - m1) / sd1, 9) AS u1,
+                   ROUND((x2 - m2) / sd2, 9) AS u2
+            FROM raw CROSS JOIN st),
+          nn AS (SELECT n FROM st),
+          i0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+                        CAST(0 AS DOUBLE) AS b2),
+          ${iter("i0", "i1")},
+          ${iter("i1", "i2")},
+          ${iter("i2", "i3")},
+          zs AS (SELECT source,
+                        ROUND(p.b0 + p.b1 * u1 + p.b2 * u2, 9) AS z9
+                 FROM base CROSS JOIN i3 p),
+          zt AS (SELECT ROUND(CAST(SUM(CAST(z9 AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS zbar FROM zs)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN z9 >= zbar THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+                 ROUND(CAST(SUM(CASE WHEN z9 >= zbar THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 6) AS keep_rate
+          FROM zs CROSS JOIN zt
+          GROUP BY source"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
-      bpeMerges, boilerplate, sourceOverlap)
+      bpeMerges, boilerplate, sourceOverlap, qualityFilter)
 }

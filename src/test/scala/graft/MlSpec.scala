@@ -113,4 +113,21 @@ class MlSpec extends SparkSpec {
     assert(e2.getMessage.contains("aggregate first"))
     ml.Analytics.requireHourlyGrain(2_000_000L, "spec") // boundary passes
   }
+
+  test("q_quality_filter: every source audited, mean-cut keeps a real slice") {
+    val rows = SparkEntry.queries("q_quality_filter")(spark, sf0001).collect()
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val (n, keep, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && keep >= 0 && keep <= n, r.toString)
+      assert(math.abs(rate - keep.toDouble / n) < 1e-6, r.toString)
+    }
+    // an above-corpus-mean cut can never keep everything or nothing
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val kept = rows.map(_.getLong(2)).sum.toDouble
+    assert(kept / total > 0.1 && kept / total < 0.9,
+      s"degenerate keep fraction ${kept / total}")
+  }
 }
