@@ -306,5 +306,74 @@ object Warehouse {
             FROM m""")
   )
 
-  def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced)
+  /** Market-basket association mining: part pairs co-purchased within
+    * an order, scored by support / confidence / lift — the classic
+    * warehouse affinity analysis ("customers who bought A also bought
+    * B"), top-20 by lift over a minimum co-occurrence of 3 baskets.
+    *
+    * Scale shape: baskets collapse to the distinct (order, part)
+    * relation first; the pair self-join is ORDER-keyed, so pair volume
+    * is Σ C(basket, 2) — baskets are domain-bounded (line counts), and
+    * the [[Graph.capDegree]] guard (K = 64, deterministic md5 rank,
+    * mirrored in the oracle) bounds a degenerate mega-basket BY
+    * CONSTRUCTION, exactly the q_cooccur_similarity posture (free until
+    * needed: max basket at the test SFs is 17). The basket total is a
+    * scalar driver value; per-part frequencies attach to the surviving
+    * pair table by joins on a |parts|-row relation (size-based
+    * broadcast at any sane catalog).
+    */
+  val basketLift = QueryDef(
+    "q_basket_lift",
+    (s, d) => {
+      val raw = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val b = Graph.capDegree(raw, "ok", "pk", 64)
+        .cache() // basket count + frequencies + the pair self-join
+      val n = b.agg(countDistinct("ok")).head().getLong(0)
+      val freq = b.groupBy("pk").agg(count(lit(1)).as("f"))
+      val pairs = b.alias("a")
+        .join(b.alias("c"), col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
+        .groupBy(col("a.pk").as("pa"), col("c.pk").as("pb"))
+        .agg(count(lit(1)).as("both_n"))
+        .filter(col("both_n") >= 3)
+      val out = pairs
+        .join(freq.select(col("pk").as("pa"), col("f").as("n_a")), "pa")
+        .join(freq.select(col("pk").as("pb"), col("f").as("n_b")), "pb")
+        .select(col("pa"), col("pb"), col("both_n"), col("n_a"), col("n_b"),
+          round(col("both_n").cast("double") / lit(n), 6).as("support"),
+          round(col("both_n").cast("double") / col("n_a"), 6).as("confidence"),
+          round(col("both_n").cast("double") * lit(n) /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(desc("lift"), asc("pa"), asc("pb"))
+        .limit(20)
+      graft.util.Staged.checkpointRelease("q_basket_lift", out, b)
+    },
+    Some("""WITH raw AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                         FROM lineitem),
+            b AS MATERIALIZED (SELECT ok, pk FROM (
+                   SELECT ok, pk, ROW_NUMBER() OVER (PARTITION BY ok
+                     ORDER BY md5(CAST(ok AS VARCHAR) || ':' ||
+                                  CAST(pk AS VARCHAR)), pk) AS rn
+                   FROM raw) WHERE rn <= 64),
+            nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM b),
+            freq AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS f FROM b GROUP BY pk),
+            pairs AS (SELECT a.pk AS pa, c.pk AS pb,
+                             CAST(COUNT(*) AS BIGINT) AS both_n
+                      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+                      GROUP BY 1, 2
+                      HAVING COUNT(*) >= 3)
+            SELECT pa, pb, both_n, fa.f AS n_a, fb.f AS n_b,
+                   ROUND(CAST(both_n AS DOUBLE) / nb.n, 6) AS support,
+                   ROUND(CAST(both_n AS DOUBLE) / fa.f, 6) AS confidence,
+                   ROUND(CAST(both_n AS DOUBLE) * nb.n / (fa.f * fb.f), 6) AS lift
+            FROM pairs
+            JOIN freq fa ON fa.pk = pa
+            JOIN freq fb ON fb.pk = pb
+            CROSS JOIN nb
+            ORDER BY lift DESC, pa, pb LIMIT 20""")
+  )
+
+  def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
+    basketLift)
 }

@@ -28,7 +28,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_ann_recall",          // truth + per-method candidate sets
     "q_dup_spans",           // positional (doc, pos, hash) relation
     "q_triangles",           // capped edges + sim + kNN graph + orientation
-    "q_source_overlap"       // distinct (source, shingle) relation
+    "q_source_overlap",      // distinct (source, shingle) relation
+    "q_basket_lift"          // capped (order, part) basket relation
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

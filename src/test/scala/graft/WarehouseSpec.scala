@@ -41,4 +41,24 @@ class WarehouseSpec extends SparkSpec {
     // s3: brand-new current
     assert(byKey("s3").toSet === Set(("s3", "West", 1)))
   }
+
+  test("q_basket_lift: probability bounds and internally consistent scores") {
+    val rows = SparkEntry.queries("q_basket_lift")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (pa, pb) = (r.getLong(0), r.getLong(1))
+      val (both, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (sup, conf, lift) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(pa < pb, r.toString)
+      assert(both >= 3 && both <= math.min(na, nb), r.toString)
+      assert(sup > 0.0 && sup <= 1.0, r.toString)
+      assert(conf > 0.0 && conf <= 1.0, r.toString)
+      // lift = conf / P(b); P(b) <= 1 so lift >= conf
+      assert(lift >= conf - 1e-6, r.toString)
+      assert(math.abs(conf - both.toDouble / na) < 1e-6, r.toString)
+    }
+    val lifts = rows.map(_.getDouble(7))
+    assert(lifts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "not sorted by lift desc")
+  }
 }
