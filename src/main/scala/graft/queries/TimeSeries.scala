@@ -384,7 +384,84 @@ object TimeSeries {
             LIMIT 20""")
   )
 
+  /** Holt double exponential smoothing (level + trend) per user, with
+    * 1-step and 3-step-ahead forecasts — the trend-aware upgrade of
+    * [[ema]] (plain EMA lags any trending series; Holt's second
+    * recurrence tracks the slope). α = 0.3, β = 0.2, init l₀ = x₀,
+    * b₀ = 0.
+    *
+    * Like EMA, the recurrence is inherently sequential, so it is a
+    * left fold over each user's time-ordered values — here with a
+    * TWO-component accumulator (`aggregate` with a named_struct
+    * state). Determinism is the EMA recipe: NO per-step rounding —
+    * textually identical update expressions execute the same IEEE op
+    * sequence in both engines, so the folds are bit-identical; only
+    * the outputs round (6 dp). Two traps measured while building this:
+    * per-step decimal rounding is actively WRONG (rounded state ×
+    * 1-dp coefficients lands exactly on decimal rounding-boundary
+    * ties, where the engines' double-round implementations differ by
+    * 1 ulp), and DuckDB's `list_reduce` with a STRUCT accumulator
+    * evaluates the result fields sequentially against a mutated
+    * accumulator (the second field sees the first field's NEW value) —
+    * so the oracle folds via a recursive CTE instead, whose semantics
+    * are clean. Scale: state per user is one sorted array of its
+    * history (the q_ema posture — a production deployment caps the
+    * window); one hash shuffle by user.
+    */
+  val holtForecast = QueryDef(
+    "q_holt_forecast",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("ts"), col("event_id"), col("value"))).as("evs"))
+        .select(col("user_id"),
+          expr("""aggregate(
+                    slice(transform(array_sort(evs), e -> e.value), 2, size(evs) - 1),
+                    named_struct('l', transform(array_sort(evs), e -> e.value)[0],
+                                 'b', cast(0 as double)),
+                    (acc, x) -> named_struct(
+                      'l', x * cast(0.3 as double)
+                             + (acc.l + acc.b) * cast(0.7 as double),
+                      'b', ((x * cast(0.3 as double)
+                               + (acc.l + acc.b) * cast(0.7 as double)) - acc.l)
+                             * cast(0.2 as double)
+                             + acc.b * cast(0.8 as double))
+                  )""").as("st"),
+          size(col("evs")).as("n_events"))
+        .select(col("user_id"),
+          expr("round(st.l, 6)").as("level"),
+          expr("round(st.b, 6)").as("trend"),
+          expr("round(st.l + st.b, 6)").as("fc_1"),
+          expr("round(st.l + st.b * 3, 6)").as("fc_3"),
+          col("n_events")),
+    Some("""WITH RECURSIVE seq AS (
+              SELECT user_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i
+              FROM events),
+            cnt AS (SELECT user_id, MAX(i) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS n_events
+                    FROM seq GROUP BY user_id),
+            rec AS (
+              SELECT user_id, CAST(1 AS BIGINT) AS i, value AS l,
+                     CAST(0 AS DOUBLE) AS b
+              FROM seq WHERE i = 1
+              UNION ALL
+              SELECT r.user_id, r.i + 1,
+                     s.value * CAST(0.3 AS DOUBLE)
+                       + (r.l + r.b) * CAST(0.7 AS DOUBLE),
+                     ((s.value * CAST(0.3 AS DOUBLE)
+                         + (r.l + r.b) * CAST(0.7 AS DOUBLE)) - r.l)
+                       * CAST(0.2 AS DOUBLE) + r.b * CAST(0.8 AS DOUBLE)
+              FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
+            SELECT r.user_id, ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+                   ROUND(r.l + r.b, 6) AS fc_1,
+                   ROUND(r.l + r.b * 3, 6) AS fc_3,
+                   c.n_events
+            FROM rec r JOIN cnt c ON c.user_id = r.user_id AND r.i = c.n""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa,
-      changepoint)
+      changepoint, holtForecast)
 }
