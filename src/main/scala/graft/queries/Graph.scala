@@ -318,5 +318,95 @@ object Graph {
                   ORDER BY pn.tri DESC, pn.node LIMIT 20)""")
   )
 
-  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles)
+  /** HITS (hubs & authorities), 2 mutual-reinforcement rounds over the
+    * DIRECTED customer→supplier purchase graph — the second iterative
+    * ranking next to [[pagerank]], and the one that fits a bipartite
+    * graph natively: customers are pure hubs (good buyers point at good
+    * suppliers), suppliers pure authorities. Output = top-10 of each
+    * role.
+    *
+    * Determinism: every score sum rides DECIMAL(28,12) (order-free);
+    * each round L1-normalizes by the engine-computed total and rounds
+    * to 12 dp, so both engines carry identical scores into the next
+    * round — the PageRank recipe. Scale shape per round: one edge-list
+    * shuffle (join scores on the source side, aggregate on the target
+    * side); the normalization total is a scalar driver value; score
+    * relations are node-keyed and reuse their hash partitioning. The
+    * per-round raw-score relations are cached (each feeds the total
+    * AND the normalized projection) and released with the result.
+    */
+  val hits = QueryDef(
+    "q_hits",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types.DecimalType
+      val D = DecimalType(28, 12)
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .cache() // read by all 4 propagation rounds
+      var staged = List.empty[DataFrame]
+      // one propagation round: join scores on `from`, sum per `to`,
+      // L1-normalize, round 12 dp
+      def push(scores: DataFrame, from: String, to: String) = {
+        val raw = e.join(scores, from).groupBy(to)
+          .agg(sum(col("x").cast(D)).cast("double").as("r"))
+          .cache() // feeds the total and the normalized projection
+        staged ::= raw
+        val tot = raw.agg(sum(col("r").cast(D)).cast("double"))
+          .head().getDouble(0)
+        raw.select(col(to), round(col("r") / lit(tot), 12).as("x"))
+      }
+      val h0 = e.select(col("c")).distinct().select(col("c"), lit(1.0).as("x"))
+      val a1 = push(h0, "c", "sk")
+      val h1 = push(a1, "sk", "c")
+      val a2 = push(h1, "c", "sk")
+      val h2 = push(a2, "sk", "c")
+      val topA = a2.orderBy(desc("x"), asc("sk")).limit(10)
+        .select(lit("authority").as("role"),
+          concat(lit("s"), col("sk")).as("node"), col("x").as("score"))
+      val topH = h2.orderBy(desc("x"), asc("c")).limit(10)
+        .select(lit("hub").as("role"),
+          concat(lit("c"), col("c")).as("node"), col("x").as("score"))
+      graft.util.Staged.checkpointRelease("q_hits",
+        topA.unionByName(topH), (e :: staged): _*)
+    },
+    Some("""WITH e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            h0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS x FROM e),
+            a1r AS (SELECT sk, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS r
+                    FROM e JOIN h0 USING (c) GROUP BY sk),
+            a1 AS MATERIALIZED (SELECT sk, ROUND(r / (SELECT
+                   CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) FROM a1r),
+                   12) AS x FROM a1r),
+            h1r AS (SELECT c, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS r
+                    FROM e JOIN a1 USING (sk) GROUP BY c),
+            h1 AS MATERIALIZED (SELECT c, ROUND(r / (SELECT
+                   CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) FROM h1r),
+                   12) AS x FROM h1r),
+            a2r AS (SELECT sk, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS r
+                    FROM e JOIN h1 USING (c) GROUP BY sk),
+            a2 AS MATERIALIZED (SELECT sk, ROUND(r / (SELECT
+                   CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) FROM a2r),
+                   12) AS x FROM a2r),
+            h2r AS (SELECT c, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS r
+                    FROM e JOIN a2 USING (sk) GROUP BY c),
+            h2 AS MATERIALIZED (SELECT c, ROUND(r / (SELECT
+                   CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) FROM h2r),
+                   12) AS x FROM h2r)
+            SELECT * FROM (
+              SELECT 'authority' AS role, 's' || CAST(sk AS VARCHAR) AS node,
+                     x AS score
+              FROM a2 ORDER BY x DESC, sk LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'hub' AS role, 'c' || CAST(c AS VARCHAR) AS node,
+                     x AS score
+              FROM h2 ORDER BY x DESC, c LIMIT 10)""")
+  )
+
+  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles, hits)
 }

@@ -29,7 +29,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_dup_spans",           // positional (doc, pos, hash) relation
     "q_triangles",           // capped edges + sim + kNN graph + orientation
     "q_source_overlap",      // distinct (source, shingle) relation
-    "q_basket_lift"          // capped (order, part) basket relation
+    "q_basket_lift",         // capped (order, part) basket relation
+    "q_hits"                 // edge list + 4 per-round raw-score relations
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

@@ -128,6 +128,23 @@ class GraphDedupSpec extends SparkSpec {
     assert(rows.head.getString(0).startsWith("s"), rows.head.toString)
   }
 
+  test("q_hits: 10 per role, L1-normalized positive scores, sorted desc") {
+    val rows = SparkEntry.queries("q_hits")(spark, sf0001).collect()
+    val byRole = rows.groupBy(_.getString(0))
+    assert(byRole.keySet === Set("authority", "hub"))
+    byRole.foreach { case (role, rs) =>
+      assert(rs.length === 10, s"$role: ${rs.length}")
+      val scores = rs.map(_.getDouble(2))
+      assert(scores.forall(x => x > 0.0 && x <= 1.0), role)
+      // top-10 of an L1-normalized distribution can't exceed the mass
+      assert(scores.sum <= 1.0 + 1e-9, s"$role mass ${scores.sum}")
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$role not sorted")
+      val prefix = if (role == "authority") "s" else "c"
+      assert(rs.forall(_.getString(1).startsWith(prefix)), role)
+    }
+  }
+
   test("q_source_overlap: canonical pairs, intersection and jaccard bounds") {
     val rows = SparkEntry.queries("q_source_overlap")(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
