@@ -307,11 +307,18 @@ object TimeSeries {
     * has no unbounded recursion, so it is ONE window pass.
     *
     * Determinism across engines: the hourly means ride DECIMAL partials
-    * and are rounded to 9 dp BEFORE the windows, window sums over those
-    * rounded doubles are DECIMAL again (frame content is identical in
-    * both engines — ROWS frames over the same series), and each derived
-    * stat is rounded before it feeds the next expression, so the final
-    * z at 6 dp is bit-identical. The ε=1e-9 under the sqrt guards the
+    * and are rounded to 9 dp BEFORE the windows. The window-mean divide
+    * is the subtle part: a sum of six 9-dp values divided by 6 lands on
+    * an EXACT half at the 9th decimal whenever the scaled sum ≡ 3
+    * (mod 6) — one row in six — and `round(double, 9)` then resolves
+    * the tie from the double's representation error, which the two
+    * engines build differently (Spark's double→DECIMAL cast is
+    * shortest-repr-based, DuckDB's is binary-value-based; measured
+    * 1-ulp split at sf0.1). So the window means ride scaled BIGINTs
+    * (m·1e9, exact in both engines) with the half-up division done in
+    * integer space, and the squared sums ride exact DECIMAL(19,9)²
+    * products — every input to the z formula is bit-identical before
+    * any double math happens. The ε=1e-9 under the sqrt guards the
     * constant-series case.
     *
     * Scale shape: one corpus-sized shuffle (the hourly agg, keyed by
@@ -328,18 +335,27 @@ object TimeSeries {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(round(sum(col("value").cast(DecimalType(28, 20))).cast("double") /
           count(lit(1)), 9).as("m"))
+        .withColumn("msc", round(col("m") * lit(1e9)).cast("long"))
+        .withColumn("m9", col("m").cast(DecimalType(19, 9)))
       val left = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-6, -1)
       val right = Window.partitionBy("event_type").orderBy("hr").rowsBetween(0, 5)
-      def dsum(c: org.apache.spark.sql.Column,
-          w: org.apache.spark.sql.expressions.WindowSpec) =
-        sum(c.cast(DecimalType(28, 20))).over(w).cast("double")
+      // half-up mean of six scaled-BIGINT values: integer-space tie-break,
+      // then /1e9 (both operands exact in double → correctly rounded)
+      def meanInt(w: org.apache.spark.sql.expressions.WindowSpec) = {
+        val sc = sum(col("msc")).over(w)
+        when(sc >= 0, floor((sc + lit(3)) / lit(6)))
+          .otherwise(-floor((-sc + lit(3)) / lit(6)))
+          .cast("double") / lit(1e9)
+      }
+      def sqsum(w: org.apache.spark.sql.expressions.WindowSpec) =
+        sum(col("m9") * col("m9")).over(w).cast("double")
       val win = hourly
         .withColumn("nl", count(lit(1)).over(left))
         .withColumn("nr", count(lit(1)).over(right))
-        .withColumn("ml", round(dsum(col("m"), left) / 6, 9))
-        .withColumn("mr", round(dsum(col("m"), right) / 6, 9))
-        .withColumn("sql_", dsum(col("m") * col("m"), left))
-        .withColumn("sqr_", dsum(col("m") * col("m"), right))
+        .withColumn("ml", meanInt(left))
+        .withColumn("mr", meanInt(right))
+        .withColumn("sql_", sqsum(left))
+        .withColumn("sqr_", sqsum(right))
       win.filter(col("nl") === 6 && col("nr") === 6)
         .select(col("event_type"), col("hr"),
           col("ml").as("mean_before"), col("mr").as("mean_after"),
@@ -355,31 +371,41 @@ object TimeSeries {
                      ROUND(CAST(SUM(CAST(value AS DECIMAL(28,20))) AS DOUBLE)
                        / COUNT(*), 9) AS m
               FROM events GROUP BY 1, 2),
+            scaled AS (
+              SELECT event_type, hr, m,
+                     CAST(ROUND(m * 1e9) AS BIGINT) AS msc,
+                     CAST(m AS DECIMAL(19,9)) AS m9
+              FROM hourly),
             win AS (
               SELECT event_type, hr,
                 COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nl,
                 COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
                   ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS nr,
-                ROUND(CAST(SUM(CAST(m AS DECIMAL(28,20))) OVER (
-                  PARTITION BY event_type ORDER BY hr
-                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 6, 9) AS ml,
-                ROUND(CAST(SUM(CAST(m AS DECIMAL(28,20))) OVER (
-                  PARTITION BY event_type ORDER BY hr
-                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS DOUBLE) / 6, 9) AS mr,
-                CAST(SUM(CAST(m * m AS DECIMAL(28,20))) OVER (
+                SUM(msc) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS sl,
+                SUM(msc) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS sr,
+                CAST(SUM(m9 * m9) OVER (
                   PARTITION BY event_type ORDER BY hr
                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sql_,
-                CAST(SUM(CAST(m * m AS DECIMAL(28,20))) OVER (
+                CAST(SUM(m9 * m9) OVER (
                   PARTITION BY event_type ORDER BY hr
                   ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS DOUBLE) AS sqr_
-              FROM hourly)
+              FROM scaled),
+            mw AS (
+              SELECT *,
+                CASE WHEN sl >= 0 THEN FLOOR((sl + 3) / 6)
+                     ELSE -FLOOR((-sl + 3) / 6) END / 1e9 AS ml,
+                CASE WHEN sr >= 0 THEN FLOOR((sr + 3) / 6)
+                     ELSE -FLOOR((-sr + 3) / 6) END / 1e9 AS mr
+              FROM win)
             SELECT event_type, hr, ml AS mean_before, mr AS mean_after,
                    ROUND((mr - ml) / SQRT(
                      (ROUND((sql_ - ml * ml * 6) / 5, 9)
                       + ROUND((sqr_ - mr * mr * 6) / 5, 9)) / 6
                      + 0.000000001), 6) AS shift_z
-            FROM win WHERE nl = 6 AND nr = 6
+            FROM mw WHERE nl = 6 AND nr = 6
             ORDER BY ABS(shift_z) DESC, event_type, hr
             LIMIT 20""")
   )
