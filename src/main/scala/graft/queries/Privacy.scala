@@ -101,5 +101,63 @@ object Privacy {
             GROUP BY 1, 2""")
   )
 
-  def all: Seq[QueryDef] = Seq(piiMask, kanonAudit, ldivAudit)
+  /** Differentially-private histogram release (ε = 1): per
+    * (event_type, day) event counts with Laplace(1/ε) noise — the
+    * third leg of the privacy surface after masking and the k/l
+    * audits: counts released OUTSIDE the trusted zone must not let an
+    * adversary detect one record's presence. Sensitivity is 1 under
+    * event-level adjacency (one event lands in exactly one cell);
+    * user-level DP would first cap per-user contributions (the
+    * [[Sampling]] domain-cap machinery) and scale b by the cap — noted,
+    * not done here. `true_count`/`noise` are utility-audit columns; a
+    * production release selects only (cell, noisy_count).
+    *
+    * Determinism (the whole trick): the noise is NOT drawn from an RNG
+    * but derived from the cell key — u = md5-uniform(cell) in (0,1),
+    * centered v = u − ½, and the inverse Laplace CDF
+    * −b·sign(v)·ln(1 − 2|v|) maps it to a Laplace deviate. Same
+    * distribution over cells, bit-replayable in DuckDB. ln is the one
+    * transcendental: rounded to 9 dp to absorb libm ulp skew, after
+    * which `true_count + noise` is a single identical IEEE add — no
+    * second rounding anywhere. 1 − 2|v| is never 0 (u = (k+½)/2³²
+    * cannot reach 1), so ln never sees 0.
+    *
+    * Scale shape: one partial-agg shuffle builds the histogram; the
+    * noise pass is map-only over the REDUCED table (|types|×|days|
+    * rows), so at 100 TB the cost is the count itself.
+    */
+  val dpCounts = QueryDef(
+    "q_dp_counts",
+    (s, d) => {
+      import graft.functions.PortableHash
+      val h = "md5(concat(event_type, '|', cast(day as string), '#dp'))"
+      val v = (expr(PortableHash.laneSpark(h, 0)).cast("double") + lit(0.5)) /
+        lit(4294967296.0) - lit(0.5)
+      val noise = round(-signum(v) * log(lit(1.0) - lit(2.0) * abs(v)), 9)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("true_count"))
+        .withColumn("noise", noise)
+        .withColumn("noisy_count", col("true_count") + col("noise"))
+    },
+    Some {
+      import graft.functions.PortableHash
+      val h = "md5(event_type || '|' || CAST(day AS VARCHAR) || '#dp')"
+      val v = s"((CAST(${PortableHash.laneDuck(h, 0)} AS DOUBLE) + 0.5)" +
+        " / 4294967296.0 - 0.5)"
+      s"""WITH c AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                   COUNT(*) AS true_count
+            FROM events GROUP BY 1, 2),
+          n AS (
+            SELECT *, ROUND(-SIGN($v) * LN(1.0 - 2.0 * ABS($v)), 9) AS noise
+            FROM c)
+          SELECT event_type, day, true_count, noise,
+                 true_count + noise AS noisy_count
+          FROM n"""
+    })
+
+  def all: Seq[QueryDef] = Seq(piiMask, kanonAudit, ldivAudit, dpCounts)
 }
