@@ -1277,10 +1277,87 @@ object Text {
     }
   )
 
+  /** PMI collocation mining: the word pairs that co-occur adjacently
+    * far more than their unigram frequencies predict — multi-word
+    * expressions ("new york", "machine learning") that a tokenizer,
+    * a phrase-aware index, or a synthetic-data detector wants as
+    * units. PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) over adjacent-pair
+    * occurrences, with a min-support floor (c_ab ≥ 5) that kills the
+    * one-off pairs PMI otherwise over-ranks. Top 30 by PMI.
+    *
+    * Scale shape: two map+partial-agg passes over the corpus (word
+    * stream → unigram counts; adjacent-pair stream → bigram counts) —
+    * each shuffles only vocabulary-sized (term, count) rows thanks to
+    * map-side combine, never raw text. Both reduced tables are staged
+    * once and re-aggregated for their totals (the q_lm_score pattern),
+    * then released. The pair↔unigram joins are UNHINTED: vocabulary
+    * grows sublinearly but unbounded, so Catalyst's size-based
+    * broadcast picks the strategy (the repo's broadcast rule — at
+    * 100 TB a giant vocab degrades to a shuffle join, not an OOM).
+    * Selection is TakeOrderedAndProject. Determinism: counts are
+    * exact integers, the PMI double chain is textually identical in
+    * both engines, ln rounds at 6 dp.
+    */
+  val collocations = QueryDef(
+    "q_collocations",
+    (s, d) => {
+      def toks = Tables.documents(s, d)
+        .select(col("doc_id"), filter(
+          split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
+          t => t =!= "").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw")).cache()
+      val bg = toks.filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cab")).cache()
+      val tot = uni.agg(sum(col("cw")).cast("double").as("nu"))
+        .crossJoin(bg.agg(sum(col("cab")).cast("double").as("nbg")))
+      val out = bg.filter(col("cab") >= 5)
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .withColumn("w2", substring_index(col("b"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("cw").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(tot)) // 1-row totals: structurally k-row
+        .select(col("w1"), col("w2"), col("cab"),
+          round(log((col("cab").cast("double") / col("nbg")) /
+            ((col("ca").cast("double") / col("nu")) *
+              (col("cb").cast("double") / col("nu")))), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(30)
+      graft.util.Staged.checkpointRelease("q_collocations", out, uni, bg)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(
+                  regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                x -> x <> '') AS ts
+              FROM documents),
+            uni AS (SELECT unnest(ts) AS w FROM toks),
+            cw AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+            bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+                     i -> ts[i] || ' ' || ts[i + 1])) AS b
+                   FROM toks WHERE len(ts) >= 2),
+            cab AS (SELECT b, COUNT(*) AS cab FROM bg GROUP BY b),
+            tot AS (SELECT
+              (SELECT CAST(SUM(cw) AS DOUBLE) FROM cw) AS nu,
+              (SELECT CAST(SUM(cab) AS DOUBLE) FROM cab) AS nbg)
+            SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+                   cab,
+                   ROUND(LN((CAST(cab AS DOUBLE) / nbg) /
+                     ((CAST(a.cw AS DOUBLE) / nu) *
+                      (CAST(c.cw AS DOUBLE) / nu))), 6) AS pmi
+            FROM cab JOIN cw a ON split_part(b, ' ', 1) = a.w
+                     JOIN cw c ON split_part(b, ' ', 2) = c.w
+                     CROSS JOIN tot
+            WHERE cab >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 30""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
-      bpeMerges, boilerplate, sourceOverlap, qualityFilter)
+      bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations)
 }
