@@ -766,6 +766,55 @@ object Relational {
              FROM lineitem GROUP BY 1, 2""")
   )
 
+  /** Per-brand skyline (Pareto frontier) of parts: the size/price
+    * trade-off curve — a part is on the frontier iff no same-brand part
+    * is at least as large AND at least as cheap with one strict. The
+    * naive formulation is an O(n²) dominance self-join; the 2-D
+    * skyline collapses to TWO window minima instead: a part is
+    * dominated exactly when some STRICTLY larger part is no pricier
+    * (running min of price over the larger-size range frame) or some
+    * equal-size part is strictly cheaper (min over the size group).
+    *
+    * Scale shape: one shuffle on brand, windows ride the same
+    * partitioning (PARTITION BY brand keeps every window partition
+    * bounded by a brand's parts — no global sort, no single-partition
+    * window); the range frame needs only the sort the window already
+    * does. Dominance tests are exact integer/double comparisons — no
+    * rounding anywhere, so the oracle matches bit-for-bit.
+    */
+  val skyline = QueryDef(
+    "q_skyline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val larger = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val sameSize = Window.partitionBy("p_brand", "p_size")
+      Tables.part(s, d)
+        .withColumn("min_larger", min(col("p_retailprice")).over(larger))
+        .withColumn("min_same", min(col("p_retailprice")).over(sameSize))
+        .filter((col("min_larger").isNull ||
+          col("p_retailprice") < col("min_larger")) &&
+          col("p_retailprice") === col("min_same"))
+        .select(col("p_brand"), col("p_partkey"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_size"), col("p_partkey"))
+    },
+    Some("""WITH w AS (
+              SELECT p_brand, p_partkey, p_size, p_retailprice,
+                MIN(p_retailprice) OVER (PARTITION BY p_brand
+                  ORDER BY p_size DESC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS min_larger,
+                MIN(p_retailprice) OVER (PARTITION BY p_brand, p_size)
+                  AS min_same
+              FROM part)
+            SELECT p_brand, p_partkey, p_size, p_retailprice
+            FROM w
+            WHERE (min_larger IS NULL OR p_retailprice < min_larger)
+              AND p_retailprice = min_same
+            ORDER BY p_brand, p_size, p_partkey""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, distinctSketch,
     groupDistinctSketch, aggGroupStats,
@@ -773,5 +822,5 @@ object Relational {
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,
-    rollupTotals, cubeTotals)
+    rollupTotals, cubeTotals, skyline)
 }
