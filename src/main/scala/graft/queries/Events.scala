@@ -865,9 +865,93 @@ object Events {
              FROM events GROUP BY 1""")
   )
 
+  /** A/B experiment readout: users are assigned to arms by a
+    * deterministic hash of their id (the industry-standard sticky
+    * bucketing — no assignment table to join, any engine recomputes the
+    * same split), the metric is per-user high-value conversion (any
+    * purchase over 150 — plain "ever purchased" saturates at 100% on
+    * this corpus and degenerates the variance), and the readout is the
+    * two-proportion z-test with pooled variance — |z| > 1.96 is the
+    * 95% significance gate. On hash-split arms with no real treatment
+    * the expected readout is "not significant": this doubles as the
+    * pipeline's A/A sanity check. The zero-variance case (both rates
+    * 0 or 1) reports z = NULL / not significant rather than tripping
+    * ANSI division-by-zero.
+    *
+    * Scale shape: one user-keyed partial agg (per-user conversion bit),
+    * a map-only arm assignment on the REDUCED per-user table, and a
+    * 1-row rollup — the corpus shuffles once, on user_id. Determinism:
+    * counts are exact, the z chain is textually identical double math
+    * in both engines, rounded at 6 dp.
+    */
+  val abTest = QueryDef(
+    "q_abtest",
+    (s, d) => {
+      import graft.functions.PortableHash
+      val h = "md5(concat(cast(user_id as string), '#ab'))"
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1).otherwise(0)).as("conv"))
+        .withColumn("arm",
+          when(expr(PortableHash.laneSpark(h, 0)) % 2 === 0, "A")
+            .otherwise("B"))
+      val row = perUser.agg(
+        sum(when(col("arm") === "A", 1).otherwise(0)).as("n_a"),
+        sum(when(col("arm") === "B", 1).otherwise(0)).as("n_b"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0)).as("c_a"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0)).as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a")
+      val pb = col("c_b").cast("double") / col("n_b")
+      val pool = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val den = sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      val z = when(den > 0, round((pa - pb) / den, 6))
+      row.select(col("n_a"), col("n_b"), col("c_a"), col("c_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        z.as("z"),
+        (coalesce(abs(z), lit(0.0)) > 1.96).cast("int").as("significant"))
+    },
+    Some {
+      import graft.functions.PortableHash
+      val h = "md5(CAST(user_id AS VARCHAR) || '#ab')"
+      s"""WITH pu AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                       THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id),
+          arms AS (
+            SELECT CASE WHEN ${PortableHash.laneDuck(h, 0)} % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm, conv
+            FROM pu),
+          agg AS (
+            SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS c_b
+            FROM arms),
+          zc AS (
+            SELECT *,
+                   SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)) AS den
+            FROM agg)
+          SELECT n_a, n_b, c_a, c_b,
+                 ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+                 ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+                 CASE WHEN den > 0 THEN ROUND((CAST(c_a AS DOUBLE) / n_a
+                   - CAST(c_b AS DOUBLE) / n_b) / den, 6) END AS z,
+                 CASE WHEN den > 0 AND ABS(ROUND((CAST(c_a AS DOUBLE) / n_a
+                     - CAST(c_b AS DOUBLE) / n_b) / den, 6)) > 1.96
+                   THEN 1 ELSE 0 END AS significant
+          FROM zc"""
+    })
+
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
-    dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType)
+    dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
+    abTest)
 }
