@@ -211,40 +211,78 @@ object Graph {
     * graph. Ties in similarity break on neighbor id; all shuffles carry
     * long keys.
     */
+  /** Shared supplier-similarity kNN graph (top-3 Jaccard neighbors per
+    * supplier over the co-purchase projection, symmetrized, u < v) —
+    * the edge set q_triangles and q_label_propagation both analyze.
+    * Returns the undirected edge set plus the staged caches the caller
+    * must release (capped index, similarity pairs, edge set).
+    */
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = capDegree(raw, "ck", "sk", 128)
+      .cache() // read by the pair self-join (twice) + the degree agg
+    val deg0 = e.groupBy("sk").agg(count(lit(1)).as("n"))
+    val pairs = e.alias("a")
+      .join(e.alias("b"), col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("common"))
+    val sim = pairs
+      .join(deg0.select(col("sk").as("u"), col("n").as("nu")), "u")
+      .join(deg0.select(col("sk").as("v"), col("n").as("nv")), "v")
+      .select(col("u"), col("v"),
+        round(col("common").cast("double") /
+          (col("nu") + col("nv") - col("common")), 6).as("j"))
+      .cache() // the symmetrized union below reads it twice
+    val dir = sim.select(col("u").as("a"), col("v").as("b"), col("j"))
+      .unionByName(sim.select(col("v").as("a"), col("u").as("b"), col("j")))
+    val knn = dir
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(desc("j"), asc("b"))))
+      .filter(col("rn") <= 3)
+    val und = knn
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .cache() // read by every downstream pass of the caller
+    (und, Seq(e, sim, und))
+  }
+
+  /** DuckDB CTE prefix mirroring [[knnGraph]] — ends at `und`. */
+  private[graft] val knnGraphSql: String =
+    """raw AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS MATERIALIZED (SELECT ck, sk FROM (
+               SELECT ck, sk, ROW_NUMBER() OVER (PARTITION BY ck
+                 ORDER BY md5(CAST(ck AS VARCHAR) || ':' ||
+                              CAST(sk AS VARCHAR)), sk) AS rn
+               FROM raw) WHERE rn <= 128),
+       deg0 AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY sk),
+       pairs AS (SELECT a.sk AS u, b.sk AS v, CAST(COUNT(*) AS BIGINT) AS common
+                 FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
+                 GROUP BY 1, 2),
+       sim AS MATERIALIZED (
+         SELECT u, v, ROUND(CAST(common AS DOUBLE) / (du.n + dv.n - common), 6) AS j
+         FROM pairs JOIN deg0 du ON du.sk = u JOIN deg0 dv ON dv.sk = v),
+       dir AS (SELECT u AS a, v AS b, j FROM sim
+               UNION ALL SELECT v, u, j FROM sim),
+       knn AS (SELECT a, b FROM (
+                 SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+                   ORDER BY j DESC, b) AS rn
+                 FROM dir) WHERE rn <= 3),
+       und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                            FROM knn)"""
+
   val triangles = QueryDef(
     "q_triangles",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val raw = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-        .distinct()
-      val e = capDegree(raw, "ck", "sk", 128)
-        .cache() // read by the pair self-join (twice) + the degree agg
-      val deg0 = e.groupBy("sk").agg(count(lit(1)).as("n"))
-      val pairs = e.alias("a")
-        .join(e.alias("b"), col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("common"))
-      val sim = pairs
-        .join(deg0.select(col("sk").as("u"), col("n").as("nu")), "u")
-        .join(deg0.select(col("sk").as("v"), col("n").as("nv")), "v")
-        .select(col("u"), col("v"),
-          round(col("common").cast("double") /
-            (col("nu") + col("nv") - col("common")), 6).as("j"))
-        .cache() // the symmetrized union below reads it twice
-      val dir = sim.select(col("u").as("a"), col("v").as("b"), col("j"))
-        .unionByName(sim.select(col("v").as("a"), col("u").as("b"), col("j")))
-      val knn = dir
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("a").orderBy(desc("j"), asc("b"))))
-        .filter(col("rn") <= 3)
-      val und = knn
-        .select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .distinct()
-        .cache() // read by degree agg, orientation, and wedge closure
+      val (und, caches) = knnGraph(s, d)
       val deg = und.select(col("u").as("node"))
         .unionByName(und.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -271,30 +309,9 @@ object Graph {
           col("tri"), col("deg"),
           round((col("tri") * 2).cast("double") /
             (col("deg") * (col("deg") - 1)), 6).as("clust_coeff"))
-      graft.util.Staged.checkpointRelease("q_triangles", out, e, sim, und, ori)
+      graft.util.Staged.checkpointRelease("q_triangles", out, caches :+ ori: _*)
     },
-    Some("""WITH raw AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-                         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-            e AS MATERIALIZED (SELECT ck, sk FROM (
-                    SELECT ck, sk, ROW_NUMBER() OVER (PARTITION BY ck
-                      ORDER BY md5(CAST(ck AS VARCHAR) || ':' ||
-                                   CAST(sk AS VARCHAR)), sk) AS rn
-                    FROM raw) WHERE rn <= 128),
-            deg0 AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY sk),
-            pairs AS (SELECT a.sk AS u, b.sk AS v, CAST(COUNT(*) AS BIGINT) AS common
-                      FROM e a JOIN e b ON a.ck = b.ck AND a.sk < b.sk
-                      GROUP BY 1, 2),
-            sim AS MATERIALIZED (
-              SELECT u, v, ROUND(CAST(common AS DOUBLE) / (du.n + dv.n - common), 6) AS j
-              FROM pairs JOIN deg0 du ON du.sk = u JOIN deg0 dv ON dv.sk = v),
-            dir AS (SELECT u AS a, v AS b, j FROM sim
-                    UNION ALL SELECT v, u, j FROM sim),
-            knn AS (SELECT a, b FROM (
-                      SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
-                        ORDER BY j DESC, b) AS rn
-                      FROM dir) WHERE rn <= 3),
-            und AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
-                                 FROM knn),
+    Some(s"""WITH $knnGraphSql,
             deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
                       SELECT u AS node FROM und UNION ALL SELECT v FROM und)
                     GROUP BY 1),
@@ -408,5 +425,66 @@ object Graph {
               FROM h2 ORDER BY x DESC, c LIMIT 10)""")
   )
 
-  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles, hits)
+  /** Synchronous label-propagation community detection (4 rounds) over
+    * the shared supplier kNN graph — the near-linear-time community
+    * algorithm (Raghavan et al. 2007): every node starts as its own
+    * label and repeatedly adopts the most frequent label among its
+    * neighbors. Vanilla LPA is nondeterministic (random update order,
+    * random tie-break); this is the determinized variant — synchronous
+    * rounds, ties broken toward the SMALLEST label — so the fixed
+    * round count yields one exact answer both engines reproduce.
+    * Output: the 20 largest communities (label = minimum-ish seed node).
+    *
+    * Scale shape per round: one edge-list shuffle (labels join on the
+    * neighbor side) + one (node, label) count + one per-node argmax —
+    * all integer keys, no floats anywhere, volume bounded by the kNN
+    * edge count (≤ 2kn by construction). The argmax rides a single
+    * min(struct(-count, label)) aggregate, not a window. Four rounds
+    * build one lazy plan: each round's relation is referenced once, so
+    * Spark evaluates the chain in a single job without re-computation.
+    */
+  val labelProp = QueryDef(
+    "q_label_propagation",
+    (s, d) => {
+      val (und, caches) = knnGraph(s, d)
+      val dirE = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      val l0 = dirE.select(col("a").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      val lFin = (1 to 4).foldLeft(l0) { (l, _) =>
+        dirE.join(l.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a"), col("lab"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab")))
+            .as("m"))
+          .select(col("a").as("node"), col("m.lab").as("lab"))
+      }
+      val out = lFin.groupBy("lab")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), asc("lab"))
+        .limit(20)
+        .select(col("lab").as("community"), col("n_members"))
+      graft.util.Staged.checkpointRelease("q_label_propagation", out, caches: _*)
+    },
+    Some {
+      def iter(t: Int, prev: String) =
+        s"""it$t AS MATERIALIZED (SELECT a AS node, lab FROM (
+              SELECT a, lab, ROW_NUMBER() OVER (PARTITION BY a
+                ORDER BY cnt DESC, lab) AS rn
+              FROM (SELECT d.a, l.lab, COUNT(*) AS cnt
+                    FROM dire d JOIN $prev l ON d.b = l.node
+                    GROUP BY 1, 2)) WHERE rn = 1)"""
+      s"""WITH $knnGraphSql,
+          dire AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+                                UNION ALL SELECT v, u FROM und),
+          l0 AS (SELECT DISTINCT a AS node, a AS lab FROM dire),
+          ${(1 to 4).map(t => iter(t, if (t == 1) "l0" else s"it${t - 1}"))
+            .mkString(",\n")}
+          SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM it4 GROUP BY lab
+          ORDER BY n_members DESC, community LIMIT 20"""
+    })
+
+  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles, hits, labelProp)
 }
