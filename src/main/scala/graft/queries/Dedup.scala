@@ -133,6 +133,62 @@ object Dedup {
     }
   )
 
+  /** Shingle-containment detection: C(A→B) = |A∩B| / |A| — the
+    * ASYMMETRIC companion to [[jaccardPairs]]. Jaccard misses the
+    * quote/excerpt relationship entirely (a 50-shingle doc fully inside
+    * a 1000-shingle doc has J ≈ 0.05 but C = 1.0); containment is how a
+    * curation pipeline finds embedded duplication — boilerplate
+    * inclusions, quoted articles, training docs that swallow eval
+    * prompts. Emits ORDERED pairs (inner → outer, both directions
+    * tested) with C ≥ 0.5, alongside the Jaccard for contrast.
+    *
+    * Scale shape: identical to q_jaccard_pairs — the same
+    * (lang, source)-blocked 64-bit-hash inverted index; intersection
+    * counts come from a hash-agg over co-occurring shingles, never an
+    * O(block²) pair product. Ordered pairs double the aggregated pair
+    * rows, nothing else. Determinism: integer counts, one rounded
+    * division per direction.
+    */
+  val containment = QueryDef(
+    "q_containment",
+    (s, d) => {
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TF.shingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("sh")).as("n_sh"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), col("n_sh"),
+          xxhash64(col("lang"), col("source"), col("x")).as("xh"))
+      val a = ex.alias("a")
+      val b = ex.alias("b")
+      a.join(b,
+          col("a.xh") === col("b.xh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_inner"), col("b.doc_id").as("doc_outer"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+        .agg(count(lit(1)).cast("double").as("ni"))
+        .select(col("doc_inner"), col("doc_outer"),
+          round(col("ni") / col("na"), 6).as("containment"),
+          round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+        .filter(col("containment") >= 0.5)
+        .orderBy(desc("containment"), asc("doc_inner"), asc("doc_outer"))
+    },
+    Some {
+      val sh = TS.shingles("text", 3)
+      s"""WITH s AS (SELECT doc_id, lang, source, $sh AS sh FROM documents)
+          SELECT doc_inner, doc_outer, containment, jaccard FROM (
+            SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(a.sh), 6) AS containment,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                     AS jaccard
+            FROM s a JOIN s b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id)
+          WHERE containment >= 0.5
+          ORDER BY containment DESC, doc_inner, doc_outer"""
+    }
+  )
+
   /** SimHash near-dup pairs: XOR + popcount Hamming ≤ 3 over 60-bit
     * signatures. Candidate generation is a banded EQUI-join: the 60-bit
     * sig splits into 4 × 15-bit bands, and by pigeonhole any pair at
@@ -602,6 +658,6 @@ object Dedup {
 
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
-    jaccardPairs, simhashNeardup, dedupClusters, editNeardup, ngramNovelty,
+    jaccardPairs, containment, simhashNeardup, dedupClusters, editNeardup, ngramNovelty,
     dupSpans, minhashEstQuality, dedupIncremental, dedupSurvivors)
 }
