@@ -285,8 +285,26 @@ object Streaming {
             FROM sess CROSS JOIN wm
             WHERE end_us + 1800000000 <= w"""))
 
+  /** Streaming top-k leaderboard (complete mode): top-10 users by
+    * total purchase spend, re-ranked every trigger from per-user
+    * aggregate state. The oracle is the identical batch ranking.
+    */
+  val streamTopk = QueryDef(
+    "q_stream_topk",
+    (s, d) => {
+      val agg = Streams.topkAgg(Streams.readEvents(s, d))
+      // state = one row per purchasing user — volume-sized partitioning
+      Streams.runToTable(agg, "stream_topk", "complete",
+        statePartitions = Some(8))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_purchases,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS spend
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+            ORDER BY spend DESC, user_id LIMIT 10"""))
+
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
       streamSessionize, streamAttrib, streamAttribOuter, streamDedup,
-      streamSessionWindow)
+      streamSessionWindow, streamTopk)
 }

@@ -47,6 +47,27 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Continuously-maintained leaderboard: per-user purchase totals,
+    * top 10 by spend — the streaming top-k. Complete mode is what makes
+    * sort+limit legal on a stream: every trigger re-emits the full
+    * ranking from the aggregate state, so the memory/console sink (or a
+    * dashboard upsert) always holds the current leaderboard. State is
+    * one row per purchasing user — user-cardinality-bounded, not
+    * stream-length-bounded — and the limit pushes down to a
+    * TakeOrderedAndProject over the state rows each trigger, never a
+    * global sort of history. DECIMAL spend totals keep ranking ties
+    * engine-exact.
+    */
+  def topkAgg(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("spend"))
+      .orderBy(desc("spend"), asc("user_id"))
+      .limit(10)
+
   /** Tumbling 1-hour aggregate (the hourly fact of
     * enhanced_data_schema.sql:279-322) with a 2 h watermark
     * (data_validator.py:420-429's 24 h freshness bound informs the
