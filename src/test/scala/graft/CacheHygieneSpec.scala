@@ -30,7 +30,9 @@ class CacheHygieneSpec extends SparkSpec {
     "q_triangles",           // capped edges + sim + kNN graph + orientation
     "q_source_overlap",      // distinct (source, shingle) relation
     "q_basket_lift",         // capped (order, part) basket relation
-    "q_hits"                 // edge list + 4 per-round raw-score relations
+    "q_hits",                // edge list + 4 per-round raw-score relations
+    "q_collocations",        // staged unigram + bigram count tables
+    "q_label_propagation"    // shared kNN graph caches
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-7 operator additions: skyline
+  * dominance soundness+completeness, DP-noise algebra, power-iteration
+  * normalization, LPA determinism, containment bounds, the A/A readout,
+  * the streaming leaderboard's batch equivalence, and collocation
+  * support floors. All run at sf0.001 against the registered queries —
+  * the same closures the driver gate runs.
+  */
+class Round7Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("q_skyline: returned set is exactly the undominated set (brute force)") {
+    val parts = Tables.part(spark, sf0001)
+      .select("p_brand", "p_partkey", "p_size", "p_retailprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    def dominated(x: (String, Long, Int, Double)) = parts.exists { o =>
+      o._1 == x._1 && o._3 >= x._3 && o._4 <= x._4 &&
+        (o._3 > x._3 || o._4 < x._4)
+    }
+    val expected = parts.filterNot(dominated).map(t => (t._1, t._2)).toSet
+    val got = run("q_skyline").select("p_brand", "p_partkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("q_skyline: no nested-loop join in the plan") {
+    val plan = run("q_skyline").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_dp_counts: noise algebra exact, Laplace bound, deterministic replay") {
+    val rows = run("q_dp_counts")
+      .select("true_count", "noise", "noisy_count")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // noisy = true + noise as ONE IEEE add — exact, not approximate
+    assert(rows.forall { case (t, n, nn) => t + n == nn })
+    // inverse-CDF bound: |noise| <= b * ln(2^33) for u = (k+1/2)/2^32
+    assert(rows.forall { case (_, n, _) => math.abs(n) <= 33 * math.log(2) + 1e-9 })
+    val again = run("q_dp_counts").select("noise").collect().map(_.getDouble(0))
+    assert(again.sorted.sameElements(rows.map(_._2).sorted))
+  }
+
+  test("q_pca_power: unit-norm loadings, positive variance within total") {
+    val rows = run("q_pca_power").collect()
+    assert(rows.length == functions.VectorFunctions.Dim)
+    val loads = rows.map(_.getAs[Double]("loading"))
+    val norm = math.sqrt(loads.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"norm $norm")
+    val lambda = rows.head.getAs[Double]("lambda")
+    assert(rows.forall(_.getAs[Double]("lambda") == lambda))
+    // lambda (variance along v) must sit inside (0, total variance]
+    val tot = Tables.embeddings(spark, sf0001)
+      .select(explode(col("embedding")).as("x"))
+      .agg((sum(col("x") * col("x")) / count(lit(1)) -
+        (sum(col("x")) / count(lit(1))) * (sum(col("x")) / count(lit(1))))
+        .as("v")).collect()(0).getDouble(0) * functions.VectorFunctions.Dim
+    assert(lambda > 0 && lambda <= tot + 1e-6, s"lambda $lambda total $tot")
+  }
+
+  test("q_label_propagation: bounded community mass, deterministic") {
+    val out = run("q_label_propagation").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty && out.forall(_._2 >= 1))
+    val nNodes = Tables.supplier(spark, sf0001).count()
+    assert(out.map(_._2).sum <= nNodes,
+      "community members exceed the supplier universe")
+    val again = run("q_label_propagation").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sameElements(out))
+  }
+
+  test("q_containment: containment in (0,1], jaccard never exceeds it") {
+    val rows = run("q_containment")
+      .select("containment", "jaccard").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.forall { case (c, j) => c > 0 && c <= 1.0 && j <= c + 1e-9 })
+  }
+
+  test("q_abtest: A/A split reads not-significant with full coverage") {
+    val r = run("q_abtest").collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val users = Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(na + nb == users, "arm sizes must partition the user universe")
+    assert(r.getAs[Double]("rate_a") >= 0 && r.getAs[Double]("rate_a") <= 1)
+    assert(r.getAs[Double]("rate_b") >= 0 && r.getAs[Double]("rate_b") <= 1)
+    assert(r.getAs[Int]("significant") == 0,
+      "hash-split arms with no treatment must not read significant")
+  }
+
+  test("q_stream_topk: streaming leaderboard equals the batch ranking") {
+    import graft.util.Exact
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), Exact.dsum(col("value")).as("spend"))
+      .orderBy(desc("spend"), asc("user_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stream = run("q_stream_topk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (-t._3, t._1))
+    assert(stream.sameElements(batch))
+  }
+
+  test("q_collocations: support floor and finite PMI") {
+    val rows = run("q_collocations").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cab") >= 5))
+    assert(rows.forall(r => !r.getAs[Double]("pmi").isNaN &&
+      !r.getAs[Double]("pmi").isInfinite))
+  }
+}
