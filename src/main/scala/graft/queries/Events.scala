@@ -948,10 +948,50 @@ object Events {
           FROM zc"""
     })
 
+  /** Sequential-pattern mining, the clickstream complement to
+    * [[funnel]]: the funnel checks ONE prescribed path; this discovers
+    * which 3-step event-type paths actually happen — the top
+    * consecutive (e₁ → e₂ → e₃) transitions per user timeline, ranked
+    * by frequency. What a product team reads to find the real journeys
+    * (and what a next-event model would train on).
+    *
+    * Scale shape: one shuffle on user_id for the ordered window (two
+    * LEADs ride a single Sort+Window pass), then a vocabulary-sized
+    * count agg (≤ |types|³ keys, map-side combined) and a
+    * TakeOrderedAndProject. Ordering ties break on event_id — the
+    * repo-wide (ts, event_id) total order, so both engines walk
+    * identical timelines.
+    */
+  val pathMining = QueryDef(
+    "q_path_mining",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(wUser))
+        .withColumn("e3", lead(col("e1"), 2).over(wUser))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("e1"), asc("e2"), asc("e3"))
+        .limit(15)
+    },
+    Some(s"""WITH p AS (
+              SELECT event_type AS e1,
+                     LEAD(event_type, 1) OVER w AS e2,
+                     LEAD(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS ($OWIN))
+            SELECT e1, e2, e3, COUNT(*) AS n
+            FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3 LIMIT 15""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
-    abTest)
+    abTest, pathMining)
 }

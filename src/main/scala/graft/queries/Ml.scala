@@ -545,6 +545,177 @@ object Ml {
           GROUP BY nn.n, p.b0, p.b1, p.b2"""
     })
 
+  /** Poisson-bootstrap confidence interval for the mean purchase value
+    * — the distributed bootstrap (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): classic
+    * resampling needs n draws WITH replacement per replica (a shuffle
+    * per replica); the Poisson trick replaces membership counts with
+    * independent Poisson(1) weights per (row, replica), making all B
+    * replicas ONE map-side pass. Weights come from the row's
+    * md5-uniform pushed through the Poisson(1) inverse CDF (thresholds
+    * at 9 dp, capped at 6 — P(X>6) ≈ 8e-5), so the "randomness" is a
+    * pure function of (event_id, replica) and both engines draw
+    * identical resamples. The interval is order-statistic based: 2nd
+    * and 49th of the 50 sorted replica means (a ~94% CI) — no
+    * percentile interpolation semantics to reconcile across engines.
+    *
+    * Scale shape: the corpus explodes ×B but map-only (no raw-row
+    * shuffle); each replica mean is a DECIMAL-partial agg keyed by
+    * replica id, so the shuffle carries B×partitions partial rows. The
+    * 50 replica means collapse through sort_array(collect_list) — a
+    * B-sized driver-safe array, never a global sort.
+    */
+  val bootstrapCi = QueryDef(
+    "q_bootstrap_ci",
+    (s, d) => {
+      import graft.functions.PortableHash
+      import org.apache.spark.sql.types.DecimalType
+      val B = 50
+      val h = "md5(concat(cast(event_id as string), ':', cast(b as string), '#boot'))"
+      val pur = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val u = (expr(PortableHash.laneSpark(h, 0)).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
+      val w = when(u < 0.367879441, 0).when(u < 0.735758882, 1)
+        .when(u < 0.919698603, 2).when(u < 0.981011843, 3)
+        .when(u < 0.996340153, 4).when(u < 0.999405815, 5).otherwise(6)
+      val means = pur
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(round(sum((col("w") * col("value")).cast(DecimalType(28, 20)))
+          .cast("double") / sum(col("w")), 9).as("m"))
+      val ci = means.agg(sort_array(collect_list(col("m"))).as("a"))
+        .select(element_at(col("a"), 2).as("ci_lo"),
+          element_at(col("a"), B - 1).as("ci_hi"))
+      pur.agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast(DecimalType(28, 20))).cast("double") /
+          count(lit(1)), 9).as("point_mean"))
+        .crossJoin(broadcast(ci)) // 1-row CI: structurally k-row
+    },
+    Some {
+      import graft.functions.PortableHash
+      val h = "md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR) || '#boot')"
+      s"""WITH pur AS (
+            SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+          rep AS (
+            SELECT event_id, value, g.b,
+                   (CAST(${PortableHash.laneDuck(h, 0)} AS DOUBLE) + 0.5)
+                     / 4294967296.0 AS u
+            FROM pur CROSS JOIN generate_series(0, 49) AS g(b)),
+          wts AS (
+            SELECT b, value,
+                   CASE WHEN u < 0.367879441 THEN 0 WHEN u < 0.735758882 THEN 1
+                        WHEN u < 0.919698603 THEN 2 WHEN u < 0.981011843 THEN 3
+                        WHEN u < 0.996340153 THEN 4 WHEN u < 0.999405815 THEN 5
+                        ELSE 6 END AS w
+            FROM rep),
+          means AS (
+            SELECT b, ROUND(CAST(SUM(CAST(w * value AS DECIMAL(28,20))) AS DOUBLE)
+                     / SUM(w), 9) AS m
+            FROM wts GROUP BY b),
+          arr AS (SELECT array_agg(m ORDER BY m) AS a FROM means)
+          SELECT (SELECT COUNT(*) FROM pur) AS n_purchases,
+                 (SELECT ROUND(CAST(SUM(CAST(value AS DECIMAL(28,20))) AS DOUBLE)
+                    / COUNT(*), 9) FROM pur) AS point_mean,
+                 a[2] AS ci_lo, a[49] AS ci_hi
+          FROM arr"""
+    })
+
+  /** Welch two-sample t-test: do BUILDING-segment customers purchase at
+    * different values than everyone else? The continuous-metric
+    * companion to the proportion z-test (q_abtest): unequal variances,
+    * unequal sizes — so Welch, never pooled Student. Reports the t
+    * statistic, the Welch–Satterthwaite degrees of freedom, and the
+    * large-df 95% significance read.
+    *
+    * Scale shape: one enrichment join (UNHINTED — the customer dim
+    * scales with the corpus, so Catalyst's size-based broadcast
+    * decides) and ONE conditional-aggregation pass producing all six
+    * sufficient statistics (n, Σx, Σx² per group) — the corpus never
+    * shuffles on a group key at all, just partial-agg merges of one
+    * row. Determinism: Σx and Σx² ride DECIMAL(28,20) partials; means
+    * and variances round at 9 dp before the t/df chains, which are
+    * textually identical double math in both engines.
+    */
+  val welchTtest = QueryDef(
+    "q_welch_ttest",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      def sumIf(c: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+        sum(when(c, v).otherwise(lit(0.0)).cast(DecimalType(28, 20)))
+          .cast("double")
+      val b = col("c_mktsegment") === "BUILDING"
+      val agg = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+        .agg(
+          sum(when(b, 1).otherwise(0)).as("n_b"),
+          sum(when(!b, 1).otherwise(0)).as("n_o"),
+          sumIf(b, col("value")).as("sx_b"),
+          sumIf(!b, col("value")).as("sx_o"),
+          sumIf(b, col("value") * col("value")).as("sq_b"),
+          sumIf(!b, col("value") * col("value")).as("sq_o"))
+      val m = agg.select(col("n_b"), col("n_o"),
+        round(col("sx_b") / col("n_b"), 9).as("m_b"),
+        round(col("sx_o") / col("n_o"), 9).as("m_o"),
+        col("sq_b"), col("sq_o"))
+      val v = m.select(col("n_b"), col("n_o"), col("m_b"), col("m_o"),
+        round((col("sq_b") - col("n_b") * col("m_b") * col("m_b")) /
+          (col("n_b") - 1), 9).as("v_b"),
+        round((col("sq_o") - col("n_o") * col("m_o") * col("m_o")) /
+          (col("n_o") - 1), 9).as("v_o"))
+      val se2 = col("v_b") / col("n_b") + col("v_o") / col("n_o")
+      val t = round((col("m_b") - col("m_o")) / sqrt(se2), 6)
+      val df = round(se2 * se2 /
+        ((col("v_b") / col("n_b")) * (col("v_b") / col("n_b")) / (col("n_b") - 1) +
+          (col("v_o") / col("n_o")) * (col("v_o") / col("n_o")) / (col("n_o") - 1)), 3)
+      v.select(col("n_b"), col("n_o"), col("m_b"), col("m_o"),
+        col("v_b"), col("v_o"), t.as("t"), df.as("df"),
+        (abs(t) > 1.96).cast("int").as("significant"))
+    },
+    Some("""WITH j AS (
+              SELECT e.value, c.c_mktsegment = 'BUILDING' AS b
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+              WHERE e.event_type = 'purchase'),
+            agg AS (
+              SELECT
+                CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(SUM(CAST(CASE WHEN b THEN value ELSE 0.0 END
+                  AS DECIMAL(28,20))) AS DOUBLE) AS sx_b,
+                CAST(SUM(CAST(CASE WHEN NOT b THEN value ELSE 0.0 END
+                  AS DECIMAL(28,20))) AS DOUBLE) AS sx_o,
+                CAST(SUM(CAST(CASE WHEN b THEN value * value ELSE 0.0 END
+                  AS DECIMAL(28,20))) AS DOUBLE) AS sq_b,
+                CAST(SUM(CAST(CASE WHEN NOT b THEN value * value ELSE 0.0 END
+                  AS DECIMAL(28,20))) AS DOUBLE) AS sq_o
+              FROM j),
+            m AS (
+              SELECT n_b, n_o,
+                     ROUND(sx_b / n_b, 9) AS m_b,
+                     ROUND(sx_o / n_o, 9) AS m_o,
+                     sq_b, sq_o
+              FROM agg),
+            v AS (
+              SELECT n_b, n_o, m_b, m_o,
+                     ROUND((sq_b - n_b * m_b * m_b) / (n_b - 1), 9) AS v_b,
+                     ROUND((sq_o - n_o * m_o * m_o) / (n_o - 1), 9) AS v_o
+              FROM m)
+            SELECT n_b, n_o, m_b, m_o, v_b, v_o,
+                   ROUND((m_b - m_o) / SQRT(v_b / n_b + v_o / n_o), 6) AS t,
+                   ROUND((v_b / n_b + v_o / n_o) * (v_b / n_b + v_o / n_o) /
+                     ((v_b / n_b) * (v_b / n_b) / (n_b - 1)
+                      + (v_o / n_o) * (v_o / n_o) / (n_o - 1)), 3) AS df,
+                   CASE WHEN ABS(ROUND((m_b - m_o)
+                       / SQRT(v_b / n_b + v_o / n_o), 6)) > 1.96
+                     THEN 1 ELSE 0 END AS significant
+            FROM v""")
+  )
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
-    forecastLinreg, groupOls, linreg, logregGd)
+    forecastLinreg, groupOls, linreg, logregGd, bootstrapCi, welchTtest)
 }
