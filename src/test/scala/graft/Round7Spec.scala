@@ -109,6 +109,38 @@ class Round7Spec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("q_bootstrap_ci: interval brackets the point estimate, weights cover the corpus") {
+    val r = run("q_bootstrap_ci").collect()(0)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    val point = r.getAs[Double]("point_mean")
+    assert(lo <= hi)
+    // Poisson resamples concentrate around the sample mean — the ~94%
+    // order-statistic interval must bracket the point estimate
+    assert(lo <= point && point <= hi, s"[$lo, $hi] vs $point")
+    assert(r.getAs[Long]("n_purchases") > 0)
+  }
+
+  test("q_welch_ttest: positive variances, df inside [min(n)-1, n_b+n_o-2]") {
+    val r = run("q_welch_ttest").collect()(0)
+    val (nb, no) = (r.getAs[Long]("n_b"), r.getAs[Long]("n_o"))
+    val df = r.getAs[Double]("df")
+    assert(r.getAs[Double]("v_b") > 0 && r.getAs[Double]("v_o") > 0)
+    assert(df >= math.min(nb, no) - 1 && df <= nb + no - 2,
+      s"Welch df $df outside its mathematical bounds for n=($nb, $no)")
+  }
+
+  test("q_path_mining: path mass equals the timeline triple count") {
+    val rows = run("q_path_mining").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n") >= 1))
+    // every user with k >= 3 events contributes exactly k-2 triples;
+    // the top-15 can't exceed that total
+    val total = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 3)
+      .agg(sum(col("k") - 2)).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n")).sum <= total)
+  }
+
   test("q_collocations: support floor and finite PMI") {
     val rows = run("q_collocations").collect()
     assert(rows.nonEmpty)
