@@ -221,11 +221,18 @@ object Graph {
       d: String): (org.apache.spark.sql.DataFrame,
         Seq[org.apache.spark.sql.DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    // ONE shuffle on ck serves the whole build: a ck-hash partitioning
+    // satisfies the (ck, sk) dedup's clustering requirement, the cap
+    // window partitions by ck, and the pair self-join keys on ck — so
+    // dropDuplicates, row_number, and the join all reuse this exchange
+    // instead of each planning their own (distinct() on (ck, sk) would
+    // shuffle once more for no benefit)
     val raw = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
+      .repartition(col("ck"))
+      .dropDuplicates("ck", "sk")
     val e = capDegree(raw, "ck", "sk", 128)
       .cache() // read by the pair self-join (twice) + the degree agg
     val deg0 = e.groupBy("sk").agg(count(lit(1)).as("n"))

@@ -32,7 +32,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_basket_lift",         // capped (order, part) basket relation
     "q_hits",                // edge list + 4 per-round raw-score relations
     "q_collocations",        // staged unigram + bigram count tables
-    "q_label_propagation"    // shared kNN graph caches
+    "q_label_propagation",   // shared kNN graph caches
+    "q_pca_power"            // staged embedding corpus across 9 passes
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
