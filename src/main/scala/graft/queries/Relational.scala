@@ -815,6 +815,66 @@ object Relational {
             ORDER BY p_brand, p_size, p_partkey""")
   )
 
+  /** Join-key skew audit — the diagnostic a 100 TB operator runs
+    * BEFORE picking a join strategy (and the trigger for reaching for
+    * [[graft.operators.Salt]]): for each candidate join key of the fact
+    * table, the key-frequency profile — distinct keys, rows, mean and
+    * max rows per key, the hottest key's share, and a skew flag when
+    * the hottest key carries > 10× the mean (the rule-of-thumb
+    * threshold where one reducer becomes the straggler).
+    *
+    * Scale shape: the three key columns unpivot in ONE map pass
+    * (explode of 3 (key_col, key) structs — no per-key extra scans),
+    * the per-key counts are one partial agg keyed by (key_col, key),
+    * and the profile re-aggregates the REDUCED count table — the
+    * q_tfidf re-agg pattern. All integer counts; ratios round at 6 dp.
+    */
+  val skewAudit = QueryDef(
+    "q_skew_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keyed = li.select(explode(array(
+        struct(lit("l_orderkey").as("key_col"), col("l_orderkey").as("k")),
+        struct(lit("l_partkey").as("key_col"), col("l_partkey").as("k")),
+        struct(lit("l_suppkey").as("key_col"), col("l_suppkey").as("k"))))
+        .as("e"))
+        .select(col("e.key_col"), col("e.k"))
+      keyed.groupBy("key_col", "k").agg(count(lit(1)).as("c"))
+        .groupBy("key_col")
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_per_key"))
+        .select(col("key_col"), col("n_distinct"), col("n_rows"),
+          round(col("n_rows").cast("double") / col("n_distinct"), 6)
+            .as("avg_per_key"),
+          col("max_per_key"),
+          round(col("max_per_key").cast("double") / col("n_rows"), 6)
+            .as("top1_share"),
+          (col("max_per_key").cast("double") >
+            lit(10.0) * (col("n_rows").cast("double") / col("n_distinct")))
+            .cast("int").as("skew_flag"))
+        .orderBy("key_col")
+    },
+    Some("""WITH keyed AS (
+              SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', l_partkey FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey', l_suppkey FROM lineitem),
+            cnt AS (SELECT key_col, k, COUNT(*) AS c FROM keyed GROUP BY 1, 2)
+            SELECT key_col,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS avg_per_key,
+                   CAST(MAX(c) AS BIGINT) AS max_per_key,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+                   CASE WHEN CAST(MAX(c) AS DOUBLE) >
+                     10.0 * (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+                     THEN 1 ELSE 0 END AS skew_flag
+            FROM cnt GROUP BY key_col
+            ORDER BY key_col""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     scanProject, filterCompound, distinctKeys, distinctSketch,
     groupDistinctSketch, aggGroupStats,
@@ -822,5 +882,5 @@ object Relational {
     joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,
-    rollupTotals, cubeTotals, skyline)
+    rollupTotals, cubeTotals, skyline, skewAudit)
 }
