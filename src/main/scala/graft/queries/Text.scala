@@ -1354,10 +1354,75 @@ object Text {
             ORDER BY pmi DESC, w1, w2 LIMIT 30""")
   )
 
+  /** Dataset card: the one-row corpus summary a curation pipeline
+    * publishes with every release — volume (docs, chars, whitespace
+    * tokens), diversity (languages, sources, dominant language and its
+    * share), and integrity (distinct normalized texts → exact-dup
+    * rate). One staged map pass computes tokens + fingerprints; the
+    * global rollup and the dominant-language argmax both re-read the
+    * staged relation (released with the result). The argmax is the
+    * min(struct(-count, lang)) aggregate over the ≤|langs| reduced
+    * rows — no window, no sort.
+    */
+  val datasetCard = QueryDef(
+    "q_dataset_card",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          TF.tokenCount(col("text")).as("toks"),
+          TF.fingerprint(col("text")).as("fp"))
+        .cache()
+      val agg = base.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_distinct_texts"))
+        .withColumn("dup_rate",
+          round((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs"), 6))
+      val top = base.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("lang").as("lg"))).as("m"),
+          sum(col("c")).as("tot"))
+        .select(col("m.lg").as("top_lang"),
+          round(-col("m.nc").cast("double") / col("tot"), 6)
+            .as("top_lang_share"))
+      val out = agg.crossJoin(broadcast(top)) // 1-row: structurally k-row
+      graft.util.Staged.checkpointRelease("q_dataset_card", out, base)
+    },
+    Some(s"""WITH base AS (
+              SELECT doc_id, lang, source, n_chars,
+                     ${TS.tokenCount("text")} AS toks,
+                     ${TS.fingerprint("text")} AS fp
+              FROM documents),
+            agg AS (
+              SELECT COUNT(*) AS n_docs,
+                     COUNT(DISTINCT lang) AS n_langs,
+                     COUNT(DISTINCT source) AS n_sources,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                     COUNT(DISTINCT fp) AS n_distinct_texts
+              FROM base),
+            lc AS (SELECT lang, COUNT(*) AS c FROM base GROUP BY lang),
+            top AS (
+              SELECT lang AS top_lang,
+                     ROUND(CAST(c AS DOUBLE)
+                       / (SELECT SUM(c) FROM lc), 6) AS top_lang_share
+              FROM lc ORDER BY c DESC, lang LIMIT 1)
+            SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+                   n_distinct_texts,
+                   ROUND(CAST(n_docs - n_distinct_texts AS DOUBLE)
+                     / n_docs, 6) AS dup_rate,
+                   top_lang, top_lang_share
+            FROM agg CROSS JOIN top""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
-      bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations)
+      bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations,
+      datasetCard)
 }

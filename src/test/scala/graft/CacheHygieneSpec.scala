@@ -33,7 +33,9 @@ class CacheHygieneSpec extends SparkSpec {
     "q_hits",                // edge list + 4 per-round raw-score relations
     "q_collocations",        // staged unigram + bigram count tables
     "q_label_propagation",   // shared kNN graph caches
-    "q_pca_power"            // staged embedding corpus across 9 passes
+    "q_pca_power",           // staged embedding corpus across 9 passes
+    "q_dataset_card",        // staged token/fingerprint relation
+    "q_embed_norm_audit"     // staged norms + stats relations
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
