@@ -303,8 +303,47 @@ object Streaming {
             GROUP BY user_id
             ORDER BY spend DESC, user_id LIMIT 10"""))
 
+  /** Streaming z-score anomaly detection (stateful inference): each
+    * event scored against the running mean/std of all PRIOR events of
+    * its type (30-event warm-up, 3σ gate, σ > 0 guard). The oracle is
+    * the identical prior-only window — all-integer running sums make
+    * the flags bit-exact across engines and across the batch/stream
+    * boundary.
+    */
+  val streamAnomaly = QueryDef(
+    "q_stream_anomaly",
+    (s, d) => {
+      val out = Streams.anomalyStream(Streams.readEvents(s, d))
+      Streams.runToTable(out.toDF(), "stream_anomaly", "append",
+        statePartitions = Some(8))
+    },
+    Some("""WITH e AS (
+              SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS t,
+                     CAST(ROUND(value * 1e4) AS BIGINT) AS vsc
+              FROM events),
+            w AS (
+              SELECT event_type, event_id, vsc,
+                     COUNT(*) OVER pw AS n,
+                     SUM(vsc) OVER pw AS s1,
+                     SUM(vsc * vsc) OVER pw AS s2
+              FROM e
+              WINDOW pw AS (PARTITION BY event_type ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            z AS (
+              SELECT event_type, event_id,
+                     CAST(vsc AS DOUBLE) / 1e4 AS value4,
+                     CAST(s1 AS DOUBLE) / 1e4 / n AS mean,
+                     SQRT(GREATEST(CAST(s2 AS DOUBLE) / 1e8 / n
+                       - (CAST(s1 AS DOUBLE) / 1e4 / n)
+                         * (CAST(s1 AS DOUBLE) / 1e4 / n), 0.0)) AS std
+              FROM w WHERE n >= 30)
+            SELECT event_type, event_id, value4,
+                   ROUND((value4 - mean) / std, 6) AS z
+            FROM z
+            WHERE std > 0 AND ABS(value4 - mean) > 3.0 * std"""))
+
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
       streamSessionize, streamAttrib, streamAttribOuter, streamDedup,
-      streamSessionWindow, streamTopk)
+      streamSessionWindow, streamTopk, streamAnomaly)
 }

@@ -142,6 +142,56 @@ object Streams {
     * attribute survives into the stateful operator's input — required
     * for event-time timeout.
     */
+  case class ZEv(event_type: String, event_id: Long, us: Long, vsc: Long)
+  case class ZState(n: Long, s1: Long, s2: Long)
+  case class ZOut(event_type: String, event_id: Long, value4: Double, z: Double)
+
+  /** Streaming z-score anomaly detection — the stateful
+    * streaming-inference pattern: every event is scored against the
+    * running mean/std of all PRIOR events of its type, and deviations
+    * beyond 3σ (with a 30-event warm-up and a non-degenerate-σ guard)
+    * emit immediately. The running sufficient statistics live in
+    * per-type `flatMapGroupsWithState` state as ALL-INTEGER sums
+    * (n, Σv·10⁴, Σ(v·10⁴)²): scaled-long accumulation is exact in both
+    * engines — the q_changepoint lesson — so the batch oracle (the
+    * identical prior-only window over (ts, event_id) order) reproduces
+    * every flag bit-for-bit. Double math happens only on the derived
+    * mean/std/z, as textually identical chains.
+    *
+    * State is O(1) per event type (three longs); each micro-batch
+    * sorts its group slice by event time — the sessionize contract
+    * (batches arrive in event-time order across triggers).
+    */
+  def anomalyStream(events: DataFrame): Dataset[ZOut] = {
+    import events.sparkSession.implicits._
+    val evs = events.select(col("event_type"), col("event_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("us"),
+      round(col("value") * lit(1e4)).cast("long").as("vsc")).as[ZEv]
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fn(tpe: String, it: Iterator[ZEv],
+        state: GroupState[ZState]): Iterator[ZOut] = {
+      var st = state.getOption.getOrElse(ZState(0L, 0L, 0L))
+      val out = Array.newBuilder[ZOut]
+      for (e <- it.toArray.sortBy(x => (x.us, x.event_id))) {
+        if (st.n >= 30) {
+          val mean = st.s1.toDouble / 1e4 / st.n
+          val vr = math.max(st.s2.toDouble / 1e8 / st.n - mean * mean, 0.0)
+          val std = math.sqrt(vr)
+          val va = e.vsc.toDouble / 1e4
+          if (std > 0 && math.abs(va - mean) > 3.0 * std)
+            out += ZOut(tpe, e.event_id, va, round6((va - mean) / std))
+        }
+        st = ZState(st.n + 1, st.s1 + e.vsc, st.s2 + e.vsc * e.vsc)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long) {
     def sec: Long = Math.floorDiv(ts.getTime, 1000L)
   }
