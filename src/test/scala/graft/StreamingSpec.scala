@@ -1,7 +1,7 @@
 package graft
 
 import graft.streaming.Streams
-import graft.streaming.Streams.{Ev, SessionOut}
+import graft.streaming.Streams.{Ev, SessionOut, ZEv, ZOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -34,6 +34,39 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val out = spark.table("t_sessions").as[SessionOut].collect()
     assert(out.toSeq === Seq(SessionOut(1L, 0L, 1000L, 1600L, 2L, 600L)))
+    q.stop()
+  }
+
+  test("anomalyStream scores against prior-batch state, not just its own batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ZEv]
+    val out = Streams.anomalyStream(
+      input.toDS().select(col("event_type"),
+        expr("cast(us as timestamp)").as("ts"), col("event_id"),
+        (col("vsc").cast("double") / 1e4).as("value")))
+    val q = out.toDF().writeStream.format("memory").queryName("t_zanom")
+      .outputMode("append").start()
+
+    // batch 1: 30 calm events (value 10.0) — warm-up only, no output
+    input.addData((1 to 30).map(i => ZEv("err", i.toLong, i.toLong, 100000L)): _*)
+    q.processAllAvailable()
+    assert(spark.table("t_zanom").count() === 0)
+
+    // batch 2: one calm event then a spike — only the spike can flag,
+    // and only because batch-1 state survived; but a constant prior
+    // series has sigma = 0, so the guard must suppress BOTH
+    input.addData(ZEv("err", 31L, 31L, 100000L), ZEv("err", 32L, 32L, 900000L))
+    q.processAllAvailable()
+    assert(spark.table("t_zanom").count() === 0,
+      "sigma=0 priors must not flag (guard)")
+
+    // batch 3: after the spike widened sigma, a far point flags with
+    // state accumulated across all three batches
+    input.addData(ZEv("err", 33L, 33L, 2000000L))
+    q.processAllAvailable()
+    val rows = spark.table("t_zanom").as[ZOut].collect()
+    assert(rows.length === 1 && rows(0).event_id === 33L && rows(0).z > 3.0)
     q.stop()
   }
 
