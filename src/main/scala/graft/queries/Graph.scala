@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph analytics over a relationally-derived graph — the
   * second distributed-graph operator next to
@@ -217,10 +218,16 @@ object Graph {
     * Returns the undirected edge set plus the staged caches the caller
     * must release (capped index, similarity pairs, edge set).
     */
-  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+  /** The capped co-purchase index `e` (ck, sk) and the Jaccard
+    * similarity pairs `sim` (u, v, j) — the shared first half of the
+    * kNN-graph build, also read directly by the recommender (which
+    * needs the WEIGHTS that [[knnGraph]]'s undirected edge set drops).
+    * Both returned relations are cached; the caller releases them.
+    */
+  private[graft] def simGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame,
         Seq[org.apache.spark.sql.DataFrame]) = {
-    import org.apache.spark.sql.expressions.Window
     // ONE shuffle on ck serves the whole build: a ck-hash partitioning
     // satisfies the (ck, sk) dedup's clustering requirement, the cap
     // window partitions by ck, and the pair self-join keys on ck — so
@@ -246,7 +253,15 @@ object Graph {
       .select(col("u"), col("v"),
         round(col("common").cast("double") /
           (col("nu") + col("nv") - col("common")), 6).as("j"))
-      .cache() // the symmetrized union below reads it twice
+      .cache() // the symmetrized union reads it twice
+    (e, sim, Seq(e, sim))
+  }
+
+  private[graft] def knnGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, sim, caches) = simGraph(s, d)
     val dir = sim.select(col("u").as("a"), col("v").as("b"), col("j"))
       .unionByName(sim.select(col("v").as("a"), col("u").as("b"), col("j")))
     val knn = dir
@@ -258,7 +273,7 @@ object Graph {
         greatest(col("a"), col("b")).as("v"))
       .distinct()
       .cache() // read by every downstream pass of the caller
-    (und, Seq(e, sim, und))
+    (und, caches :+ und)
   }
 
   /** DuckDB CTE prefix mirroring [[knnGraph]] — ends at `und`. */
@@ -493,5 +508,75 @@ object Graph {
           ORDER BY n_members DESC, community LIMIT 20"""
     })
 
-  def all: Seq[QueryDef] = Seq(pagerank, cooccur, triangles, hits, labelProp)
+  /** Item-item collaborative-filtering recommendations — the batch
+    * recommender serving job, composed from the shared similarity
+    * machinery: each supplier keeps its top-3 Jaccard neighbors (with
+    * weights), a customer's candidates are the neighbors of suppliers
+    * they already buy from, candidate score = Σ similarity over the
+    * paths that reach it (more owned neighbors → higher), owned
+    * suppliers are anti-joined out, and each customer gets their top-3
+    * by score. This is the Amazon-style item-item recipe (Linden et
+    * al. 2003): the model is the kNN edge list — O(3·|items|) — never
+    * a user×item matrix.
+    *
+    * Scale shape: candidate generation is (owned pairs) ⋈ (kNN edges,
+    * ≤ 3 rows per supplier) — volume ≤ 3·|owned| — then one
+    * (customer, candidate) hash-agg; the ownership anti-join and the
+    * per-customer top-3 window both ride customer-keyed partitioning.
+    * Scores sum similarity through DECIMAL(18,9) partials (order-free)
+    * and round at 6 dp; ranks tie-break on supplier id.
+    */
+  val recommend = QueryDef(
+    "q_recommend",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (e, sim, caches) = simGraph(s, d)
+      val dir = sim.select(col("u").as("o"), col("v").as("cand"), col("j"))
+        .unionByName(sim.select(col("v").as("o"), col("u").as("cand"), col("j")))
+      val knnW = dir.withColumn("rn", row_number().over(
+        Window.partitionBy("o").orderBy(desc("j"), asc("cand"))))
+        .filter(col("rn") <= 3)
+        .select("o", "cand", "j")
+      val cands = e.select(col("ck"), col("sk").as("o"))
+        .join(knnW, "o")
+        .groupBy(col("ck"), col("cand"))
+        .agg(round(sum(col("j").cast(DecimalType(18, 9))).cast("double"), 6)
+          .as("score"), count(lit(1)).as("n_paths"))
+      val unowned = cands.join(
+        e.select(col("ck"), col("sk").as("cand")), Seq("ck", "cand"),
+        "left_anti")
+      val out = unowned.withColumn("rank", row_number().over(
+        Window.partitionBy("ck").orderBy(desc("score"), asc("cand"))))
+        .filter(col("rank") <= 3)
+        .select(col("ck").as("customer"), col("cand").as("supplier"),
+          col("score"), col("n_paths"), col("rank"))
+        .orderBy("customer", "rank")
+      graft.util.Staged.checkpointRelease("q_recommend", out, caches: _*)
+    },
+    Some(s"""WITH $knnGraphSql,
+          knnw AS MATERIALIZED (SELECT a AS o, b AS cand, j FROM (
+            SELECT a, b, j, ROW_NUMBER() OVER (PARTITION BY a
+              ORDER BY j DESC, b) AS rn
+            FROM dir) WHERE rn <= 3),
+          cands AS (
+            SELECT e.ck, k.cand,
+                   ROUND(CAST(SUM(CAST(k.j AS DECIMAL(18,9))) AS DOUBLE), 6)
+                     AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM e JOIN knnw k ON e.sk = k.o
+            GROUP BY 1, 2),
+          unowned AS (
+            SELECT c.* FROM cands c
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.ck = c.ck AND e.sk = c.cand))
+          SELECT customer, supplier, score, n_paths, rank FROM (
+            SELECT ck AS customer, cand AS supplier, score, n_paths,
+                   ROW_NUMBER() OVER (PARTITION BY ck
+                     ORDER BY score DESC, cand) AS rank
+            FROM unowned) WHERE rank <= 3
+          ORDER BY customer, rank""")
+  )
+
+  def all: Seq[QueryDef] =
+    Seq(pagerank, cooccur, triangles, hits, labelProp, recommend)
 }

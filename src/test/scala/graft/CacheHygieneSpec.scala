@@ -35,7 +35,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_label_propagation",   // shared kNN graph caches
     "q_pca_power",           // staged embedding corpus across 9 passes
     "q_dataset_card",        // staged token/fingerprint relation
-    "q_embed_norm_audit"     // staged norms + stats relations
+    "q_embed_norm_audit",    // staged norms + stats relations
+    "q_recommend"            // shared sim-graph caches
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
