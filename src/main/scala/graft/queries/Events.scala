@@ -988,10 +988,83 @@ object Events {
             ORDER BY n DESC, e1, e2, e3 LIMIT 15""")
   )
 
+  /** Multi-touch channel attribution with time-decay credit — the
+    * marketing-analytics standard: every purchase splits its value
+    * across the user's touches (any non-purchase event) in the 30 min
+    * before it, weighted by recency with a 10-minute half-life
+    * (w = 0.5^(Δt/600)) and normalized per purchase; the report rolls
+    * credited revenue up per channel. Last-touch and linear are the
+    * λ→0 / λ→∞ degenerate cases of this one operator.
+    *
+    * Scale shape: the purchase↔touch band join is the BUCKETED range
+    * join (probe side explodes 2 half-hour buckets — the q_range_join
+    * recipe, never a theta join); per-purchase normalization is one
+    * window over that purchase's touches (purchase-keyed partitions);
+    * the channel rollup is a 4-row agg. Determinism: the 0.5^x
+    * transcendental rounds at 9 dp, weights and credits ride
+    * DECIMAL partials (both exactly representable post-rounding), the
+    * oracle states the band as the equivalent theta join.
+    */
+  val attributionCredit = QueryDef(
+    "q_attribution_credit",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          sec.as("sec"), col("value"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("sec").as("p_sec"), col("value"))
+      val tch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel"),
+          (col("sec") / 1800).cast("long").as("bkt"), col("sec").as("t_sec"))
+      val pairs = pur
+        .withColumn("bkt", explode(array((col("p_sec") / 1800).cast("long"),
+          (col("p_sec") / 1800).cast("long") - 1)))
+        .join(tch, Seq("user_id", "bkt"))
+        .filter(col("p_sec") - col("t_sec") > 0 &&
+          col("p_sec") - col("t_sec") <= 1800)
+        .select(col("p_id"), col("value"), col("channel"),
+          round(pow(lit(0.5), (col("p_sec") - col("t_sec")) / lit(600.0)), 9)
+            .as("w"))
+      val wsum = sum(col("w").cast(DecimalType(18, 9)))
+        .over(Window.partitionBy("p_id")).cast("double")
+      pairs.withColumn("credit",
+          round(col("value") * col("w") / wsum, 6))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit").cast(DecimalType(18, 6))).cast("double"), 4)
+            .as("credited_revenue"))
+        .orderBy("channel")
+    },
+    Some(s"""WITH ev AS (
+              SELECT user_id, event_type, event_id, $OSEC AS sec, value
+              FROM events),
+            pur AS (SELECT user_id, event_id AS p_id, sec AS p_sec, value
+                    FROM ev WHERE event_type = 'purchase'),
+            tch AS (SELECT user_id, event_type AS channel, sec AS t_sec
+                    FROM ev WHERE event_type <> 'purchase'),
+            pairs AS (
+              SELECT p.p_id, p.value, t.channel,
+                     ROUND(POWER(0.5, (p.p_sec - t.t_sec) / 600.0), 9) AS w
+              FROM pur p JOIN tch t
+                ON p.user_id = t.user_id
+               AND p.p_sec - t.t_sec > 0 AND p.p_sec - t.t_sec <= 1800),
+            cr AS (
+              SELECT channel, ROUND(value * w / wsum, 6) AS credit FROM (
+                SELECT *, CAST(SUM(CAST(w AS DECIMAL(18,9)))
+                  OVER (PARTITION BY p_id) AS DOUBLE) AS wsum
+                FROM pairs))
+            SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   ROUND(CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS DOUBLE), 4)
+                     AS credited_revenue
+            FROM cr GROUP BY channel ORDER BY channel""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
-    abTest, pathMining)
+    abTest, pathMining, attributionCredit)
 }
