@@ -61,23 +61,24 @@ object Multimodal {
   /** Perceptual-hash-shaped media near-dup: the asset-dedup operator an
     * image/video pipeline runs (same asset re-encoded, watermarked, or
     * corrupted in one region). A real pHash derives 64 bits from a DCT
-    * of downscaled luma; with no codecs here, the SIGNATURE derivation
-    * is the stub — each payload splits into 4 equal content quarters
-    * and each quarter yields a 16-bit md5 lane — while the match
-    * machinery is the production one: a banded inverted index on
-    * (quarter idx, length, quarter hash) and a 3-of-4 agreement gate,
-    * so pairs that differ in at most one quarter (one edited region)
-    * still collide, without any O(n²) pair scan. Quarter offsets
-    * derive from the length, so this targets length-preserving edits —
-    * the "same dimensions, small patch" case; re-encodes that change
-    * size belong to the embedding near-dup family instead (documented
-    * trade-off).
+    * of downscaled luma over a FIXED raster; with no codecs here, the
+    * raster stands in as a fixed 240-char signature window of the
+    * payload, split into 4 quarters of 60, each hashed to a 16-bit md5
+    * lane. The match machinery is the production one: a banded
+    * inverted index on (quarter idx, quarter hash) and a 3-of-4
+    * agreement gate, so assets differing in at most one signature
+    * quarter (one edited region) still collide, without any O(n²)
+    * pair scan — and because the window is FIXED-length (like a real
+    * pHash raster), trailing-content edits and size changes don't
+    * break alignment. Payloads under 240 chars have no full signature
+    * and are excluded (a real pipeline falls back to exact hashing
+    * there).
     *
-    * Scale shape: 4 index rows per asset, self-join on the
-    * (qi, n, qh) key — bucket volume is Σ bucket², bounded by the
-    * 16-bit hash space PER length class; the agreement count is a
-    * hash-agg over colliding pairs only. No shuffle carries payload
-    * bytes — only 8-byte hashes and lengths.
+    * Scale shape: 4 index rows per asset; self-join bucket volume is
+    * Σ bucket² over (qi, qh) — hot shared-boilerplate buckets are the
+    * known risk and would take the q_jaccard_pairs df-cap treatment at
+    * web scale (documented knob, not needed on this corpus: measured
+    * max bucket 3). No shuffle carries payload bytes.
     */
   val mmPhash = QueryDef(
     "q_mm_phash",
@@ -87,19 +88,16 @@ object Multimodal {
       def lane(sub: String) =
         s"${PortableHash.laneSpark(s"md5($sub)", 0)} % 65536"
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-        .filter(col("n") >= 4)
-        .withColumn("l", floor(col("n") / 4).cast("int"))
-      val q = t.select(col("doc_id"), col("n"), explode(array(
-        struct(lit(0).as("qi"), expr(lane("substring(text, 1, l)")).as("qh")),
-        struct(lit(1).as("qi"), expr(lane("substring(text, l + 1, l)")).as("qh")),
-        struct(lit(2).as("qi"), expr(lane("substring(text, 2 * l + 1, l)")).as("qh")),
-        struct(lit(3).as("qi"), expr(lane("substring(text, 3 * l + 1)")).as("qh"))))
+        .filter(length(col("text")) >= 240)
+      val q = t.select(col("doc_id"), explode(array(
+        (0 until 4).map(i =>
+          struct(lit(i).as("qi"),
+            expr(lane(s"substring(text, ${1 + 60 * i}, 60)")).as("qh"))): _*))
         .as("e"))
-        .select(col("doc_id"), col("n"), col("e.qi"), col("e.qh"))
+        .select(col("doc_id"), col("e.qi"), col("e.qh"))
       q.alias("a").join(q.alias("b"),
-          col("a.qi") === col("b.qi") && col("a.n") === col("b.n") &&
-            col("a.qh") === col("b.qh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.qi") === col("b.qi") && col("a.qh") === col("b.qh") &&
+            col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_match"))
         .filter(col("n_match") >= 3)
@@ -110,26 +108,20 @@ object Multimodal {
       import graft.functions.PortableHash
       def lane(sub: String) =
         s"${PortableHash.laneDuck(s"md5($sub)", 0)} % 65536"
+      val quarters = (0 until 4).map(i =>
+        s"SELECT doc_id, $i AS qi, ${lane(s"substr(text, ${1 + 60 * i}, 60)")} AS qh FROM t")
+        .mkString("\n            UNION ALL\n            ")
       s"""WITH t AS (
-            SELECT doc_id, text, length(text) AS n,
-                   CAST(FLOOR(length(text) / 4) AS INT) AS l
-            FROM documents WHERE length(text) >= 4),
+            SELECT doc_id, text FROM documents WHERE length(text) >= 240),
           q AS (
-            SELECT doc_id, n, 0 AS qi, ${lane("substr(text, 1, l)")} AS qh FROM t
-            UNION ALL
-            SELECT doc_id, n, 1, ${lane("substr(text, l + 1, l)")} FROM t
-            UNION ALL
-            SELECT doc_id, n, 2, ${lane("substr(text, 2 * l + 1, l)")} FROM t
-            UNION ALL
-            SELECT doc_id, n, 3, ${lane("substr(text, 3 * l + 1)")} FROM t)
+            $quarters)
           SELECT doc_a, doc_b, n_match,
                  CASE WHEN n_match = 4 THEN 1 ELSE 0 END AS is_exact
           FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(COUNT(*) AS BIGINT) AS n_match
             FROM q a JOIN q b
-              ON a.qi = b.qi AND a.n = b.n AND a.qh = b.qh
-             AND a.doc_id < b.doc_id
+              ON a.qi = b.qi AND a.qh = b.qh AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           WHERE n_match >= 3
           ORDER BY doc_a, doc_b"""

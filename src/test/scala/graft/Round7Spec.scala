@@ -141,6 +141,83 @@ class Round7Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum <= total)
   }
 
+  test("q_recommend: never recommends an owned supplier, ranks dense per customer") {
+    val recs = run("q_recommend").collect()
+      .map(r => (r.getAs[Long]("customer"), r.getAs[Long]("supplier"),
+        r.getAs[Int]("rank")))
+    assert(recs.nonEmpty)
+    val owned = Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf0001).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recs.forall { case (c, sup, _) => !owned((c, sup)) },
+      "a recommendation duplicated an owned supplier")
+    recs.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length),
+        s"customer $c ranks not dense: ${rs.map(_._3).toSeq}")
+    }
+  }
+
+  test("q_attribution_credit: credit conserves the touched-purchase revenue") {
+    val credited = run("q_attribution_credit").collect()
+      .map(_.getAs[Double]("credited_revenue")).sum
+    // every purchase with >= 1 in-band touch distributes exactly its
+    // value (up to the 6-dp per-credit rounding)
+    val e = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("sec"),
+        col("value"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("sec").as("p_sec"), col("value"))
+    val tch = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("sec").as("t_sec"))
+    val touched = pur.join(tch, Seq("user_id"))
+      .filter(col("p_sec") - col("t_sec") > 0 &&
+        col("p_sec") - col("t_sec") <= 1800)
+      .select(col("user_id"), col("p_sec"), col("value")).distinct()
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs(credited - touched) < 0.05,
+      s"credited $credited vs touched-purchase revenue $touched")
+  }
+
+  test("q_mm_phash: exactly the brute-force 3-of-4 signature-window pairs") {
+    // sf0.01: the corpus has 13 prefix-twin pairs (sf0.001 has none —
+    // a vacuously-empty check proves nothing)
+    val sf001 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_mm_phash")(spark, sf001).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("n_match"))).toMap
+    assert(got.nonEmpty, "sf0.01 fixture must produce signature pairs")
+    val sigs = Tables.documents(spark, sf001)
+      .filter(length(col("text")) >= 240)
+      .select(col("doc_id"), substring(col("text"), 1, 240).as("w"))
+      .collect().map(r => (r.getLong(0),
+        (0 until 4).map(i => r.getString(1).substring(60 * i, 60 * i + 60))))
+    val expected = (for {
+      i <- sigs.indices; j <- i + 1 until sigs.length
+      m = sigs(i)._2.zip(sigs(j)._2).count { case (a, b) => a == b }
+      if m >= 3
+    } yield {
+      val (x, y) = (sigs(i)._1, sigs(j)._1)
+      ((math.min(x, y), math.max(x, y)), m.toLong)
+    }).toMap
+    assert(got === expected)
+  }
+
+  test("q_dataset_card and q_skew_audit: fields agree with direct computation") {
+    val card = run("q_dataset_card").collect()(0)
+    val docs = Tables.documents(spark, sf0001)
+    assert(card.getAs[Long]("n_docs") === docs.count())
+    assert(card.getAs[Long]("n_langs") ===
+      docs.select("lang").distinct().count())
+    assert(card.getAs[Double]("dup_rate") >= 0 &&
+      card.getAs[Double]("dup_rate") < 1)
+    val audit = run("q_skew_audit").collect()
+    val li = Tables.lineitem(spark, sf0001).count()
+    assert(audit.length === 3 && audit.forall(_.getAs[Long]("n_rows") == li))
+  }
+
   test("q_collocations: support floor and finite PMI") {
     val rows = run("q_collocations").collect()
     assert(rows.nonEmpty)
