@@ -10,6 +10,7 @@ Floats compared exactly AND with tolerance so we can see the margin.
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -47,7 +48,11 @@ def compare(name, spark_df, oracle_df):
             xn = pd.to_numeric(x, errors="coerce")
             yn = pd.to_numeric(y, errors="coerce")
             both_nan = xn.isna() & yn.isna()
-            eq = (xn == yn) | both_nan
+            # -0.0-strict: the driver hashes canonical values, where
+            # -0.0 != +0.0 (float == treats them equal and would hide it)
+            sign_eq = np.signbit(xn.fillna(0.0).to_numpy()) == \
+                np.signbit(yn.fillna(0.0).to_numpy())
+            eq = ((xn == yn) & sign_eq) | both_nan
             if not eq.all():
                 diff = (xn - yn).abs()
                 denom = yn.abs().clip(lower=1e-12)
