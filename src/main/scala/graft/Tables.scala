@@ -39,18 +39,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS) which the
-    * vectorized reader rejects; read nanos as long and truncate to
-    * microseconds (`ts div 1000` — exact integer division, matching
-    * DuckDB's `CAST(ts AS TIMESTAMP)` ns→us truncation). Exposed as
+  /** `events.ts` normalization, schema-adaptive: the testdata has
+    * shipped two physical layouts for `ts` —
+    *
+    *  - INT64 TIMESTAMP(NANOS), which the vectorized reader rejects
+    *    outright; readable only via `nanosAsLong`, then truncated to
+    *    microseconds (`ts div 1000` — exact integer division, matching
+    *    DuckDB's `CAST(ts AS TIMESTAMP)` ns→µs truncation);
+    *  - native TIMESTAMP(MICROS) (isAdjustedToUTC=false), which Spark
+    *    loads directly as TIMESTAMP_NTZ.
+    *
+    * The loaded dtype tells the layouts apart: integral ⇒ nanos fixup,
+    * timestamp ⇒ plain cast. Either way the column is exposed as
     * TIMESTAMP_NTZ so the wall-clock value is timezone-independent.
+    * (`nanosAsLong` only affects TIMESTAMP(NANOS) columns, so setting it
+    * unconditionally is a no-op for the native-µs layout.)
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions
-          .expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "embeddings"))

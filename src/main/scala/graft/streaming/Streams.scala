@@ -24,27 +24,36 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet physical schema under nanosAsLong (file streaming
-    * sources require an explicit schema).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming scan of an events parquet directory. ns→µs truncation
-    * matches Tables.events exactly.
+  /** Streaming scan of an events parquet directory, schema-adaptive the
+    * same way as `Tables.events` (the testdata has shipped `ts` both as
+    * INT64 TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS)). The file
+    * streaming source requires an explicit schema, so probe the landing
+    * files' physical schema with a batch read first — footer metadata
+    * only, no job — and pick the normalization from the probed dtype.
+    * Hardcoding the nanos layout here once read the µs integers as
+    * long and ÷1000 silently sent every timestamp to ~1970; the probe
+    * (plus StreamingSpec's min-ts-year sanity check) prevents that
+    * class of silent time-travel.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob (not a bare file path): the file source requires a directory
     // or pattern; production points this at a landing directory.
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(s"$dir/events.parque*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val glob = s"$dir/events.parque*"
+    // batch read of one matched file (footer metadata only, no job);
+    // the glob is resolved by hand — the batch reader stats it literally
+    val gPath = new org.apache.hadoop.fs.Path(glob)
+    val fs = gPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = fs.globStatus(gPath)
+    require(matched != null && matched.nonEmpty, s"no events files match $glob")
+    val physical = spark.read.parquet(matched.head.getPath.toString).schema
+    val stream = spark.readStream.schema(physical).parquet(glob)
+    physical("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) under nanosAsLong: ns→µs
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // native µs — session TZ is UTC, so the value is unchanged
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Continuously-maintained leaderboard: per-user purchase totals,

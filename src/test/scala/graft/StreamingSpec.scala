@@ -234,6 +234,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("readEvents: streamed timestamps agree with the batch loader (no silent time-travel)") {
+    // the r8 failure mode: readEvents hardcoded the INT64-nanos layout,
+    // read native-µs integers as long, and ÷1000 landed every event in
+    // ~1970 — watermarks/windows then collapse SILENTLY (0-row results,
+    // not errors). Pin the streamed min/max ts to the batch loader's:
+    // any future re-encode that skews the unit fails here by name.
+    val batch = Tables.events(spark, sf0001)
+      .agg(min("ts").as("lo"), max("ts").as("hi")).head()
+    val streamed = Streams.runToTable(
+      Streams.readEvents(spark, sf0001)
+        .agg(min("ts").as("lo"), max("ts").as("hi")),
+      "t_ts_range", "complete").head()
+    // batch side is timestamp_ntz, stream side timestamp (UTC session):
+    // compare instants
+    def inst(r: org.apache.spark.sql.Row, i: Int): Long = r.get(i) match {
+      case t: Timestamp => t.getTime
+      case t: java.time.LocalDateTime =>
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    assert(inst(streamed, 0) == inst(batch, 0) &&
+      inst(streamed, 1) == inst(batch, 1),
+      s"streamed ts range (${streamed.get(0)}, ${streamed.get(1)}) != " +
+        s"batch (${batch.get(0)}, ${batch.get(1)}) — readEvents is " +
+        "normalizing ts with the wrong unit for this testdata layout")
+  }
+
   test("statusUpsert keeps the latest reading per user across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("status").toString
