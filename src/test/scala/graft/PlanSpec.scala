@@ -337,10 +337,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("q_cooccur_similarity: degree table broadcasts; top-k never global-sorts") {
+  test("q_cooccur_similarity: pure consumer of the staged sim artifact") {
     plan("q_cooccur_similarity")
     val p = graft.util.Staged.plan("q_cooccur_similarity")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the Σ min(deg,128)² pair self-join is paid ONCE in GraphStage's
+    // bucketed warehouse build — the query itself must be join-free:
+    // scan the staged table, filter, top-20 via TakeOrderedAndProject
+    assert(!p.contains("Join"), p)
+    assert(p.contains("g_supplier_sim"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
