@@ -19,14 +19,23 @@ object Bench {
       .split(" ").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Nil }
 
-  /** A run started on a loaded box is tagged, not trusted: two rounds of
+  /** A run on a loaded box is tagged, not trusted: multiple rounds of
     * medians have been muddied by co-tenant CPU contention (r2 ~3.4x,
     * r6 up to 3x on the stream family — both recovered unchanged on a
-    * quiet box). The 1-min loadavg at start is the tag; per-query
-    * medians from a contended run should be compared only against other
-    * contended runs.
+    * quiet box). Three signals feed the tag, any one suffices:
+    * 1-min loadavg at start, 1-min loadavg at END (a co-tenant that
+    * arrives mid-run never shows in the start sample — the r8 failure
+    * mode), and per-query iteration spread (max/median over the timed
+    * iterations: contention shows as wild spread on queries long enough
+    * to overlap it). Per-query medians from a contended run should be
+    * compared only against other contended runs.
     */
   private val ContendedLoad = 4.0
+  // spread gate: among queries with median ≥ 0.2 s (short queries are
+  // noisy at any load), >10% showing a worst iteration ≥ 2× the median
+  private val SpreadRatio = 2.0
+  private val SpreadMinMedianSec = 0.2
+  private val SpreadFrac = 0.10
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,13 +130,24 @@ object Bench {
     val errJson = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val loadAfter = loadavg()
-    val contended = loadBefore.headOption.exists(_ > ContendedLoad)
+    val spreads = timings.flatMap { case (_, ts) =>
+      val m = ts.sorted.apply(ts.length / 2)
+      if (m >= SpreadMinMedianSec && ts.length >= 2) Some(ts.max / m) else None
+    }
+    val spreadContended = spreads.nonEmpty &&
+      spreads.count(_ >= SpreadRatio).toDouble / spreads.size > SpreadFrac
+    // end-of-run loadavg includes the bench's OWN workers (~cpus of
+    // load on an otherwise-quiet box) — only load beyond that is a
+    // co-tenant signal
+    val contended = loadBefore.headOption.exists(_ > ContendedLoad) ||
+      loadAfter.headOption.exists(_ > cpus.toInt + ContendedLoad) ||
+      spreadContended
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
     val batchJson = graft.streaming.Streams.lastBatchCounts.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"stream_batches":$batchJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

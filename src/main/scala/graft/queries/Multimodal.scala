@@ -101,7 +101,11 @@ object Multimodal {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_match"))
         .filter(col("n_match") >= 3)
-        .withColumn("is_exact", (col("n_match") === 4).cast("int"))
+        // full_sig_match (NOT "exact duplicate"): all 4 lanes of the
+        // FIXED 240-char signature window agree — content beyond the
+        // window may still differ; exact-dup attestation is
+        // q_dedup_exact's full-payload hash, not this index
+        .withColumn("full_sig_match", (col("n_match") === 4).cast("int"))
         .orderBy("doc_a", "doc_b")
     },
     Some {
@@ -116,7 +120,7 @@ object Multimodal {
           q AS (
             $quarters)
           SELECT doc_a, doc_b, n_match,
-                 CASE WHEN n_match = 4 THEN 1 ELSE 0 END AS is_exact
+                 CASE WHEN n_match = 4 THEN 1 ELSE 0 END AS full_sig_match
           FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(COUNT(*) AS BIGINT) AS n_match

@@ -318,9 +318,12 @@ object Warehouse {
     * mirrored in the oracle) bounds a degenerate mega-basket BY
     * CONSTRUCTION, exactly the q_cooccur_similarity posture (free until
     * needed: max basket at the test SFs is 17). The basket total is a
-    * scalar driver value; per-part frequencies attach to the surviving
-    * pair table by joins on a |parts|-row relation (size-based
-    * broadcast at any sane catalog).
+    * 1-row broadcast relation (no eager cache + driver count: the
+    * capped basket relation `b` feeds four plan branches and Catalyst's
+    * ReuseExchange computes its distinct+window shuffle once — one job,
+    * no pinned storage, no extra action); per-part frequencies attach
+    * to the surviving pair table by joins on a |parts|-row relation
+    * (size-based broadcast at any sane catalog).
     */
   val basketLift = QueryDef(
     "q_basket_lift",
@@ -329,25 +332,24 @@ object Warehouse {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val b = Graph.capDegree(raw, "ok", "pk", 64)
-        .cache() // basket count + frequencies + the pair self-join
-      val n = b.agg(countDistinct("ok")).head().getLong(0)
+      val nb = b.agg(countDistinct("ok").as("n")) // 1 row — broadcast scalar
       val freq = b.groupBy("pk").agg(count(lit(1)).as("f"))
       val pairs = b.alias("a")
         .join(b.alias("c"), col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
         .groupBy(col("a.pk").as("pa"), col("c.pk").as("pb"))
         .agg(count(lit(1)).as("both_n"))
         .filter(col("both_n") >= 3)
-      val out = pairs
+      pairs
         .join(freq.select(col("pk").as("pa"), col("f").as("n_a")), "pa")
         .join(freq.select(col("pk").as("pb"), col("f").as("n_b")), "pb")
+        .crossJoin(broadcast(nb))
         .select(col("pa"), col("pb"), col("both_n"), col("n_a"), col("n_b"),
-          round(col("both_n").cast("double") / lit(n), 6).as("support"),
+          round(col("both_n").cast("double") / col("n"), 6).as("support"),
           round(col("both_n").cast("double") / col("n_a"), 6).as("confidence"),
-          round(col("both_n").cast("double") * lit(n) /
+          round(col("both_n").cast("double") * col("n") /
             (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy(desc("lift"), asc("pa"), asc("pb"))
         .limit(20)
-      graft.util.Staged.checkpointRelease("q_basket_lift", out, b)
     },
     Some("""WITH raw AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                          FROM lineitem),
