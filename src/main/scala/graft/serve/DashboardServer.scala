@@ -1,0 +1,160 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Thin HTTP serving layer for the dashboard query surface — the
+  * SURVEY §3.3 lifecycle box the reference covers with a Flask app
+  * (/root/reference/src/app.py:825-858 serves its 6 dashboard queries
+  * over HTTP with a 30 s auto-refresh, app.py:815). The Spark-side
+  * equivalent is deliberately thin: the ENGINE work is the `QueryDef`s
+  * themselves (`graft.queries.Dashboard` / `Events`), and this layer
+  * only maps `GET /api/<query>` onto them and serializes rows to JSON.
+  * Built on the JDK's `com.sun.net.httpserver` so the repo stays
+  * dependency-free.
+  *
+  * Caching mirrors the reference's refresh model: the dashboard
+  * re-polls every 30 s, so results are memoized per query with a TTL
+  * (default 30 s) — between refreshes the server answers from the
+  * cached rows without touching Spark, which is what makes a
+  * sub-second dashboard page compatible with queries that scan a fact
+  * table. At production scale the same surface would sit behind
+  * Spark Connect or a Thrift server with the TTL cache in front; the
+  * route/contract here is identical.
+  *
+  * Serving happens on the driver, but the MATERIALIZED payload is a
+  * dashboard page (≤ a few hundred rows per query by construction —
+  * every dashboard query aggregates); the heavy lifting stays
+  * distributed inside the Spark job.
+  */
+final class DashboardServer(
+    spark: SparkSession,
+    dataDir: String,
+    queryNames: Seq[String] = DashboardServer.DashboardQueries,
+    ttlMillis: Long = 30000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  require(queryNames.forall(SparkEntry.queries.contains),
+    s"unknown queries: ${queryNames.filterNot(SparkEntry.queries.contains)}")
+
+  /** (payload, computed-at); one slot per query. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  /** Spark recomputations per query — observability + test hook. */
+  private val computes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private var server: Option[HttpServer] = None
+
+  def computeCount(name: String): Long =
+    Option(computes.get(name)).map(_.longValue).getOrElse(0L)
+
+  /** Rows → a JSON array of objects. Timestamps/strings are quoted;
+    * numerics and booleans bare; null is null. The dashboard payload is
+    * small by construction, so a StringBuilder is fine.
+    */
+  private def toJson(df: DataFrame): String = {
+    val cols = df.schema.fieldNames
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val sb = new StringBuilder("[")
+    var firstRow = true
+    for (row <- df.collect()) {
+      if (!firstRow) sb.append(',')
+      firstRow = false
+      sb.append('{')
+      var i = 0
+      while (i < cols.length) {
+        if (i > 0) sb.append(',')
+        sb.append('"').append(esc(cols(i))).append("\":")
+        row.get(i) match {
+          case null => sb.append("null")
+          case b: Boolean => sb.append(b.toString)
+          case n @ (_: Int | _: Long | _: Short | _: Byte) => sb.append(n.toString)
+          case d: Double =>
+            if (d.isNaN || d.isInfinite) sb.append('"').append(d.toString).append('"')
+            else sb.append(d.toString)
+          case f: Float =>
+            if (f.isNaN || f.isInfinite) sb.append('"').append(f.toString).append('"')
+            else sb.append(f.toString)
+          case d: java.math.BigDecimal => sb.append(d.toPlainString)
+          case other => sb.append('"').append(esc(other.toString)).append('"')
+        }
+        i += 1
+      }
+      sb.append('}')
+    }
+    sb.append(']').toString
+  }
+
+  /** Cached payload for `name`, recomputing if stale. Concurrent
+    * requests for a stale entry may compute twice (last write wins) —
+    * harmless (both payloads are correct) and simpler than a per-query
+    * lock around a Spark job.
+    */
+  private def payload(name: String): String = {
+    val now = clock()
+    val hit = cache.get(name)
+    if (hit != null && now - hit._2 < ttlMillis) hit._1
+    else {
+      val json = toJson(SparkEntry.queries(name)(spark, dataDir))
+      computes.merge(name, 1L, (a, b) => a + b)
+      cache.put(name, (json, now))
+      json
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.createContext("/healthz", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")
+    })
+    s.createContext("/api/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val name = ex.getRequestURI.getPath.stripPrefix("/api/")
+        if (!queryNames.contains(name))
+          respond(ex, 404,
+            s"""{"error":"unknown query","queries":[${
+              queryNames.map("\"" + _ + "\"").mkString(",")}]}""")
+        else
+          try respond(ex, 200, payload(name))
+          catch { case e: Exception =>
+            respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
+    })
+    s.setExecutor(null) // serve on the dispatch thread; payloads are cached
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+}
+
+object DashboardServer {
+  /** The reference's 6-query dashboard page (app.py routes). */
+  val DashboardQueries: Seq[String] = Seq(
+    "q_dash_metrics", "q_dash_sensors", "q_dash_alerts",
+    "q_dash_patterns", "q_dash_sensor_types", "q_dash_districts")
+}

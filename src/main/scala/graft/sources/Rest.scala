@@ -73,6 +73,50 @@ object Rest {
       priority: Int,
       fetch: SparkSession => DataFrame)
 
+  /** The real HTTP-client binding behind the injectable fetch (ref
+    * enhanced_ingestion.py:179-330 fetches three live JSON APIs with
+    * `requests`): a JDK `java.net.http.HttpClient` GET + the engine's
+    * JSON reader. Kept separate from the breaker/sweep machinery so
+    * tests can still inject deterministic fetches — RestSpec drives the
+    * breaker with thunks, and HttpRestSpec drives THIS binding
+    * end-to-end against an in-process loopback HTTP server (the sandbox
+    * has no egress; the binding itself is production-shaped).
+    */
+  object HttpFetch {
+
+    /** GET `url`, expect 2xx, return the body; non-2xx and transport
+      * errors throw — which is exactly what the breaker's `call` treats
+      * as a failure (enhanced_ingestion.py raises for status the same
+      * way).
+      */
+    def get(url: String, timeoutMillis: Long = 10000L): String = {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+        .build()
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+      resp.body()
+    }
+
+    /** An [[Endpoint]] whose fetch GETs a JSON-array API and parses it
+      * with the engine's schema-inferring JSON reader — the payload is
+      * API-bounded (tens of rows), so driver-side parse + createDataFrame
+      * is the documented non-anti-pattern landing shape.
+      */
+    def jsonEndpoint(name: String, priority: Int, url: String,
+        timeoutMillis: Long = 10000L): Endpoint =
+      Endpoint(name, priority, { spark =>
+        import spark.implicits._
+        spark.read.json(Seq(get(url, timeoutMillis)).toDS())
+      })
+  }
+
   final case class SourceResult(
       source: String, status: String, rows: Long, breaker: String)
 
