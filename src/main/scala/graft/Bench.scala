@@ -145,9 +145,13 @@ object Bench {
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
     val batchJson = graft.streaming.Streams.lastBatchCounts.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
+    // amortized warehouse-artifact cost (paid once in warmup, consumed
+    // by the graph family) — kept visible, not silently free
+    val stageJson = graft.warehouse.GraphStage.lastBuildSecs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"graph_stage_build_secs":$stageJson}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

@@ -38,6 +38,15 @@ object GraphStage {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Set[String]]())
 
+  /** Wall-clock seconds of the last artifact build per source dir —
+    * bench instrumentation (the build runs once in the warmup pass, so
+    * per-query medians don't show it; this keeps the amortized cost
+    * visible instead of silently free). Bench embeds it in
+    * BENCH_DETAIL.json.
+    */
+  val lastBuildSecs: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
+
   /** Artifact names are keyed to the source dir (tests alternate scale
     * factors inside one session).
     */
@@ -102,6 +111,12 @@ object GraphStage {
     * shuffle serves layout and computation.
     */
   private def build(s: SparkSession, d: String): Unit = {
+    val t0 = System.nanoTime()
+    try doBuild(s, d)
+    finally lastBuildSecs.put(d, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def doBuild(s: SparkSession, d: String): Unit = {
     Seq(rawName(d), eName(d), simName(d), undName(d))
       .foreach(freshTarget(s, _))
     val raw0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
