@@ -78,6 +78,21 @@ object Sources {
       .sortBy(-_.lastModified()).headOption.map(_.getAbsolutePath)
   }
 
+  /** Scheme-agnostic latest-object discovery: the same pick-by-mtime
+    * contract as [[latestFile]], but through the Hadoop FileSystem API
+    * so it works over ANY registered scheme — local paths, `s3a://`
+    * buckets in production, the mocks3 test scheme (S4; the reference
+    * lists the bucket and sorts keys, upload_to_s3.py:60-86). Ties on
+    * mtime break by path for determinism.
+    */
+  def latestObject(spark: SparkSession, glob: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .sortBy(s => (-s.getModificationTime, s.getPath.toString))
+      .headOption.map(_.getPath.toString)
+  }
+
   /** S5/S6: Hive-style partitioned parquet write (year=/month=/day=
     * bronze layout, etl.py:163-171 + enhanced_spark_etl.py:778-782).
     * Readers filtering on the partition columns prune directories —
