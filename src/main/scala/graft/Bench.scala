@@ -140,7 +140,8 @@ object Bench {
     // load on an otherwise-quiet box) — only load beyond that is a
     // co-tenant signal
     val contended = loadBefore.headOption.exists(_ > ContendedLoad) ||
-      loadAfter.headOption.exists(_ > cpus.toInt + ContendedLoad) ||
+      loadAfter.headOption.exists(_ >
+        scala.util.Try(cpus.toInt).getOrElse(32) + ContendedLoad) ||
       spreadContended
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
     val batchJson = graft.streaming.Streams.lastBatchCounts.toSeq.sortBy(_._1)
