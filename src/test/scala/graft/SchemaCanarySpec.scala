@@ -37,10 +37,12 @@ class SchemaCanarySpec extends SparkSpec {
     "embeddings" -> "struct<vec_id:bigint,embedding:array<float>,label:int>")
 
   test("all non-events tables load with the pinned schema") {
-    for ((name, want) <- expected) {
-      val got = Tables.load(spark, sf0001, name).schema.simpleString
+    // both the spec SF and the driver's gate SF — a re-encode could in
+    // principle land on one and not the other (footer reads only, cheap)
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01"); (name, want) <- expected) {
+      val got = Tables.load(spark, sf, name).schema.simpleString
       assert(got == want,
-        s"\nTESTDATA SCHEMA DRIFT on '$name':\n  loaded   $got\n" +
+        s"\nTESTDATA SCHEMA DRIFT on '$name' at $sf:\n  loaded   $got\n" +
           s"  expected $want\nIf the driver re-encoded the testdata, " +
           "update the loaders (Tables.scala) and this canary together.")
     }
