@@ -158,3 +158,26 @@ object DashboardServer {
     "q_dash_metrics", "q_dash_sensors", "q_dash_alerts",
     "q_dash_patterns", "q_dash_sensor_types", "q_dash_districts")
 }
+
+/** Standalone entry point:
+  * `sbt "runMain graft.serve.ServeMain [sfDir] [port]"` — starts a
+  * local session and serves the 6-query dashboard surface until
+  * killed (the reference's `python app.py`).
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bound = new DashboardServer(spark, dir).start(port)
+    println(s"SERVING http://127.0.0.1:$bound/api/<query>  " +
+      s"(queries: ${DashboardServer.DashboardQueries.mkString(", ")})")
+    Thread.currentThread.join() // serve until the process is killed
+  }
+}
