@@ -72,6 +72,16 @@ object Bench {
     // Warmup pass: the full suite, untimed.
     suite.foreach { case (name, fn) => once(name, fn) }
 
+    // True median (middle element, or mean of the two middle elements
+    // for even lengths) — used for BOTH the reported per-query numbers
+    // and the spread gate, so the contention ratio is judged against
+    // the same statistic it reports.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+
     // Residue isolation: checkpoint/shuffle blocks are reclaimed by the
     // ContextCleaner only AFTER their DataFrames are GC'd, so without
     // explicit collection a 154-query suite accumulates storage-pool
@@ -90,9 +100,12 @@ object Bench {
       System.gc()
       name -> times
     }
-    val results = timings.map { case (name, times) =>
-      name -> times.sorted.apply(times.length / 2) // median
-    }
+    val results = timings.map { case (name, times) => name -> median(times) }
+    // Per-query MIN: the contention-robust statistic. A co-tenant can
+    // inflate any single iteration (and with it the median), but the
+    // minimum is the best-observed run and survives all but wall-to-wall
+    // interference — on a contended box compare mins, not medians.
+    val mins = timings.map { case (name, times) => name -> times.min }
     val total = results.map(_._2).sum
     // The harness keeps only the last ~2000 chars of output. A 94-query
     // map is ~3 kB — it gets truncated mid-line and the driver records
@@ -131,7 +144,7 @@ object Bench {
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val loadAfter = loadavg()
     val spreads = timings.flatMap { case (_, ts) =>
-      val m = ts.sorted.apply(ts.length / 2)
+      val m = median(ts)
       if (m >= SpreadMinMedianSec && ts.length >= 2) Some(ts.max / m) else None
     }
     val spreadContended = spreads.nonEmpty &&
@@ -147,12 +160,15 @@ object Bench {
     val batchJson = graft.streaming.Streams.lastBatchCounts.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     // amortized warehouse-artifact cost (paid once in warmup, consumed
-    // by the graph family) — kept visible, not silently free
-    val stageJson = graft.warehouse.GraphStage.lastBuildSecs.toSeq.sortBy(_._1)
+    // by the graph family + gold-layer dashboard) — visible, not
+    // silently free; keys are family:dir
+    val stageJson = graft.warehouse.Staging.lastBuildSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val minDetail = mins.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"graph_stage_build_secs":$stageJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"note":"queries=per-query medians; under contention (contended=true) compare queries_min, not medians"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.{QueryDef, Tables}
+import graft.QueryDef
 import graft.util.Sql
+import graft.warehouse.GoldStage
 import org.apache.spark.sql.functions._
 
 /** The remaining dashboard API queries (SURVEY §3.3; app.py routes).
@@ -9,42 +10,45 @@ import org.apache.spark.sql.functions._
   * the 6-query surface. events maps to the reading stream (user_id ~
   * sensor, event_type ~ sensor_type, props.k/100 ~ quality_score,
   * event_type='error' ~ anomaly).
+  *
+  * All six SERVE FROM THE GOLD LAYER ([[GoldStage]]) — the reference's
+  * architecture: its dashboard answers from an indexed star schema of
+  * pre-aggregated facts (/root/reference/sql/enhanced_data_schema.sql:
+  * 279-322, 440-464; app.py:26-196), never from raw readings. The
+  * DuckDB oracles still compute from the RAW tables, so every green
+  * row is also a proof that the staged rollup re-aggregates exactly
+  * (decimal partial sums are associative; distinct-counted keys stay
+  * in the rollup grain).
   */
 object Dashboard {
 
   /** /api/sensors (app.py:103-133): per-sensor reliability = avg
     * quality × (1 − anomaly rate), CASE grade, 7-day window, ordered.
     *
-    * The 7-day cutoff uses a SCALAR SUBQUERY (like q_dash_metrics,
-    * Events.dashMetrics), NOT `max(ts) OVER ()`: an empty-partition
-    * global window funnels the whole events table through ONE task
-    * before the filter, which is the first thing to die at 100× scale.
-    * Spark plans the subquery as a tiny separate agg whose result is
-    * folded into a pushable filter.
+    * Serves from `gold_events_recent` — the trailing-7-day slice is
+    * materialized at snapshot grain because the cutoff is relative to
+    * the row-level MAX(ts) (an hourly rollup can't reproduce a
+    * mid-hour cutoff). The rollup is bucketed by user_id, so this
+    * group-by runs with NO exchange: scan → partial agg → final agg,
+    * all user-local.
     */
   val dashSensors = QueryDef(
     "q_dash_sensors",
     (s, d) => {
-      Tables.registerViews(s, d)
-      s.sql(s"""
-        WITH e AS (SELECT user_id, event_type,
-                          cast(get_json_object(props, '$$.k') as double) / 100.0 AS q,
-                          ts
-                   FROM events)
-        SELECT user_id,
-               COUNT(*) AS n_readings,
-               ROUND(${Sql.AVGD("q")}, 6) AS avg_quality,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-               ROUND(${Sql.AVGD("q")} *
-                 (1.0 - CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
-                        / COUNT(*)), 6) AS reliability,
-               CASE WHEN ${Sql.AVGD("q")} > 0.7 THEN 'Excellent'
-                    WHEN ${Sql.AVGD("q")} > 0.55 THEN 'Good'
-                    WHEN ${Sql.AVGD("q")} > 0.4 THEN 'Fair'
-                    ELSE 'Poor' END AS grade
-        FROM e
-        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAYS
-        GROUP BY user_id""")
+      val g = GoldStage.recent(s, d)
+      val avgQ = GoldStage.davgOf("q_sum", "q_cnt")
+      val nerr = sum(when(col("event_type") === "error", col("n")).otherwise(lit(0L)))
+      val n = sum(col("n"))
+      g.groupBy("user_id")
+        .agg(
+          n.as("n_readings"),
+          round(avgQ, 6).as("avg_quality"),
+          nerr.as("n_errors"),
+          round(avgQ * (lit(1.0) - nerr.cast("double") / n), 6).as("reliability"),
+          when(avgQ > 0.7, "Excellent")
+            .when(avgQ > 0.55, "Good")
+            .when(avgQ > 0.4, "Fair")
+            .otherwise("Poor").as("grade"))
     },
     Some(s"""WITH e AS (SELECT user_id, event_type,
                           CAST(json_extract_string(props, '$$.k') AS DOUBLE) / 100.0 AS q,
@@ -65,45 +69,53 @@ object Dashboard {
         WHERE ts >= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAY
         GROUP BY user_id"""))
 
-  /** /api/patterns (app.py:135-157): hourly profile of one type. */
+  /** /api/patterns (app.py:135-157): hourly profile of one type —
+    * re-aggregated from `gold_events_hourly` (type filter prunes at
+    * the rollup scan; hour-of-day collapses the staged hours 24:1).
+    */
   val dashPatterns = QueryDef(
     "q_dash_patterns",
     (s, d) =>
-      Tables.events(s, d)
+      GoldStage.hourly(s, d)
         .filter(col("event_type") === "view")
-        .groupBy(hour(col("ts")).as("hod"))
-        .agg(count(lit(1)).as("n"),
-          round(graft.util.Exact.davg(col("value")), 6).as("avg_value")),
+        .groupBy(hour(col("h")).as("hod"))
+        .agg(sum(col("n")).as("n"),
+          round(GoldStage.davgOf("v_sum", "v_cnt"), 6).as("avg_value")),
     Some(s"""SELECT EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hod,
              COUNT(*) AS n, ROUND(${Sql.AVGD("value")}, 6) AS avg_value
              FROM events WHERE event_type = 'view' GROUP BY 1"""))
 
-  /** /api/sensor-types (app.py:159-176): distinct sensors per type. */
+  /** /api/sensor-types (app.py:159-176): distinct sensors per type —
+    * from `gold_events_hourly`; user_id is in the rollup grain, so the
+    * distinct count re-derives exactly.
+    */
   val dashSensorTypes = QueryDef(
     "q_dash_sensor_types",
     (s, d) =>
-      Tables.events(s, d)
+      GoldStage.hourly(s, d)
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_sensors"),
-          count(lit(1)).as("n_readings"),
-          round(graft.util.Exact.davg(col("value")), 6).as("avg_value")),
+          sum(col("n")).as("n_readings"),
+          round(GoldStage.davgOf("v_sum", "v_cnt"), 6).as("avg_value")),
     Some(s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_sensors,
              COUNT(*) AS n_readings, ROUND(${Sql.AVGD("value")}, 6) AS avg_value
              FROM events GROUP BY event_type"""))
 
   /** /api/districts (app.py:75-101): 2-dim star rollup ordered by
-    * activity — run over the orders star (segment × priority play the
-    * district × type roles).
+    * activity — served from `gold_star_segment` (the customer-grain
+    * reduction of the orders star; both distinct-counted keys are in
+    * the grain). This was the one dashboard query whose cold path had
+    * to recompute the whole star join per request.
     */
   val dashDistricts = QueryDef(
     "q_dash_districts",
     (s, d) => {
-      val fact = Warehouse.starFact.fn(s, d)
-      fact.groupBy("segment")
-        .agg(count(lit(1)).as("n_orders"),
+      val g = GoldStage.starSegment(s, d)
+      g.groupBy("segment")
+        .agg(sum(col("n")).as("n_orders"),
           countDistinct(col("customer_key")).as("n_customers"),
-          round(graft.util.Exact.davg(col("total_price")), 4).as("avg_price"),
-          round(graft.util.Exact.dsum(col("total_price")), 4).as("total_volume"),
+          round(GoldStage.davgOf("p_sum", "p_cnt"), 4).as("avg_price"),
+          round(GoldStage.dsumOf("p_sum"), 4).as("total_volume"),
           countDistinct(col("priority_key")).as("n_priorities"))
     },
     Some(s"""WITH fact AS (${Warehouse.starFact.oracle.get})

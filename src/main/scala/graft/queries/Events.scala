@@ -682,18 +682,22 @@ object Events {
 
   /** §3.3 /api/metrics — dashboard scalar KPIs over the trailing 7 days
     * (relative to data max, so deterministic). Ref: app.py:21-73.
+    * Serves from the gold layer's materialized 7-day slice
+    * ([[graft.warehouse.GoldStage.recent]]); user_id is in the rollup
+    * grain, so the distinct count re-derives exactly.
     */
   val dashMetrics = QueryDef(
     "q_dash_metrics",
     (s, d) => {
-      Tables.registerViews(s, d)
-      s.sql("""SELECT COUNT(*) AS n_recent,
-               COUNT(DISTINCT user_id) AS n_users,
-               ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
-                     / COUNT(*), 6) AS error_rate_pct,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
-               FROM events
-               WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY""")
+      val g = graft.warehouse.GoldStage.recent(s, d)
+      val n = sum(col("n"))
+      val nerr = sum(when(col("event_type") === "error", col("n")).otherwise(lit(0L)))
+      g.agg(
+        n.as("n_recent"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(nerr * lit(100.0) / n, 6).as("error_rate_pct"),
+        sum(when(col("event_type") === "purchase", col("n")).otherwise(lit(0L)))
+          .as("n_purchases"))
     },
     Some(s"""SELECT COUNT(*) AS n_recent,
              COUNT(DISTINCT user_id) AS n_users,
@@ -706,15 +710,18 @@ object Events {
 
   /** §3.3 /api/alerts — HAVING-filtered per-user error rates + severity.
     * Ref: app.py:178-229 (severity mapping folded into SQL).
+    * Re-aggregates `gold_events_hourly`, whose user_id bucketing makes
+    * the group-by exchange-free.
     */
   val dashAlerts = QueryDef(
     "q_dash_alerts",
     (s, d) =>
-      Tables.events(s, d)
+      graft.warehouse.GoldStage.hourly(s, d)
         .groupBy("user_id")
         .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"))
+          sum(col("n")).as("n"),
+          sum(when(col("event_type") === "error", col("n")).otherwise(lit(0L)))
+            .as("n_errors"))
         .withColumn("error_rate_pct", round(col("n_errors") * 100.0 / col("n"), 6))
         .filter(col("error_rate_pct") > 25.0)
         .withColumn("severity",

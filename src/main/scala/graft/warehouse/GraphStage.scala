@@ -34,71 +34,42 @@ import org.apache.spark.sql.functions._
   */
 object GraphStage {
 
-  private val built = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Set[String]]())
-
-  /** Wall-clock seconds of the last artifact build per source dir —
-    * bench instrumentation (the build runs once in the warmup pass, so
-    * per-query medians don't show it; this keeps the amortized cost
-    * visible instead of silently free). Bench embeds it in
-    * BENCH_DETAIL.json.
+  /** Fingerprinted artifact naming + memoized write-once build via
+    * [[Staging]] (tests alternate scale factors inside one session;
+    * the fingerprint also catches a re-encoded snapshot under a live
+    * session).
     */
-  val lastBuildSecs: scala.collection.concurrent.TrieMap[String, Double] =
-    scala.collection.concurrent.TrieMap.empty
+  private val SrcTables = Seq("orders", "lineitem")
 
-  /** Artifact names are keyed to the source dir (tests alternate scale
-    * factors inside one session).
-    */
-  private def tag(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-
-  private def rawName(d: String) = s"g_copurchase_${tag(d)}"
-  private def eName(d: String)   = s"g_copurchase_capped_${tag(d)}"
-  private def simName(d: String) = s"g_supplier_sim_${tag(d)}"
-  private def undName(d: String) = s"g_supplier_knn_${tag(d)}"
+  private def rawName(t: String) = s"g_copurchase_$t"
+  private def eName(t: String)   = s"g_copurchase_capped_$t"
+  private def simName(t: String) = s"g_supplier_sim_$t"
+  private def undName(t: String) = s"g_supplier_knn_$t"
 
   /** Distinct (ck, sk) co-purchase projection — bucketed by ck. */
   def raw(s: SparkSession, d: String): DataFrame =
-    { ensure(s, d); s.table(rawName(d)) }
+    { val t = ensure(s, d); s.table(rawName(t)) }
 
   /** [[Graph.capDegree]](raw, K=128) — bucketed by ck. */
   def e(s: SparkSession, d: String): DataFrame =
-    { ensure(s, d); s.table(eName(d)) }
+    { val t = ensure(s, d); s.table(eName(t)) }
 
   /** Jaccard similarity pairs (u < v): (u, v, common, nu, nv, j) with
     * j = round(common / (nu + nv − common), 6) — bucketed by u.
     */
   def sim(s: SparkSession, d: String): DataFrame =
-    { ensure(s, d); s.table(simName(d)) }
+    { val t = ensure(s, d); s.table(simName(t)) }
 
   /** Top-3-neighbor kNN edge set, symmetrized then canonicalized to
     * u < v — bucketed by u.
     */
   def und(s: SparkSession, d: String): DataFrame =
-    { ensure(s, d); s.table(undName(d)) }
+    { val t = ensure(s, d); s.table(undName(t)) }
 
-  private def ensure(s: SparkSession, d: String): Unit = {
-    val dirs = built.computeIfAbsent(s,
-      _ => scala.collection.mutable.Set.empty[String])
-    // memoize only a SUCCESSFUL build: a thrown build is retried on the
-    // next accessor call instead of poisoning the session
-    dirs.synchronized { if (!dirs.contains(d)) { build(s, d); dirs += d } }
-  }
-
-  /** A fresh JVM starts with an empty in-memory catalog but inherits
-    * whatever managed-table directories earlier JVMs left under
-    * spark-warehouse — and `saveAsTable` refuses a location that exists
-    * without a catalog entry (LOCATION_ALREADY_EXISTS). Drop any
-    * catalog entry AND the on-disk location before writing.
-    */
-  private def freshTarget(s: SparkSession, table: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val p = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+  private def ensure(s: SparkSession, d: String): String = {
+    val t = Staging.tag(s, d, SrcTables)
+    Staging.ensure(s, "graph", d, s"graph_$t")(doBuild(s, d, t))
+    t
   }
 
   /** One pass, each stage reading the previously-written table — the
@@ -110,32 +81,26 @@ object GraphStage {
     * already satisfies the downstream dedup/window requirement — one
     * shuffle serves layout and computation.
     */
-  private def build(s: SparkSession, d: String): Unit = {
-    val t0 = System.nanoTime()
-    try doBuild(s, d)
-    finally lastBuildSecs.put(d, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private def doBuild(s: SparkSession, d: String): Unit = {
-    Seq(rawName(d), eName(d), simName(d), undName(d))
-      .foreach(freshTarget(s, _))
+  private def doBuild(s: SparkSession, d: String, t: String): Unit = {
+    Seq(rawName(t), eName(t), simName(t), undName(t))
+      .foreach(Staging.freshTarget(s, _))
     val raw0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .repartition(8, col("ck"))
       .dropDuplicates("ck", "sk")
-    Sources.writeBucketed(raw0, rawName(d), "ck", 8)
+    Sources.writeBucketed(raw0, rawName(t), "ck", 8)
 
     // capped variant: the bucketed scan's HashPartitioning(ck) feeds the
     // cap window's partitionBy(ck) with no exchange
-    val rawT = s.table(rawName(d))
+    val rawT = s.table(rawName(t))
     Sources.writeBucketed(
-      Graph.capDegree(rawT, "ck", "sk", 128), eName(d), "ck", 8)
+      Graph.capDegree(rawT, "ck", "sk", 128), eName(t), "ck", 8)
 
     // similarity pairs: the ck-bucketed self-join needs no exchange on
     // either side; pair volume is Σ min(deg,128)² by construction
-    val eT = s.table(eName(d))
+    val eT = s.table(eName(t))
     val deg0 = eT.groupBy("sk").agg(count(lit(1)).as("n"))
     val pairs = eT.alias("a")
       .join(eT.alias("b"),
@@ -149,11 +114,11 @@ object GraphStage {
         round(col("common").cast("double") /
           (col("nu") + col("nv") - col("common")), 6).as("j"))
       .repartition(8, col("u"))
-    Sources.writeBucketed(sim0, simName(d), "u", 8)
+    Sources.writeBucketed(sim0, simName(t), "u", 8)
 
     // kNN edges: top-3 by similarity per node over the symmetrized
     // pairs, canonicalized undirected
-    val simT = s.table(simName(d))
+    val simT = s.table(simName(t))
     val dir = simT.select(col("u").as("a"), col("v").as("b"), col("j"))
       .unionByName(simT.select(col("v").as("a"), col("u").as("b"), col("j")))
     val und0 = dir
@@ -164,6 +129,6 @@ object GraphStage {
         greatest(col("a"), col("b")).as("v"))
       .distinct()
       .repartition(8, col("u"))
-    Sources.writeBucketed(und0, undName(d), "u", 8)
+    Sources.writeBucketed(und0, undName(t), "u", 8)
   }
 }

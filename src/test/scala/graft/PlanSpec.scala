@@ -183,13 +183,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
-  test("q_dash_sensors: 7-day cutoff is a scalar subquery, not a global window") {
+  test("q_dash_sensors: serves from the bucketed gold layer, exchange-free") {
     val p = plan("q_dash_sensors")
-    // max(ts) OVER () would plan Window over an Exchange SinglePartition,
-    // funneling the whole table through one task. The scalar-subquery
-    // form must leave NO Window node in the plan.
+    // the dashboard's per-sensor page must NOT recompute from raw
+    // events: it scans the staged 7-day gold rollup, and because that
+    // table is bucketed by user_id the group-by needs no shuffle and
+    // no global window — scan → partial agg → final agg, all
+    // user-local. (The raw-path cold query this replaced needed a
+    // scalar subquery + full events scan per refresh.)
+    assert(p.contains("gold_events_recent"), p)
     assert(!p.contains("Window"), p)
-    assert(p.contains("Subquery") || p.contains("subquery"), p)
+    assert(!p.contains("Exchange"), p)
   }
 
   test("q_decontaminate: eval-gram set is broadcast, corpus side never sort-merged") {
