@@ -52,13 +52,12 @@ object Tables {
     * The loaded dtype tells the layouts apart: integral ⇒ nanos fixup,
     * timestamp ⇒ plain cast. Either way the column is exposed as
     * TIMESTAMP_NTZ so the wall-clock value is timezone-independent.
-    * (`nanosAsLong` only affects TIMESTAMP(NANOS) columns, so setting it
-    * unconditionally is a no-op for the native-µs layout.)
+    * The legacy flag is scoped by [[loadEventsAdaptive]]: set only when
+    * the NANOS layout is actually present, never for the native-µs one.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    val raw = loadEventsAdaptive(s, s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -67,6 +66,22 @@ object Tables {
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
+  /** Events read that enables the legacy `nanosAsLong` flag ONLY when
+    * the footer actually carries TIMESTAMP(NANOS): schema inference is
+    * attempted clean first (footer metadata, no job) and the flag is
+    * set on the NANOS rejection, then the read retried. The flag must
+    * remain set afterwards — the lazy plan re-reads footers at
+    * execution — but with the modern µs layout no legacy flag ever
+    * leaks into the session's unrelated parquet reads.
+    */
+  private[graft] def loadEventsAdaptive(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
   def documents(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = fanout(load(s, d, "embeddings"))
 

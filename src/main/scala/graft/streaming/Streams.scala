@@ -36,17 +36,20 @@ object Streams {
     * class of silent time-travel.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob (not a bare file path): the file source requires a directory
     // or pattern; production points this at a landing directory.
     val glob = s"$dir/events.parque*"
     // batch read of one matched file (footer metadata only, no job);
-    // the glob is resolved by hand — the batch reader stats it literally
+    // the glob is resolved by hand — the batch reader stats it literally.
+    // The probe sets the legacy nanosAsLong flag only if the footer's
+    // NANOS layout demands it (graft.Tables.loadEventsAdaptive), so the
+    // modern layout leaks no legacy conf into the session.
     val gPath = new org.apache.hadoop.fs.Path(glob)
     val fs = gPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = fs.globStatus(gPath)
     require(matched != null && matched.nonEmpty, s"no events files match $glob")
-    val physical = spark.read.parquet(matched.head.getPath.toString).schema
+    val physical =
+      graft.Tables.loadEventsAdaptive(spark, matched.head.getPath.toString).schema
     val stream = spark.readStream.schema(physical).parquet(glob)
     physical("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) under nanosAsLong: ns→µs

@@ -51,8 +51,8 @@ class SchemaCanarySpec extends SparkSpec {
   test("events loads with a known ts layout and normalizes to timestamp_ntz") {
     // two accepted physical layouts for ts (see Tables.events); anything
     // else is drift and must fail HERE, not at 60 query sites
-    val rawTs = Tables.load(spark, sf0001, "events").schema("ts")
-      .dataType.simpleString
+    val rawTs = Tables.loadEventsAdaptive(spark, s"$sf0001/events.parquet")
+      .schema("ts").dataType.simpleString
     assert(rawTs == "timestamp_ntz" || rawTs == "timestamp" || rawTs == "bigint",
       s"TESTDATA SCHEMA DRIFT: events.ts loads as $rawTs — not one of the " +
         "two layouts Tables.events normalizes (native timestamp / " +
@@ -62,6 +62,20 @@ class SchemaCanarySpec extends SparkSpec {
     assert(ev.schema.simpleString ==
       "struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint," +
         "event_type:string,value:double,props:string>")
+  }
+
+  test("the modern µs layout leaks no legacy conf into the session") {
+    // loadEventsAdaptive sets spark.sql.legacy.parquet.nanosAsLong only
+    // on the NANOS rejection; with the native-µs layout the session
+    // conf must stay untouched (the old unconditional set leaked a
+    // legacy flag into every subsequent parquet read)
+    assume(Tables.events(spark, sf0001).schema("ts")
+      .dataType.simpleString == "timestamp_ntz")
+    if (Tables.load(spark, sf0001, "events")
+        .schema("ts").dataType.simpleString != "bigint")
+      assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .forall(_ == "false"),
+        "nanosAsLong leaked into the session on the non-NANOS layout")
   }
 
   test("normalized events timestamps land in the fixture's real epoch") {

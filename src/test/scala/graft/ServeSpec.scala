@@ -15,10 +15,13 @@ class ServeSpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofString())
 
   test("serves dashboard queries as JSON with a TTL cache") {
-    var now = 0L
+    // AtomicLong, not a plain var: the clock is advanced on the test
+    // thread but read on the HTTP server's dispatch thread — the
+    // atomic gives the cross-thread happens-before edge a var lacks
+    val now = new java.util.concurrent.atomic.AtomicLong(0L)
     val srv = new DashboardServer(spark, sf0001,
       queryNames = Seq("q_dash_districts", "q_dash_metrics"),
-      ttlMillis = 30000L, clock = () => now)
+      ttlMillis = 30000L, clock = () => now.get())
     val port = srv.start()
     try {
       assert(get(port, "/healthz").body() == """{"ok":true}""")
@@ -38,7 +41,7 @@ class ServeSpec extends SparkSpec {
       assert(srv.computeCount("q_dash_districts") == 1L)
 
       // past the TTL it recomputes (the 30 s auto-refresh contract)
-      now += 30001L
+      now.addAndGet(30001L)
       get(port, "/api/q_dash_districts")
       assert(srv.computeCount("q_dash_districts") == 2L)
 
@@ -49,16 +52,42 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("the full 6-query dashboard page serves end-to-end") {
+  test("the full 6-query dashboard page serves end-to-end; warm-cache " +
+      "latency is measured and recorded") {
     val srv = new DashboardServer(spark, sf0001)
     val port = srv.start()
     try {
+      // cold pass: compute + fill the TTL cache
       for (q <- DashboardServer.DashboardQueries) {
         val r = get(port, s"/api/$q")
         assert(r.statusCode() == 200, s"$q -> ${r.statusCode()}: ${r.body()}")
         assert(r.body().startsWith("[") && r.body().length > 2,
           s"$q returned an empty page: ${r.body().take(100)}")
       }
+      // warm pass: inside the TTL every route answers from cache — no
+      // Spark job. Best-of-3 per route (one HTTP round-trip each) is
+      // the served-latency number README cites; recorded as an
+      // artifact, not prose.
+      val warmMs = DashboardServer.DashboardQueries.map { q =>
+        val ms = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          get(port, s"/api/$q")
+          (System.nanoTime() - t0) / 1e6
+        }.min
+        q -> ms
+      }
+      warmMs.foreach { case (q, ms) =>
+        assert(srv.computeCount(q) == 1L, s"$q recomputed inside the TTL")
+        // generous CI bound; the recorded artifact holds the real number
+        assert(ms < 250.0, f"$q warm-cache latency $ms%.1f ms")
+      }
+      val json = warmMs.map { case (q, ms) => f""""$q":$ms%.3f""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SERVE_LATENCY.json"),
+        s"""{"unit":"ms","warm_cache_best_of_3":$json,"sf":"$sf0001"}""")
+      info(s"warm-cache route latencies (ms): ${warmMs.map { case (q, ms) =>
+        f"$q=$ms%.1f" }.mkString(", ")}")
     } finally srv.stop()
   }
 
