@@ -376,6 +376,187 @@ object Warehouse {
             ORDER BY lift DESC, pa, pb LIMIT 20""")
   )
 
+  /** The v3 weather-conditions dimension
+    * (sql/enhanced_data_schema.sql:173-181) + its usage coverage. The
+    * testdata carries no weather feed, so the CATALOG is the
+    * reference's static 10-condition shape and the hour→condition
+    * assignment is a deterministic portable hash of the hour index —
+    * both engines derive the identical bridge, which is the point: the
+    * query proves the dim wiring (static dim, hour-grain FK, coverage
+    * rollup), not a meteorology model. Severity/category drive the
+    * environmental measures in [[factEnvironmental]].
+    *
+    * Scale shape: the dim is structurally 10 rows (broadcast); the
+    * bridge is a map-only expression on the events scan; the rollup is
+    * one hash-agg keyed by weather_key.
+    */
+  val WeatherCatalog: Seq[(Int, String, String, String, Int)] = Seq(
+    (1, "CLR", "clear sky", "clear", 1),
+    (2, "PCL", "partly cloudy", "cloudy", 1),
+    (3, "OVC", "overcast", "cloudy", 2),
+    (4, "FOG", "fog", "cloudy", 3),
+    (5, "DRZ", "drizzle", "rain", 2),
+    (6, "RA", "rain", "rain", 3),
+    (7, "TS", "thunderstorm", "extreme", 5),
+    (8, "SN", "snow", "snow", 4),
+    (9, "HAIL", "hail", "extreme", 5),
+    (10, "WND", "high wind", "extreme", 4))
+
+  private val weatherDimSqlDuck: String =
+    "SELECT * FROM (VALUES " + WeatherCatalog.map { case (k, c, n, cat, sev) =>
+      s"($k, '$c', '$n', '$cat', $sev)"
+    }.mkString(", ") + ") AS t(weather_key, condition_code, condition_name, category, severity_level)"
+
+  /** Hour index (hours since epoch) and its deterministic weather key —
+    * shared by [[dimWeather]] and [[factEnvironmental]].
+    */
+  private val hsiSpark = "unix_micros(cast(date_trunc('hour', ts) as timestamp)) div 3600000000"
+  private val hsiDuck  = "epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000"
+  private def wxKeySpark(hsi: String) =
+    s"cast(${graft.functions.PortableHash.laneSpark(s"md5(concat(cast($hsi as string), '#wx'))", 0)} % 10 + 1 as int)"
+  private def wxKeyDuck(hsi: String) =
+    s"CAST(${graft.functions.PortableHash.laneDuck(s"md5(CAST($hsi AS VARCHAR) || '#wx')", 0)} % 10 + 1 AS INTEGER)"
+
+  val dimWeather = QueryDef(
+    "q_dim_weather",
+    (s, d) => {
+      import s.implicits._
+      val dim = WeatherCatalog.toDF(
+        "weather_key", "condition_code", "condition_name", "category",
+        "severity_level")
+      val bridge = Tables.events(s, d)
+        .select(expr(hsiSpark).as("hsi"), col("value"))
+        .select(expr(s"${wxKeySpark("hsi")}").as("weather_key"),
+          col("hsi"), col("value"))
+      bridge.join(broadcast(dim), Seq("weather_key"))
+        .groupBy("weather_key", "condition_code", "condition_name",
+          "category", "severity_level")
+        .agg(countDistinct(col("hsi")).as("n_hours"),
+          count(lit(1)).as("n_readings"),
+          round(Exact.davg(col("value")), 6).as("avg_value"))
+    },
+    Some(s"""WITH dim AS ($weatherDimSqlDuck),
+             e AS (SELECT $hsiDuck AS hsi, value FROM events),
+             a AS (SELECT ${wxKeyDuck("hsi")} AS weather_key, hsi, value FROM e)
+             SELECT d.weather_key, condition_code, condition_name, category,
+                    severity_level,
+                    COUNT(DISTINCT hsi) AS n_hours,
+                    COUNT(*) AS n_readings,
+                    ROUND(${Sql.AVGD("value")}, 6) AS avg_value
+             FROM a JOIN dim d USING (weather_key)
+             GROUP BY 1, 2, 3, 4, 5""")
+  )
+
+  /** The v3 sensor-maintenance dimension
+    * (sql/enhanced_data_schema.sql:184-197), reconstructed from the
+    * signal the event stream actually carries: a (sensor, day) with ≥ 3
+    * error events is a maintenance visit — type graded by error count,
+    * duration/cost linear in it, next visit +90 days (the schema's
+    * scheduled-maintenance column). All-integer derivations, so both
+    * engines produce the identical dim. One filtered hash-agg at
+    * (user, day) grain; the maintenance key is pure arithmetic
+    * (sensor·10⁸ + yyyymmdd), no window needed.
+    */
+  val dimMaintenance = QueryDef(
+    "q_dim_maintenance",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .groupBy(col("user_id").as("sensor_key"),
+          to_date(col("ts")).as("maintenance_date"))
+        .agg(count(lit(1)).as("n_errors"))
+        .filter(col("n_errors") >= 3)
+        .select(
+          (col("sensor_key") * 100000000L +
+            year(col("maintenance_date")) * 10000L +
+            month(col("maintenance_date")) * 100L +
+            dayofmonth(col("maintenance_date"))).as("maintenance_key"),
+          col("sensor_key"), col("maintenance_date"), col("n_errors"),
+          when(col("n_errors") >= 8, "replacement")
+            .when(col("n_errors") >= 5, "emergency")
+            .otherwise("calibration").as("maintenance_type"),
+          concat(lit("tech_"), (col("sensor_key") % 7).cast("string"))
+            .as("technician_id"),
+          round(col("n_errors") * 0.5, 2).as("duration_hours"),
+          round(col("n_errors") * 150.0 + 75.0, 2).as("cost"),
+          date_add(col("maintenance_date"), 90).as("next_maintenance_date")),
+    Some("""WITH m AS (
+              SELECT user_id AS sensor_key,
+                     CAST(CAST(ts AS TIMESTAMP) AS DATE) AS maintenance_date,
+                     CAST(COUNT(*) AS BIGINT) AS n_errors
+              FROM events WHERE event_type = 'error'
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT sensor_key * 100000000 +
+                     EXTRACT(YEAR FROM maintenance_date) * 10000 +
+                     EXTRACT(MONTH FROM maintenance_date) * 100 +
+                     EXTRACT(DAY FROM maintenance_date) AS maintenance_key,
+                   sensor_key, maintenance_date, n_errors,
+                   CASE WHEN n_errors >= 8 THEN 'replacement'
+                        WHEN n_errors >= 5 THEN 'emergency'
+                        ELSE 'calibration' END AS maintenance_type,
+                   'tech_' || CAST(sensor_key % 7 AS VARCHAR) AS technician_id,
+                   ROUND(CAST(n_errors AS DOUBLE) * 0.5, 2) AS duration_hours,
+                   ROUND(CAST(n_errors AS DOUBLE) * 150.0 + 75.0, 2) AS cost,
+                   maintenance_date + 90 AS next_maintenance_date
+            FROM m""")
+  )
+
+  /** Environmental-context columns on the enhanced fact
+    * (sql/enhanced_data_schema.sql:230-235: temperature / humidity /
+    * pressure / precipitation / wind, plus the weather FK). Measures
+    * derive deterministically from the hour's portable-hash lanes and
+    * the assigned condition's category/severity — integer/mod
+    * arithmetic plus one decimal scaling per measure, the identical
+    * IEEE expression tree in both engines. Map-only over the events
+    * scan + one broadcast of the 10-row dim: the fact never shuffles.
+    */
+  val factEnvironmental = QueryDef(
+    "q_fact_environmental",
+    (s, d) => {
+      import s.implicits._
+      val dim = WeatherCatalog.toDF(
+        "weather_key", "condition_code", "condition_name", "category",
+        "severity_level")
+      val lane = (l: Int) => expr(graft.functions.PortableHash.laneSpark(
+        "md5(concat(cast(hsi as string), '#env'))", l))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr(hsiSpark).as("hsi"))
+        .withColumn("weather_key", expr(wxKeySpark("hsi")))
+        .join(broadcast(dim.select("weather_key", "category", "severity_level")),
+          Seq("weather_key"))
+        .select(col("event_id"), col("user_id"), col("weather_key"),
+          col("category"), col("severity_level"),
+          round((lane(1) % 350) / 10.0 - 5.0 - col("severity_level") * 1.5, 2)
+            .as("temperature_celsius"),
+          (lane(2) % 61 + 30).as("humidity_percent"),
+          round((lane(3) % 500) / 10.0 + 980.0, 2).as("pressure_hpa"),
+          when(col("category").isin("rain", "snow", "extreme"),
+            round((lane(1) % 120) / 10.0 * col("severity_level"), 2))
+            .otherwise(0.0).as("precipitation_mm"),
+          round((lane(2) % 200) / 10.0 + col("severity_level") * 2.0, 2)
+            .as("wind_speed_ms"))
+    },
+    Some {
+      val laneD = (l: Int) => graft.functions.PortableHash.laneDuck(
+        "md5(CAST(hsi AS VARCHAR) || '#env')", l)
+      s"""WITH dim AS ($weatherDimSqlDuck),
+          e AS (SELECT event_id, user_id, value, $hsiDuck AS hsi FROM events),
+          a AS (SELECT e.*, ${wxKeyDuck("hsi")} AS weather_key FROM e)
+          SELECT event_id, user_id, a.weather_key, category, severity_level,
+                 ROUND((${laneD(1)} % 350) / 10.0 - 5.0 - severity_level * 1.5, 2)
+                   AS temperature_celsius,
+                 ${laneD(2)} % 61 + 30 AS humidity_percent,
+                 ROUND((${laneD(3)} % 500) / 10.0 + 980.0, 2) AS pressure_hpa,
+                 CASE WHEN category IN ('rain', 'snow', 'extreme')
+                      THEN ROUND((${laneD(1)} % 120) / 10.0 * severity_level, 2)
+                      ELSE 0.0 END AS precipitation_mm,
+                 ROUND((${laneD(2)} % 200) / 10.0 + severity_level * 2.0, 2)
+                   AS wind_speed_ms
+          FROM a JOIN dim USING (weather_key)"""
+    }
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
-    basketLift)
+    basketLift, dimWeather, dimMaintenance, factEnvironmental)
 }
