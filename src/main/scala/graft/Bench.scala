@@ -166,9 +166,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val minDetail = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Embed the measured scaling curve (tools/ScaleBench, run separately
+    // — it sweeps 3-4 SFs and fits per-family time-vs-SF exponents) so
+    // one artifact carries both the sf0.1 point and the curve's shape.
+    val scalingJson = try {
+      val p = java.nio.file.Paths.get("/root/repo/SCALING_CURVE.json")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+      else "null"
+    } catch { case _: Throwable => "null" }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"note":"queries=per-query medians; under contention (contended=true) compare queries_min, not medians"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"scaling_curve":$scalingJson,"note":"queries=per-query medians; under contention (contended=true) compare queries_min, not medians"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

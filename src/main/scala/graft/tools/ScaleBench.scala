@@ -1,0 +1,201 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the scaling CURVE, not just one point: representative
+  * queries per operator family, run at 3-4 scale factors spanning
+  * 30-100x, with a fitted time-vs-SF exponent per family.
+  *
+  * Why: the 100 TB argument is otherwise design prose. A family whose
+  * plan is right scales ~linearly in rows (exponent <= ~1; below 1
+  * while fixed per-query overhead — planning, JVM, small stages —
+  * still dominates). An exponent meaningfully above 1 is a named
+  * problem regardless of how clean the plan looks.
+  *
+  * Points: the driver's sf0.01 / sf0.1 snapshots, plus sf0.3 (and
+  * optionally sf1) derived from sf0.1 by [[ScaleUp]] (key-shifted,
+  * content-decorrelated replicas — see there for why verbatim copies
+  * would fabricate super-linear similarity work). Generated data lives
+  * under target/scaledata, out of git; generation is deterministic.
+  *
+  * Fit: least-squares slope of log(t) on log(sf) over all points
+  * (`exponent_fit`), plus the slope over the top two points
+  * (`exponent_top`) — the fixed-overhead-free statistic that
+  * extrapolates to cluster scale. Staged-artifact builds (graph,
+  * dedup, gold) are timed separately per SF and get their own
+  * exponents: at 100 TB the build is the expensive step and it must
+  * scale linearly too.
+  *
+  * Output: SCALING_CURVE.json (full detail) + one summary JSON line on
+  * stdout. [[graft.Bench]] embeds the family exponents in
+  * BENCH_DETAIL.json when the curve file is present.
+  */
+object ScaleBench {
+
+  /** family -> representative queries (names from SparkEntry.queries).
+    * Chosen to (a) exercise the family's distinctive shuffle/plan
+    * shape, (b) be expensive enough at sf0.1 that fixed overhead does
+    * not drown the signal at the top points.
+    */
+  val Families: Seq[(String, Seq[String])] = Seq(
+    "scan_filter" -> Seq("q_scan_project", "q_filter_compound"),
+    "aggregate" -> Seq("q_hourly_agg", "q_agg_group_stats"),
+    "join" -> Seq("q_join_star", "q_join_broadcast"),
+    "window" -> Seq("q_window_range", "q_mad_outliers"),
+    "topk" -> Seq("q_topk_customers"),
+    "dedup" -> Seq("q_minhash_lsh_pairs", "q_dedup_clusters"),
+    "text" -> Seq("q_tfidf", "q_lang_id"),
+    "vectors" -> Seq("q_knn_brute", "q_ann_ivf"),
+    "graph" -> Seq("q_pagerank"),
+    "ml" -> Seq("q_kmeans_lloyd"),
+    "gold_dashboard" -> Seq("q_dash_districts"),
+    "streaming" -> Seq("q_stream_hourly"))
+
+  private def loadavg1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** LS slope of log(t) on log(sf). */
+  private def slope(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1))
+    val ys = pts.map(p => math.log(math.max(p._2, 1e-9)))
+    val n = pts.size
+    val mx = xs.sum / n; val my = ys.sum / n
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    if (den == 0.0) 0.0 else num / den
+  }
+
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt.max(1)
+    val testRoot = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val genRoot = sys.env.getOrElse("SPARK_GRAFT_SCALEDATA",
+      "/root/repo/target/scaledata")
+    val withSf1 = sys.env.get("SPARK_GRAFT_SCALE_MAX").exists(_.toDouble >= 1.0)
+    val loadBefore = loadavg1()
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Generate the above-fixture points (deterministic; cached on disk).
+    val genSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def gen(label: String, k: Int): (String, String, Double) = {
+      val out = s"$genRoot/$label"
+      val t0 = System.nanoTime()
+      ScaleUp.ensure(spark, s"$testRoot/sf0.1", out, k)
+      genSecs(label) = (System.nanoTime() - t0) / 1e9
+      (label, out, 0.1 * k)
+    }
+    val points: Seq[(String, String, Double)] =
+      Seq(("sf0.01", s"$testRoot/sf0.01", 0.01),
+        ("sf0.1", s"$testRoot/sf0.1", 0.1),
+        gen("sf0.3", 3)) ++ (if (withSf1) Seq(gen("sf1", 10)) else Nil)
+
+    val queries = Families.flatMap(_._2)
+    val suite = queries.map(q => q -> graft.SparkEntry.queries(q))
+
+    // name -> sf label -> iteration times
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Seq[Double]]]
+    // sf label -> (stage family -> build secs)
+    val stageSecs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, Double]]
+
+    points.foreach { case (label, dir, _) =>
+      val stagedBefore = graft.warehouse.Staging.lastBuildSecs.toMap
+      // Warmup (and stage builds) for this SF, untimed per query.
+      suite.foreach { case (_, fn) => fn(spark, dir).count() }
+      stageSecs(label) = (graft.warehouse.Staging.lastBuildSecs.toMap
+        .keySet -- stagedBefore.keySet)
+        .map(k => k.takeWhile(_ != ':') ->
+          graft.warehouse.Staging.lastBuildSecs(k)).toMap
+      System.gc()
+      suite.foreach { case (name, fn) =>
+        val ts = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        System.gc()
+        times.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty)(label) = ts
+        System.err.println(f"[scale] $label $name ${median(ts)}%.2f s")
+      }
+    }
+
+    val sfOf = points.map(p => p._1 -> p._3).toMap
+    def curve(qs: Seq[String]): Seq[(String, Double)] = points.map {
+      case (label, _, _) =>
+        label -> qs.map(q => median(times(q)(label))).sum
+    }
+    def exps(c: Seq[(String, Double)]): (Double, Double) = {
+      val pts = c.map { case (l, t) => (sfOf(l), t) }
+      (slope(pts), slope(pts.takeRight(2)))
+    }
+
+    def jNum(v: Double) = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val famJson = Families.map { case (fam, qs) =>
+      val c = curve(qs)
+      val (eFit, eTop) = exps(c)
+      val secs = c.map { case (l, t) => s"\"$l\":${jNum(t)}" }
+        .mkString("{", ",", "}")
+      val perQ = qs.map { q =>
+        val qc = points.map { case (l, _, _) => l -> median(times(q)(l)) }
+        val (qf, qt) = exps(qc)
+        s"\"$q\":{\"secs\":" + qc.map { case (l, t) => s"\"$l\":${jNum(t)}" }
+          .mkString("{", ",", "}") +
+          s",\"exponent_fit\":${jNum(qf)},\"exponent_top\":${jNum(qt)}}"
+      }.mkString("{", ",", "}")
+      s"\"$fam\":{\"secs\":$secs,\"exponent_fit\":${jNum(eFit)}," +
+        s"\"exponent_top\":${jNum(eTop)},\"queries\":$perQ}"
+    }.mkString("{", ",", "}")
+
+    // Stage builds: per-SF secs + their own top-pair exponent (fit needs
+    // >= 2 points where the stage actually built; sf0.01 counts too).
+    val stageFams = stageSecs.values.flatMap(_.keySet).toSeq.distinct.sorted
+    val stageJson = stageFams.map { f =>
+      val pts = points.flatMap { case (l, _, sf) =>
+        stageSecs(l).get(f).map(t => (l, sf, t)) }
+      val e = if (pts.size >= 2) slope(pts.takeRight(2).map(p => (p._2, p._3)))
+        else Double.NaN
+      val secs = pts.map { case (l, _, t) => s"\"$l\":${jNum(t)}" }
+        .mkString("{", ",", "}")
+      s"\"$f\":{\"secs\":$secs,\"exponent_top\":" +
+        (if (e.isNaN) "null" else jNum(e)) + "}"
+    }.mkString("{", ",", "}")
+
+    val ptJson = points.map { case (l, d, sf) =>
+      s"""{"label":"$l","sf":$sf,"dir":"$d"""" +
+        genSecs.get(l).map(s => s""","gen_secs":${jNum(s)}""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
+    val loadAfter = loadavg1()
+
+    val out =
+      s"""{"points":$ptJson,"iters":$iters,"families":$famJson,""" +
+        s""""stage_builds":$stageJson,""" +
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+        s""""note":"exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/SCALING_CURVE.json"), out)
+
+    spark.stop()
+    val summary = Families.map { case (fam, qs) =>
+      s"\"$fam\":${jNum(exps(curve(qs))._2)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling_exponent_top","families":$summary,"points":${points.size},"detail":"SCALING_CURVE.json"}""")
+  }
+}
