@@ -104,7 +104,12 @@ object ScaleBench {
         ("sf0.1", s"$testRoot/sf0.1", 0.1),
         gen("sf0.3", 3)) ++ (if (withSf1) Seq(gen("sf1", 10)) else Nil)
 
-    val queries = Families.flatMap(_._2)
+    // optional comma-separated family filter for targeted re-measures
+    val onlyFam = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val families = Families.filter { case (f, _) =>
+      onlyFam.isEmpty || onlyFam(f) }
+    val queries = families.flatMap(_._2)
     val suite = queries.map(q => q -> graft.SparkEntry.queries(q))
 
     // name -> sf label -> iteration times
@@ -114,14 +119,37 @@ object ScaleBench {
     val stageSecs = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, Double]]
 
+    // A staged build normally runs ONCE per JVM, so its recorded time
+    // is a single sample — and single samples on a shared box swing
+    // 2-4x (measured). Re-run each build buildIters times (memo reset
+    // between) and keep the MIN, the same contention-robust statistic
+    // the query exponents use.
+    val buildIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUILD_ITERS", "2")
+      .toInt.max(1)
+    val stageTriggers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+      "graph" -> ((s, d) => { graft.warehouse.GraphStage.und(s, d); () }),
+      "dedup" -> ((s, d) => { graft.warehouse.DedupStage.pairs(s, d); () }),
+      "gold" -> ((s, d) => { graft.warehouse.GoldStage.hourly(s, d); () }))
+
     points.foreach { case (label, dir, _) =>
-      val stagedBefore = graft.warehouse.Staging.lastBuildSecs.toMap
-      // Warmup (and stage builds) for this SF, untimed per query.
+      // Warmup (and the first stage builds) for this SF, untimed.
       suite.foreach { case (_, fn) => fn(spark, dir).count() }
-      stageSecs(label) = (graft.warehouse.Staging.lastBuildSecs.toMap
-        .keySet -- stagedBefore.keySet)
-        .map(k => k.takeWhile(_ != ':') ->
-          graft.warehouse.Staging.lastBuildSecs(k)).toMap
+      def snap(): Map[String, Double] =
+        graft.warehouse.Staging.lastBuildSecs.toMap.collect {
+          case (k, v) if k.endsWith(s":$dir") => k.takeWhile(_ != ':') -> v
+        }
+      var builds = snap()
+      (2 to buildIters).foreach { _ =>
+        graft.warehouse.Staging.forget(spark)
+        stageTriggers.foreach { case (fam, trig) =>
+          if (builds.contains(fam)) {
+            trig(spark, dir)
+            val again = snap()(fam)
+            builds += fam -> math.min(builds(fam), again)
+          }
+        }
+      }
+      stageSecs(label) = builds
       System.gc()
       suite.foreach { case (name, fn) =>
         val ts = (1 to iters).map { _ =>
@@ -137,10 +165,16 @@ object ScaleBench {
     }
 
     val sfOf = points.map(p => p._1 -> p._3).toMap
-    def curve(qs: Seq[String]): Seq[(String, Double)] = points.map {
-      case (label, _, _) =>
-        label -> qs.map(q => median(times(q)(label))).sum
-    }
+    // Exponents fit on the per-SF MIN of the timed iterations — the
+    // contention-robust statistic (same rationale as Bench's
+    // queries_min): a co-tenant or GC burst inflates medians and with
+    // them the fitted slope; the minimum survives all but wall-to-wall
+    // interference. Medians are reported alongside for transparency.
+    def curveBy(qs: Seq[String], stat: Seq[Double] => Double): Seq[(String, Double)] =
+      points.map { case (label, _, _) =>
+        label -> qs.map(q => stat(times(q)(label))).sum
+      }
+    def curve(qs: Seq[String]): Seq[(String, Double)] = curveBy(qs, _.min)
     def exps(c: Seq[(String, Double)]): (Double, Double) = {
       val pts = c.map { case (l, t) => (sfOf(l), t) }
       (slope(pts), slope(pts.takeRight(2)))
@@ -149,19 +183,22 @@ object ScaleBench {
     def jNum(v: Double) = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-    val famJson = Families.map { case (fam, qs) =>
+    val famJson = families.map { case (fam, qs) =>
       val c = curve(qs)
+      val cMed = curveBy(qs, median)
       val (eFit, eTop) = exps(c)
       val secs = c.map { case (l, t) => s"\"$l\":${jNum(t)}" }
         .mkString("{", ",", "}")
+      val secsMed = cMed.map { case (l, t) => s"\"$l\":${jNum(t)}" }
+        .mkString("{", ",", "}")
       val perQ = qs.map { q =>
-        val qc = points.map { case (l, _, _) => l -> median(times(q)(l)) }
+        val qc = points.map { case (l, _, _) => l -> times(q)(l).min }
         val (qf, qt) = exps(qc)
-        s"\"$q\":{\"secs\":" + qc.map { case (l, t) => s"\"$l\":${jNum(t)}" }
+        s"\"$q\":{\"secs_min\":" + qc.map { case (l, t) => s"\"$l\":${jNum(t)}" }
           .mkString("{", ",", "}") +
           s",\"exponent_fit\":${jNum(qf)},\"exponent_top\":${jNum(qt)}}"
       }.mkString("{", ",", "}")
-      s"\"$fam\":{\"secs\":$secs,\"exponent_fit\":${jNum(eFit)}," +
+      s"\"$fam\":{\"secs_min\":$secs,\"secs_median\":$secsMed,\"exponent_fit\":${jNum(eFit)}," +
         s"\"exponent_top\":${jNum(eTop)},\"queries\":$perQ}"
     }.mkString("{", ",", "}")
 
@@ -188,13 +225,13 @@ object ScaleBench {
     val out =
       s"""{"points":$ptJson,"iters":$iters,"families":$famJson,""" +
         s""""stage_builds":$stageJson,""" +
-        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
-        s""""note":"exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
+        s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"build_iters":$buildIters,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","cpus":"$cpus",""" +
+        s""""note":"exponents fit on per-SF min times (contention-robust); exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/SCALING_CURVE.json"), out)
 
     spark.stop()
-    val summary = Families.map { case (fam, qs) =>
+    val summary = families.map { case (fam, qs) =>
       s"\"$fam\":${jNum(exps(curve(qs))._2)}" }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling_exponent_top","families":$summary,"points":${points.size},"detail":"SCALING_CURVE.json"}""")
   }

@@ -59,15 +59,21 @@ object DedupStage {
 
   private def build(s: SparkSession, d: String, t: String): Unit = {
     Seq(sigName(t), pairName(t)).foreach(Staging.freshTarget(s, _))
+    // snapshot-sized width: the shingle explode multiplies source
+    // bytes ~50x and the band self-join runs at this parallelism
+    // (see Staging.bucketsFor — a pinned 8 measured super-linear)
+    val b = Staging.bucketsFor(s, d, SrcTables, expansion = 256)
+    Staging.withShuffleWidth(s, b) {
     val sig0 = MinHashDedup.signatures(Tables.documents(s, d))
-      .repartition(8, col("doc_id"))
-    Sources.writeBucketed(sig0, sigName(t), "doc_id", 8)
+      .repartition(b, col("doc_id"))
+    Sources.writeBucketed(sig0, sigName(t), "doc_id", b)
     // pair generation reads the just-written signature table, so the
     // shingle explode is never recomputed; candidatePairs' internal
     // stage/release then operates on cheap bucketed scans
     val pairs0 = MinHashDedup
       .candidatePairs(s.table(sigName(t)), PairThreshold)
-      .repartition(8, col("doc_a"))
-    Sources.writeBucketed(pairs0, pairName(t), "doc_a", 8)
+      .repartition(b, col("doc_a"))
+    Sources.writeBucketed(pairs0, pairName(t), "doc_a", b)
+    }
   }
 }

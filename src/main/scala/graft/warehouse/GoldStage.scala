@@ -78,6 +78,10 @@ object GoldStage {
     Seq(hourlyName(t), recentName(t), starName(t))
       .foreach(Staging.freshTarget(s, _))
 
+    // snapshot-sized bucket width (rollups REDUCE, so expansion is
+    // just decompression; min 8 holds at every local fixture)
+    val b = Staging.bucketsFor(s, d, SrcTables, expansion = 8)
+    Staging.withShuffleWidth(s, b) {
     // one scan of events serves both event-side rollups
     val ev = Tables.events(s, d).withColumn("q",
       expr("cast(get_json_object(props, '$.k') as double) / 100.0"))
@@ -91,8 +95,8 @@ object GoldStage {
         count(col("value")).as("v_cnt"),
         sum(col("q").cast(Exact.D)).as("q_sum"),
         count(col("q")).as("q_cnt"))
-      .repartition(8, col("user_id"))
-    Sources.writeBucketed(hourly0, hourlyName(t), "user_id", 8)
+      .repartition(b, col("user_id"))
+    Sources.writeBucketed(hourly0, hourlyName(t), "user_id", b)
 
     // 7-day window relative to the ROW-LEVEL max(ts): the 1-row max is
     // broadcast and the comparison stays distributed (no driver pull)
@@ -104,8 +108,8 @@ object GoldStage {
         count(lit(1)).as("n"),
         sum(col("q").cast(Exact.D)).as("q_sum"),
         count(col("q")).as("q_cnt"))
-      .repartition(8, col("user_id"))
-    Sources.writeBucketed(recent0, recentName(t), "user_id", 8)
+      .repartition(b, col("user_id"))
+    Sources.writeBucketed(recent0, recentName(t), "user_id", b)
 
     val fact = graft.queries.Warehouse.starFact.fn(s, d)
     val star0 = fact
@@ -114,8 +118,9 @@ object GoldStage {
         count(lit(1)).as("n"),
         sum(col("total_price").cast(Exact.D)).as("p_sum"),
         count(col("total_price")).as("p_cnt"))
-      .repartition(8, col("segment"))
-    Sources.writeBucketed(star0, starName(t), "segment", 8)
+      .repartition(b, col("segment"))
+    Sources.writeBucketed(star0, starName(t), "segment", b)
+    }
   }
 
   /** Exact AVG over staged partials: Σ(decimal partial sums) cast to

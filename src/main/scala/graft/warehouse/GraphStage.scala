@@ -75,8 +75,8 @@ object GraphStage {
   /** One pass, each stage reading the previously-written table — the
     * warehouse posture (no caches to pin or leak; a failed build is
     * re-attempted on the next accessor call in a fresh session).
-    * `repartition(8, key)` before each bucketed write aligns task
-    * partitioning with the bucket hash (Murmur3 mod 8 on both sides),
+    * `repartition(b, key)` before each bucketed write aligns task
+    * partitioning with the bucket hash (Murmur3 mod b on both sides),
     * so every task writes exactly one bucket file AND the clustering
     * already satisfies the downstream dedup/window requirement — one
     * shuffle serves layout and computation.
@@ -84,19 +84,24 @@ object GraphStage {
   private def doBuild(s: SparkSession, d: String, t: String): Unit = {
     Seq(rawName(t), eName(t), simName(t), undName(t))
       .foreach(Staging.freshTarget(s, _))
+    // snapshot-sized width: the pair self-join (Σ min(deg,128)² rows)
+    // and the kNN window both run at this parallelism — see
+    // Staging.bucketsFor for why a pinned count goes super-linear
+    val b = Staging.bucketsFor(s, d, SrcTables, expansion = 32)
+    Staging.withShuffleWidth(s, b) {
     val raw0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .repartition(8, col("ck"))
+      .repartition(b, col("ck"))
       .dropDuplicates("ck", "sk")
-    Sources.writeBucketed(raw0, rawName(t), "ck", 8)
+    Sources.writeBucketed(raw0, rawName(t), "ck", b)
 
     // capped variant: the bucketed scan's HashPartitioning(ck) feeds the
     // cap window's partitionBy(ck) with no exchange
     val rawT = s.table(rawName(t))
     Sources.writeBucketed(
-      Graph.capDegree(rawT, "ck", "sk", 128), eName(t), "ck", 8)
+      Graph.capDegree(rawT, "ck", "sk", 128), eName(t), "ck", b)
 
     // similarity pairs: the ck-bucketed self-join needs no exchange on
     // either side; pair volume is Σ min(deg,128)² by construction
@@ -113,8 +118,8 @@ object GraphStage {
       .select(col("u"), col("v"), col("common"), col("nu"), col("nv"),
         round(col("common").cast("double") /
           (col("nu") + col("nv") - col("common")), 6).as("j"))
-      .repartition(8, col("u"))
-    Sources.writeBucketed(sim0, simName(t), "u", 8)
+      .repartition(b, col("u"))
+    Sources.writeBucketed(sim0, simName(t), "u", b)
 
     // kNN edges: top-3 by similarity per node over the symmetrized
     // pairs, canonicalized undirected
@@ -128,7 +133,8 @@ object GraphStage {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .repartition(8, col("u"))
-    Sources.writeBucketed(und0, undName(t), "u", 8)
+      .repartition(b, col("u"))
+    Sources.writeBucketed(und0, undName(t), "u", b)
+    }
   }
 }

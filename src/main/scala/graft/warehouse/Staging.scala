@@ -60,6 +60,17 @@ object Staging {
     md.digest().take(4).map("%02x".format(_)).mkString
   }
 
+  /** Bench/test hook: forget this session's built tags so the next
+    * accessor call rebuilds. Lets tools/ScaleBench time a build
+    * several times and report the contention-robust minimum (a build
+    * otherwise runs once per JVM — a single co-tenant burst would be
+    * indistinguishable from a real scaling problem).
+    */
+  private[graft] def forget(s: SparkSession): Unit = {
+    val m = built.get(s)
+    if (m != null) m.synchronized { m.clear() }
+  }
+
   /** Run `build` once per (session, tag); later calls no-op. */
   def ensure(s: SparkSession, family: String, d: String, tagged: String)(
       build: => Unit): Unit = {
@@ -74,6 +85,55 @@ object Staging {
         tags += tagged
       }
     }
+  }
+
+  /** Bucket count sized to the SOURCE snapshot, not hard-coded. The
+    * artifact build runs its heavy shuffles (pair self-joins, shingle
+    * explodes, rollups) at the bucketed write's width, so a fixed
+    * count means fixed parallelism with linearly growing — eventually
+    * spilling — partitions: the sf1 scaling sweep measured the graph
+    * and dedup builds at exponent ~1.3 under a pinned 8 before this
+    * existed (SCALING_CURVE.json). `bytes × expansion` approximates
+    * the build's in-flight working set (parquet-compressed source ×
+    * decompression × the family's blow-up: shingle explode ~50×, pair
+    * self-join Σ min(deg,K)², rollup <1×); one bucket per
+    * ~`bucketBytes` of that, rounded UP to a power of two (so sibling
+    * artifacts of one family always agree and bucketed joins between
+    * them stay exchange-free), clamped to [min, max]. The max bounds
+    * file count — a cluster deployment with more executors than
+    * max×cores raises it along with its executor fleet.
+    */
+  def bucketsFor(s: SparkSession, d: String, tables: Seq[String],
+      expansion: Double, bucketBytes: Long = 128L << 20,
+      min: Int = 8, max: Int = 4096): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val bytes = tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val want = math.ceil(bytes * expansion / bucketBytes).toLong
+    val pow2 = java.lang.Long.highestOneBit(math.max(want, 1L)) *
+      (if (java.lang.Long.bitCount(math.max(want, 1L)) > 1) 2L else 1L)
+    math.min(math.max(pow2, min.toLong), max.toLong).toInt
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` raised to `width`
+    * (never lowered), restoring the previous value after. The staged
+    * builds' heavy INTERMEDIATE shuffles (pair self-join groupBys,
+    * band joins) otherwise run at the session width, which is sized
+    * for interactive queries, not for a 10× snapshot — a fixed width
+    * means linearly growing reducer state and eventually spill, the
+    * same curve the pinned bucket count had (SCALING_CURVE.json).
+    * AQE coalesces small partitions back together, so the raised
+    * width costs nothing at small SF.
+    */
+  def withShuffleWidth[T](s: SparkSession, width: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val prevN = scala.util.Try(prev.toInt).getOrElse(width)
+    s.conf.set(key, math.max(width, prevN))
+    try body finally s.conf.set(key, prev)
   }
 
   /** A fresh JVM starts with an empty in-memory catalog but inherits

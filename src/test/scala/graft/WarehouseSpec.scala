@@ -1,6 +1,6 @@
 package graft
 
-import graft.warehouse.Star
+import graft.warehouse.{Staging, Star}
 import org.apache.spark.sql.functions._
 
 class WarehouseSpec extends SparkSpec {
@@ -60,5 +60,34 @@ class WarehouseSpec extends SparkSpec {
     val lifts = rows.map(_.getDouble(7))
     assert(lifts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
       "not sorted by lift desc")
+  }
+
+  test("bucketsFor sizes bucket counts to the snapshot, pow2, clamped") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    // a "table" of ~96 MB (sparse file won't do — write real bytes? no:
+    // getContentSummary reports the logical length, a truncate works)
+    val f = java.nio.file.Paths.get(s"$d/t.parquet")
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    ch.truncate(0); ch.position(96L * 1024 * 1024 - 1)
+    ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0))); ch.close()
+    // 96 MB x expansion 8 = 768 MB / 128 MB = 6 -> next pow2 = 8
+    assert(Staging.bucketsFor(spark, d, Seq("t"), expansion = 8) === 8)
+    // x expansion 32 = 3 GB / 128 MB = 24 -> 32
+    assert(Staging.bucketsFor(spark, d, Seq("t"), expansion = 32) === 32)
+    // tiny source clamps to min
+    assert(Staging.bucketsFor(spark, d, Seq("absent"), expansion = 32) === 8)
+    // huge expansion clamps to max
+    assert(Staging.bucketsFor(spark, d, Seq("t"), expansion = 1e7) === 4096)
+    // exact power of two stays (no doubling): 128 MB x 8 / 128 MB = 8
+    val f2 = java.nio.file.Paths.get(s"$d/u.parquet")
+    val c2 = java.nio.channels.FileChannel.open(f2,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    c2.truncate(0); c2.position(128L * 1024 * 1024 - 1)
+    c2.write(java.nio.ByteBuffer.wrap(Array[Byte](0))); c2.close()
+    assert(Staging.bucketsFor(spark, d, Seq("u"), expansion = 8) === 8)
+    assert(Staging.bucketsFor(spark, d, Seq("u"), expansion = 16) === 16)
   }
 }
