@@ -176,7 +176,7 @@ object Bench {
     } catch { case _: Throwable => "null" }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"scaling_curve":$scalingJson,"note":"queries=per-query medians; under contention (contended=true) compare queries_min, not medians"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=per-query medians; under contention (contended=true) compare queries_min, not medians"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

@@ -74,6 +74,28 @@ object GoldStage {
     t
   }
 
+  /** The per-row quality extraction the gold layer pays once at build
+    * time (props JSON → q).
+    */
+  private[graft] def withQuality(ev: DataFrame): DataFrame =
+    ev.withColumn("q",
+      expr("cast(get_json_object(props, '$.k') as double) / 100.0"))
+
+  /** The hourly fact's partial aggregation at (user_id, event_type, h)
+    * grain — COUNTs plus DECIMAL sums, all associative, shared by the
+    * snapshot build and [[refreshHourly]] so the two paths can never
+    * drift in grain or measure definitions.
+    */
+  private[graft] def hourlyPartials(ev: DataFrame): DataFrame = ev
+    .groupBy(col("user_id"), col("event_type"),
+      date_trunc("hour", col("ts")).as("h"))
+    .agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(Exact.D)).as("v_sum"),
+      count(col("value")).as("v_cnt"),
+      sum(col("q").cast(Exact.D)).as("q_sum"),
+      count(col("q")).as("q_cnt"))
+
   private def build(s: SparkSession, d: String, t: String): Unit = {
     Seq(hourlyName(t), recentName(t), starName(t))
       .foreach(Staging.freshTarget(s, _))
@@ -83,18 +105,9 @@ object GoldStage {
     val b = Staging.bucketsFor(s, d, SrcTables, expansion = 8)
     Staging.withShuffleWidth(s, b) {
     // one scan of events serves both event-side rollups
-    val ev = Tables.events(s, d).withColumn("q",
-      expr("cast(get_json_object(props, '$.k') as double) / 100.0"))
+    val ev = withQuality(Tables.events(s, d))
 
-    val hourly0 = ev
-      .groupBy(col("user_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("h"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast(Exact.D)).as("v_sum"),
-        count(col("value")).as("v_cnt"),
-        sum(col("q").cast(Exact.D)).as("q_sum"),
-        count(col("q")).as("q_cnt"))
+    val hourly0 = hourlyPartials(ev)
       .repartition(b, col("user_id"))
     Sources.writeBucketed(hourly0, hourlyName(t), "user_id", b)
 
@@ -121,6 +134,74 @@ object GoldStage {
       .repartition(b, col("segment"))
     Sources.writeBucketed(star0, starName(t), "segment", b)
     }
+  }
+
+  /** Incremental maintenance of the hourly gold fact — the refresh
+    * model a continuously-ingesting 100 TB warehouse needs. The
+    * snapshot-keyed [[hourly]] build above rescans events per
+    * snapshot, which is right for immutable test fixtures but wrong
+    * for a table that accretes a few million rows an hour: production
+    * MV maintenance folds ONLY the new batch in (the reference
+    * refreshes its daily MV on a schedule for the same reason —
+    * enhanced_data_schema.sql:440-464).
+    *
+    * Every hourly measure is an ASSOCIATIVE partial (counts + DECIMAL
+    * sums), so the fold is: partial-aggregate the batch at the same
+    * grain ([[hourlyPartials]] — shared with the snapshot build, so
+    * the two paths cannot drift), merge-sum with the current partials
+    * at the keys, and rewrite ONLY the user-buckets the batch touched
+    * (dynamic partition overwrite — the same bounded-write-
+    * amplification pattern as `Streams.statusUpsert`; at production
+    * scale the identical shape is one Delta/Iceberg MERGE). A batch
+    * touching one user costs one bucket of IO however large the
+    * accumulated fact grows.
+    *
+    * Exactness: decimal addition is associative-commutative, so the
+    * incrementally-maintained table is BIT-IDENTICAL to a from-scratch
+    * rebuild over the union of all batches (GoldIncrementalSpec
+    * proves equality on real splits, including re-summed partial
+    * types). The re-sum widens decimal precision; it is cast back to
+    * the partial's declared type — exact while the per-key value mass
+    * stays under 10^24, which a (user, type, hour) grain cannot
+    * approach.
+    */
+  def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    def bucketed(df: DataFrame) = df.withColumn("bucket",
+      pmod(col("user_id"), lit(buckets)).cast("int"))
+    val incoming = hourlyPartials(withQuality(batch))
+    val sumType = incoming.schema("v_sum").dataType
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val merged =
+      if (existing.isEmpty) bucketed(incoming)
+      else {
+        val inc = bucketed(incoming)
+        // ≤ `buckets` driver values — which partitions this batch touches
+        val touched = inc.select("bucket").distinct()
+          .collect().map(r => Int.box(r.getInt(0))).toSeq
+        bucketed(existing.filter(col("bucket").isin(touched: _*))
+          .drop("bucket")
+          .unionByName(inc.drop("bucket"))
+          .groupBy("user_id", "event_type", "h")
+          .agg(
+            sum(col("n")).as("n"),
+            sum(col("v_sum")).cast(sumType).as("v_sum"),
+            sum(col("v_cnt")).as("v_cnt"),
+            sum(col("q_sum")).cast(sumType).as("q_sum"),
+            sum(col("q_cnt")).as("q_cnt")))
+      }
+    // Materialize before overwriting partitions the merge read from.
+    // Unlike statusUpsert's last-writer-wins, an additive merge is NOT
+    // idempotent under batch replay: exactly-once batch delivery is
+    // the CALLER's contract (foreachBatch batchId dedup, or a MERGE
+    // keyed on a batch id column in production).
+    val out = merged.localCheckpoint(true)
+    try out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    finally out.unpersist()
   }
 
   /** Exact AVG over staged partials: Σ(decimal partial sums) cast to

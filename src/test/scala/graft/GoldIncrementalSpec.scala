@@ -1,0 +1,78 @@
+package graft
+
+import graft.warehouse.GoldStage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental gold-layer maintenance (GoldStage.refreshHourly): the
+  * accumulated hourly fact must be BIT-IDENTICAL to a from-scratch
+  * aggregation over everything ingested so far, and each refresh must
+  * rewrite only the buckets its batch touches.
+  */
+class GoldIncrementalSpec extends SparkSpec {
+
+  private def events: DataFrame = Tables.events(spark, sf0001)
+
+  /** From-scratch truth over `ev`, normalized for comparison. */
+  private def full(ev: DataFrame) =
+    GoldStage.hourlyPartials(GoldStage.withQuality(ev))
+
+  private def canon(df: DataFrame): Array[String] =
+    df.select(col("user_id"), col("event_type"), col("h"), col("n"),
+      col("v_sum").cast("string"), col("v_cnt"),
+      col("q_sum").cast("string"), col("q_cnt"))
+      .collect().map(_.toString).sorted
+
+  test("three time-ordered batches fold to the exact from-scratch table") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-gold-inc").toString + "/hourly"
+    val ev = events
+    val cuts = ev.stat.approxQuantile("event_id", Array(0.5, 0.8), 0.0)
+    val batches = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    batches.foreach(b => GoldStage.refreshHourly(b, path))
+    val got = canon(spark.read.parquet(path).drop("bucket"))
+    val want = canon(full(ev))
+    assert(got.length === want.length)
+    assert(got.sameElements(want),
+      "incrementally-maintained fact differs from the from-scratch build")
+  }
+
+  test("a batch keyed to one bucket rewrites only that bucket's files") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-gold-inc2").toString + "/hourly"
+    val ev = events
+    GoldStage.refreshHourly(ev.filter(col("event_id") % 2 === 0), path)
+    def fileStamps(): Map[String, Long] = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = fileStamps()
+    // one user → one bucket (user_id mod 16)
+    val oneUser = ev.filter(col("event_id") % 2 =!= 0)
+      .limit(1).localCheckpoint(true)
+    val bucket = oneUser.select(pmod(col("user_id"), lit(16)).cast("int"))
+      .head.getInt(0)
+    Thread.sleep(1100) // mtime granularity
+    GoldStage.refreshHourly(oneUser, path)
+    val after = fileStamps()
+    val changed = after.filter { case (p, m) => before.get(p) != Some(m) }
+    // every new/modified file lives in the touched bucket's partition dir
+    assert(changed.nonEmpty)
+    assert(changed.keys.forall(_.contains(s"bucket=$bucket")),
+      s"files outside bucket=$bucket rewritten: ${changed.keys}")
+    // untouched buckets' files survive verbatim
+    val untouchedBefore = before.keys.filterNot(_.contains(s"bucket=$bucket"))
+    assert(untouchedBefore.forall(after.contains),
+      "untouched bucket files were dropped")
+    // and the merged content is still exact
+    val want = canon(full(ev.filter(col("event_id") % 2 === 0)
+      .unionByName(oneUser)))
+    assert(canon(spark.read.parquet(path).drop("bucket")).sameElements(want))
+  }
+}
