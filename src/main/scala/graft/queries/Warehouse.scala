@@ -557,6 +557,45 @@ object Warehouse {
     }
   )
 
+  /** A25 (gold layer), incremental-maintenance path under the DRIVER
+    * gate: the hourly gold fact is built by folding three
+    * deterministic batches (event_id mod 3) through
+    * [[graft.warehouse.GoldStage.refreshHourly]] into a throwaway
+    * table, then read back; the oracle re-aggregates raw `events`
+    * from scratch in DuckDB. Green means the incremental fold —
+    * partial-aggregate each batch, merge-sum associative DECIMAL
+    * partials, bounded bucket rewrite — is bit-identical to a
+    * one-shot aggregation over everything ingested, which is the
+    * whole correctness claim of incremental MV maintenance
+    * (GoldIncrementalSpec additionally proves the bounded-write
+    * property from file stamps). Scale shape: each fold touches only
+    * the batch's buckets; nothing rescans history.
+    */
+  val goldIncremental = QueryDef(
+    "q_gold_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-gold-inc").toString + "/hourly"
+      (0 until 3).foreach { r =>
+        graft.warehouse.GoldStage.refreshHourly(
+          ev.filter(pmod(col("event_id"), lit(3)) === r), path)
+      }
+      s.read.parquet(path).select(
+        col("user_id"), col("event_type"), col("h"), col("n"),
+        col("v_sum").cast("double").as("v_sum"), col("v_cnt"),
+        col("q_sum").cast("double").as("q_sum"), col("q_cnt"))
+    },
+    Some(s"""SELECT user_id, event_type,
+               DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+               COUNT(*) AS n,
+               ${Sql.SUMD("value")} AS v_sum,
+               COUNT(value) AS v_cnt,
+               ${Sql.SUMD("(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0)")} AS q_sum,
+               COUNT(CAST(json_extract_string(props, '$$.k') AS DOUBLE)) AS q_cnt
+             FROM events GROUP BY 1, 2, 3""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
-    basketLift, dimWeather, dimMaintenance, factEnvironmental)
+    basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental)
 }
