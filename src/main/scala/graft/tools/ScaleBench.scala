@@ -49,6 +49,7 @@ object ScaleBench {
     "graph" -> Seq("q_pagerank"),
     "ml" -> Seq("q_kmeans_lloyd"),
     "gold_dashboard" -> Seq("q_dash_districts"),
+    "gold_incremental" -> Seq("q_gold_incremental"),
     "streaming" -> Seq("q_stream_hourly"))
 
   private def loadavg1(): Double =

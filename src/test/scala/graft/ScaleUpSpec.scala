@@ -19,6 +19,20 @@ class ScaleUpSpec extends SparkSpec {
   private def t(name: String) = Tables.table(spark, outDir, name)
   private def src(name: String) = Tables.table(spark, sf0001, name)
 
+  test("k=1 is the identity: same rows, untouched content") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft-scaleup1").toString
+    ScaleUp.build(spark, sf0001, d1, 1)
+    assert(Tables.table(spark, d1, "lineitem").count() ===
+      src("lineitem").count())
+    // text byte-identical per doc_id (replica 0 never mutates)
+    val diff = Tables.table(spark, d1, "documents")
+      .select(col("doc_id"), col("text").as("t1"))
+      .join(src("documents").select(col("doc_id"), col("text").as("t0")),
+        "doc_id")
+      .filter(col("t1") =!= col("t0")).count()
+    assert(diff === 0L)
+  }
+
   test("facts replicate kx, dims copy through, loaders read the layout") {
     assert(t("lineitem").count() === 2 * src("lineitem").count())
     assert(t("orders").count() === 2 * src("orders").count())
