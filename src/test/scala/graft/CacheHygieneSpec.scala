@@ -18,7 +18,7 @@ class CacheHygieneSpec extends SparkSpec {
     "q_dedup_incremental",   // signatures + is_new flag
     "q_dedup_clusters",      // signatures + CC edge list
     "q_dedup_survivors",     // signatures + CC edge list
-    "q_pq_encode",           // subvector staging view
+    "q_pq_encode",           // VectorStage build's subvector view (first run)
     "q_lm_score",            // (doc, bigram) counts
     "q_dsir_weights",        // (doc, lang, bigram) counts, two models
     "q_ngram_novelty",       // (doc, shingle-hash) relation

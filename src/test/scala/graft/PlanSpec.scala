@@ -285,15 +285,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
-  test("q_pq_encode: assign passes are map-only against driver-held codebooks") {
-    // M×K codebook entries inline as literals (nearestLit), so the
-    // final plan is explode → map argmin → one (m, code) hash-agg:
-    // no join of any kind, no per-(vec_id, m) window. The operator
-    // checkpoints its result (cache hygiene), so the plan that ran is
-    // read from the Staged recorder, not the returned DataFrame.
-    plan("q_pq_encode")
-    val p = graft.util.Staged.plan("q_pq_encode")
-    assert(p.contains("vec_d2"), p)
+  test("q_pq_encode: pure consumer of the staged PQ codes artifact") {
+    // the codebook training (nearestLit assign passes, map-only
+    // against driver-held codebooks) ran once in VectorStage's index
+    // build; the query itself is one bucketed scan + one (m, code)
+    // hash-agg — no join of any kind, no per-(vec_id, m) window
+    val p = plan("q_pq_encode")
+    assert(p.contains("vx_pq_codes_"), p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
