@@ -446,13 +446,10 @@ object Graph {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = graft.warehouse.GraphStage.e(s, d)
-      val sim = graft.warehouse.GraphStage.sim(s, d).select("u", "v", "j")
-      val dir = sim.select(col("u").as("o"), col("v").as("cand"), col("j"))
-        .unionByName(sim.select(col("v").as("o"), col("u").as("cand"), col("j")))
-      val knnW = dir.withColumn("rn", row_number().over(
-        Window.partitionBy("o").orderBy(desc("j"), asc("cand"))))
-        .filter(col("rn") <= 3)
-        .select("o", "cand", "j")
+      // the weighted top-3 neighbor list IS the staged serving model
+      // (g_supplier_knn_dir, bucketed by o) — no per-query union +
+      // window over the symmetrized similarity pairs
+      val knnW = graft.warehouse.GraphStage.knnDir(s, d)
       val cands = e.select(col("ck"), col("sk").as("o"))
         .join(knnW, "o")
         .groupBy(col("ck"), col("cand"))

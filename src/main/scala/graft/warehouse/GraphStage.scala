@@ -45,6 +45,7 @@ object GraphStage {
   private def eName(t: String)   = s"g_copurchase_capped_$t"
   private def simName(t: String) = s"g_supplier_sim_$t"
   private def undName(t: String) = s"g_supplier_knn_$t"
+  private def knnDirName(t: String) = s"g_supplier_knn_dir_$t"
 
   /** Distinct (ck, sk) co-purchase projection — bucketed by ck. */
   def raw(s: SparkSession, d: String): DataFrame =
@@ -66,6 +67,14 @@ object GraphStage {
   def und(s: SparkSession, d: String): DataFrame =
     { val t = ensure(s, d); s.table(undName(t)) }
 
+  /** DIRECTED weighted top-3 kNN (o, cand, j) — each node's best-3
+    * neighbors with their similarity, bucketed by o. The recommender's
+    * serving model (its candidate join starts from this table's
+    * ready-made partitioning); `und` is its canonicalized projection.
+    */
+  def knnDir(s: SparkSession, d: String): DataFrame =
+    { val t = ensure(s, d); s.table(knnDirName(t)) }
+
   private def ensure(s: SparkSession, d: String): String = {
     val t = Staging.tag(s, d, SrcTables)
     Staging.ensure(s, "graph", d, s"graph_$t")(doBuild(s, d, t))
@@ -82,7 +91,7 @@ object GraphStage {
     * shuffle serves layout and computation.
     */
   private def doBuild(s: SparkSession, d: String, t: String): Unit = {
-    Seq(rawName(t), eName(t), simName(t), undName(t))
+    Seq(rawName(t), eName(t), simName(t), undName(t), knnDirName(t))
       .foreach(Staging.freshTarget(s, _))
     // snapshot-sized width: the pair self-join (Σ min(deg,128)² rows)
     // and the kNN window both run at this parallelism — see
@@ -121,17 +130,24 @@ object GraphStage {
       .repartition(b, col("u"))
     Sources.writeBucketed(sim0, simName(t), "u", b)
 
-    // kNN edges: top-3 by similarity per node over the symmetrized
-    // pairs, canonicalized undirected
+    // directed weighted kNN: top-3 by similarity per node over the
+    // symmetrized pairs — written first so the undirected set is a
+    // cheap projection of the round-tripped table, and the recommender
+    // consumes the weights without re-running the union + window
     val simT = s.table(simName(t))
-    val dir = simT.select(col("u").as("a"), col("v").as("b"), col("j"))
-      .unionByName(simT.select(col("v").as("a"), col("u").as("b"), col("j")))
-    val und0 = dir
+    val dir = simT.select(col("u").as("o"), col("v").as("cand"), col("j"))
+      .unionByName(simT.select(col("v").as("o"), col("u").as("cand"), col("j")))
+    val knn0 = dir
       .withColumn("rn", row_number().over(
-        Window.partitionBy("a").orderBy(desc("j"), asc("b"))))
+        Window.partitionBy("o").orderBy(desc("j"), asc("cand"))))
       .filter(col("rn") <= 3)
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
+      .select("o", "cand", "j")
+      .repartition(b, col("o"))
+    Sources.writeBucketed(knn0, knnDirName(t), "o", b)
+    // undirected canonicalized kNN edges (u < v)
+    val und0 = s.table(knnDirName(t))
+      .select(least(col("o"), col("cand")).as("u"),
+        greatest(col("o"), col("cand")).as("v"))
       .distinct()
       .repartition(b, col("u"))
     Sources.writeBucketed(und0, undName(t), "u", b)
