@@ -659,8 +659,68 @@ object Dedup {
              LEFT JOIN sizes s ON s.comp = c.comp""")
   )
 
+  /** Split-leakage audit — near-duplicate pairs that STRADDLE the
+    * deterministic train/valid/test split (q_sample_split's 80/10/10
+    * md5-bucket rule): a near-dup of a training doc sitting in the
+    * test band silently inflates eval scores, so a training-data
+    * pipeline audits this before every release. Per (unordered) split
+    * combination: how many near-dup pairs land there and how many
+    * distinct documents they touch — the (train, test) and
+    * (test, valid) rows ARE the leak; same-split rows are the baseline
+    * the in-split dedup already handles.
+    *
+    * Scale shape: split membership is a PURE FUNCTION of doc_id (the
+    * whole point of hash-bucket splits), so the audit is one map pass
+    * over the staged candidate-pair artifact
+    * ([[graft.warehouse.DedupStage]]) — no join against the corpus at
+    * all — plus a ≤ 6-row hash-agg. Each pair contributes its two
+    * endpoints to the distinct-doc count via a 2-element explode;
+    * n_pairs = rows/2 exactly (the explode doubles every pair).
+    */
+  val splitLeakage = QueryDef(
+    "q_split_leakage",
+    (s, d) => {
+      def split(idCol: String) = {
+        val h = s"md5(concat(cast($idCol as string), '#split'))"
+        val b = expr(s"${graft.functions.PortableHash.laneSpark(h, 0)} % 100")
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+      }
+      graft.warehouse.DedupStage.pairs(s, d)
+        .select(split("doc_a").as("sa"), split("doc_b").as("sb"),
+          col("doc_a"), col("doc_b"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy("split_a", "split_b")
+        .agg((count(lit(1)) / 2).cast("bigint").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs"))
+    },
+    Some {
+      def split(idCol: String) = {
+        val lane = graft.functions.PortableHash.laneDuck(
+          s"md5(CAST($idCol AS VARCHAR) || '#split')", 0)
+        s"""CASE WHEN $lane % 100 < 80 THEN 'train'
+                 WHEN $lane % 100 < 90 THEN 'valid'
+                 ELSE 'test' END"""
+      }
+      s"""WITH pairs AS (${MinHashDedup.candidatePairsSqlDuck(0.5)}),
+          sp AS (SELECT ${split("doc_a")} AS sa, ${split("doc_b")} AS sb,
+                        doc_a, doc_b
+                 FROM pairs),
+          expanded AS (
+            SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+                   doc_a AS doc FROM sp
+            UNION ALL
+            SELECT LEAST(sa, sb), GREATEST(sa, sb), doc_b FROM sp)
+          SELECT split_a, split_b,
+                 CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+                 COUNT(DISTINCT doc) AS n_docs
+          FROM expanded GROUP BY 1, 2"""
+    }
+  )
+
   def all: Seq[QueryDef] = Seq(
     dedupExact, dedupSummary, minhashSignatures, minhashPairs, simhashQ,
     jaccardPairs, containment, simhashNeardup, dedupClusters, editNeardup, ngramNovelty,
-    dupSpans, minhashEstQuality, dedupIncremental, dedupSurvivors)
+    dupSpans, minhashEstQuality, dedupIncremental, dedupSurvivors, splitLeakage)
 }

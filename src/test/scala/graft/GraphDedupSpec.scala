@@ -176,4 +176,20 @@ class GraphDedupSpec extends SparkSpec {
     val again = SparkEntry.queries("q_triangles")(spark, sf0001).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("q_split_leakage: conserves the pair count, canonical split order") {
+    val rows = SparkEntry.queries("q_split_leakage")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nPairs = graft.warehouse.DedupStage.pairs(spark, sf0001).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum == nPairs,
+      "every candidate pair must land in exactly one split combination")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a <= b, s"split combo not canonical: ($a, $b)")
+      val (np, nd) = (r.getLong(r.fieldIndex("n_pairs")),
+        r.getLong(r.fieldIndex("n_docs")))
+      assert(nd >= 2 && nd <= 2 * np,
+        s"distinct docs $nd out of bounds for $np pairs")
+    }
+  }
 }
