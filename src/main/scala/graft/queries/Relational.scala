@@ -275,6 +275,61 @@ object Relational {
                                 AND o.o_orderpriority = '1-URGENT')""")
   )
 
+  /** Bloom-prefiltered selective semi join — the runtime-filter pattern
+    * Spark's own `InjectRuntimeFilter` applies, made explicit for the
+    * case where the build side's KEY SET exceeds the broadcast-join
+    * budget but a few-MB Bloom sketch of it does not (~10% of orders
+    * here). Native twin of [[bloomJoin]]: that query emulates the
+    * sketch portably so the oracle can check the pruning itself; this
+    * one uses the production machinery end-to-end. `df.stat.bloomFilter` aggregates the keys into one bounded
+    * driver-side sketch (1.2 MB at 1M keys / 1% fpp — a scalar pull in
+    * the centroid-broadcast sense, NOT a data collect); the fact scan
+    * is then prefiltered by the native codegen'd
+    * `BloomFilterMightContain` (the same catalyst expression runtime
+    * filtering injects — both sides use sketch.BloomFilter.putLong /
+    * mightContainLong, so the pairing is exact), and the residual exact
+    * semi join removes the ≤1% false positives.
+    *
+    * Scale shape: the prefilter is map-only and cuts the fact side's
+    * shuffle to ~selectivity + fpp before the join; at 100 TB that is
+    * the difference between shuffling the whole fact table and ~10% of
+    * it. The sketch is sized from the build side's count — one cheap
+    * count job over the filtered dimension, NOT a hardcoded capacity.
+    */
+  val bloomSemijoin = QueryDef(
+    "q_bloom_semijoin",
+    (s, d) => {
+      import org.apache.spark.sql.GraftSql
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val hi = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      val nKeys = math.max(hi.count(), 1024L)
+      val bloom = hi.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      val mightContain = GraftSql.column(
+        BloomFilterMightContain(Literal(bytes),
+          GraftSql.expression(col("l_orderkey").cast("long"))))
+      Tables.lineitem(s, d)
+        .filter(mightContain)
+        .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"))
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+             ${Sql.SUMD("l_quantity")} AS sum_qty
+             FROM lineitem l
+             WHERE EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey
+                             AND o.o_totalprice > 450000.0)
+             GROUP BY l_returnflag""")
+  )
+
   /** O2/O3 — deterministic top-k (TakeOrderedAndProject).
     * Ref: enhanced_spark_etl.py:689-702. Ties broken by key so the
     * selected set is unique in both engines.
@@ -879,7 +934,8 @@ object Relational {
     scanProject, filterCompound, distinctKeys, distinctSketch,
     groupDistinctSketch, aggGroupStats,
     joinBroadcast, bloomJoin, setOps, shareOfTotal, saltedAgg,
-    joinStar, joinLeft, joinSemi, joinAnti, topK, havingFilter, caseGrade,
+    joinStar, joinLeft, joinSemi, joinAnti, bloomSemijoin, topK,
+    havingFilter, caseGrade,
     conditionalAgg, nullCounts, globalStats, reAgg, pivotStatus,
     unionBranches, scalarMath, scalarString, dateParts, nullGuards,
     rollupTotals, cubeTotals, skyline, skewAudit)

@@ -394,6 +394,76 @@ object Text {
              FROM e""")
   )
 
+  /** CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): split
+    * each language's corpus into head/middle/tail terciles by an LM
+    * quality signal — here the map-only char-entropy score stands in
+    * for the wikipedia-LM perplexity (high entropy = richer text =
+    * head). Downstream mixing then samples head > middle > tail.
+    *
+    * Scale shape: the tercile CUTPOINTS come from a (lang, score)
+    * histogram — a reduced side of |langs| × |distinct scores| rows —
+    * so the only window runs over that small relation, never over the
+    * corpus (no per-language single-partition sort of raw docs). The
+    * cutpoint table broadcasts back and bucket assignment is map-only.
+    * Determinism: cutpoints are ELEMENTS of the rounded score set
+    * (rank-based, `cum*3 >= n` in exact integer arithmetic), not
+    * interpolated quantiles — so both engines compare identical
+    * doubles and no boundary doc can flip buckets.
+    */
+  val ccnetBuckets = QueryDef(
+    "q_ccnet_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = withEntropy(
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t")),
+        Seq("doc_id", "lang"))
+      val hist = scored.groupBy(col("lang"), col("entropy_bits").as("sc"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("lang").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+      val cuts = cum.groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("n"), col("sc"))).as("cut1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("sc"))).as("cut2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("entropy_bits") <= col("cut1"), "tail")
+            .when(col("entropy_bits") <= col("cut2"), "middle")
+            .otherwise("head"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("entropy_bits")), 6).as("lo_bits"),
+          round(max(col("entropy_bits")), 6).as("hi_bits"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+                         WHERE length(text) > 0),
+             e AS (${entropyDuck("t0", "doc_id, lang")}),
+             h AS (SELECT lang, entropy_bits AS sc, COUNT(*) AS c
+                   FROM e GROUP BY 1, 2),
+             cm AS (SELECT *,
+                      SUM(c) OVER (PARTITION BY lang ORDER BY sc
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      SUM(c) OVER (PARTITION BY lang) AS n
+                    FROM h),
+             cuts AS (SELECT lang,
+                        MIN(CASE WHEN cum * 3 >= n THEN sc END) AS cut1,
+                        MIN(CASE WHEN cum * 3 >= n * 2 THEN sc END) AS cut2
+                      FROM cm GROUP BY lang)
+             SELECT lang,
+                    CASE WHEN entropy_bits <= cut1 THEN 'tail'
+                         WHEN entropy_bits <= cut2 THEN 'middle'
+                         ELSE 'head' END AS bucket,
+                    COUNT(*) AS n_docs,
+                    ROUND(MIN(entropy_bits), 6) AS lo_bits,
+                    ROUND(MAX(entropy_bits), 6) AS hi_bits
+             FROM e JOIN cuts USING (lang) GROUP BY 1, 2""")
+  )
+
   /** Context-window packing: documents are concatenated in doc_id order
     * within a shard and cut into fixed 2048-token blocks (GPT-style
     * sequence packing — each doc is assigned to the block containing
@@ -1420,7 +1490,8 @@ object Text {
 
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
-      tokenBpe, decontaminate, repetition, charEntropy, packDocs, tfidf,
+      tokenBpe, decontaminate, repetition, charEntropy, ccnetBuckets,
+      packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
       bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations,

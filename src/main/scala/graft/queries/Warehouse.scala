@@ -596,6 +596,110 @@ object Warehouse {
              FROM events GROUP BY 1, 2, 3""")
   )
 
+  /** Morton-interleave of two 4-bit grid cells — one `|`-fold of pure
+    * bit ops, generated per dialect (Spark: shiftleft/shiftright
+    * functions; DuckDB: << / >> operators). Exact integer arithmetic,
+    * so both engines compute identical z-values.
+    */
+  private def zSpark(a: String, b: String): String =
+    (0 until 4).map(i =>
+      s"(shiftleft((shiftright($a, $i) & 1), ${2 * i + 1}) | " +
+        s"shiftleft((shiftright($b, $i) & 1), ${2 * i}))")
+      .mkString("(", " | ", ")")
+  private def zDuck(a: String, b: String): String =
+    (0 until 4).map(i =>
+      s"(((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i}))")
+      .mkString("(", " | ", ")")
+
+  /** Z-order vs leading-dim data-layout audit (the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` decision, measured instead of asserted).
+    * Companion to `Sources.writeZOrdered` / `q_zorder_key`, which cover
+    * the write path and the interleave itself — this query quantifies
+    * WHY one would z-order: the zone-map scan fractions.
+    * Each dim quantizes to a 16-cell grid spanning its OBSERVED
+    * min..max (domain-adaptive, so the audit is meaningful at every
+    * SF); a z-order layout bins rows by the top 6 bits of the 8-bit
+    * Morton interleave (64 tiles, each a 2×2 grid patch) while the
+    * single-dim layout clusters by part alone (16 bins). Per bin the
+    * zone map (min/max per dim) yields the expected fraction of the
+    * grid a uniform point query on EITHER dim must scan
+    * (Σ span/16 ÷ n_bins): z-order bounds BOTH dims (~2/16 each);
+    * part-ordering prunes part perfectly (1/16) but leaves supplier
+    * queries scanning ~every file.
+    *
+    * Scale shape: at cluster scale the layout step is
+    * `repartitionByRange(zcol)` before the parquet write; this audit is
+    * the metadata half — the grid bounds are one 1-row broadcast agg,
+    * then two chained hash-aggs whose second input is ≤ 80 reduced
+    * rows (one per layout × bin). Span sums are exact integers, so
+    * partial-agg order can't perturb the rounded ratios.
+    */
+  val zorderLayout = QueryDef(
+    "q_zorder_layout",
+    (s, d) => {
+      val dom = Tables.lineitem(s, d).agg(
+        min("l_partkey").as("pklo"), max("l_partkey").as("pkhi"),
+        min("l_suppkey").as("sklo"), max("l_suppkey").as("skhi"))
+      val base = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .crossJoin(broadcast(dom))
+        .select(
+          expr("CAST((pk - pklo) * 16 DIV (pkhi - pklo + 1) AS INT)").as("pk_q"),
+          expr("CAST((sk - sklo) * 16 DIV (skhi - sklo + 1) AS INT)").as("sk_q"))
+        .withColumn("z", expr(zSpark("pk_q", "sk_q")))
+        .select(explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("shiftright(z, 2)").cast("int").as("bin")),
+          struct(lit("by_part").as("layout"), col("pk_q").as("bin")))).as("l"),
+          col("pk_q"), col("sk_q"))
+        .select(col("l.layout").as("layout"), col("l.bin").as("bin"),
+          col("pk_q"), col("sk_q"))
+      base.groupBy("layout", "bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("pk_q").as("pk_lo"), max("pk_q").as("pk_hi"),
+          min("sk_q").as("sk_lo"), max("sk_q").as("sk_hi"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_bins"), sum("n_rows").as("n_rows"),
+          sum(col("pk_hi") - col("pk_lo") + 1).as("pk_span_sum"),
+          sum(col("sk_hi") - col("sk_lo") + 1).as("sk_span_sum"))
+        .select(col("layout"), col("n_bins"), col("n_rows"),
+          round(col("pk_span_sum").cast("double")
+            / (col("n_bins") * 16).cast("double"), 6).as("pk_scan_frac"),
+          round(col("sk_span_sum").cast("double")
+            / (col("n_bins") * 16).cast("double"), 6).as("sk_scan_frac"))
+        .withColumn("worst_scan_frac",
+          greatest(col("pk_scan_frac"), col("sk_scan_frac")))
+    },
+    Some(s"""WITH dom AS (SELECT MIN(l_partkey) AS pklo, MAX(l_partkey) AS pkhi,
+                    MIN(l_suppkey) AS sklo, MAX(l_suppkey) AS skhi
+                  FROM lineitem),
+             b AS (SELECT CAST((l_partkey - pklo) * 16 // (pkhi - pklo + 1) AS INT) AS pk_q,
+                          CAST((l_suppkey - sklo) * 16 // (skhi - sklo + 1) AS INT) AS sk_q
+                   FROM lineitem CROSS JOIN dom),
+             z AS (SELECT *, ${zDuck("pk_q", "sk_q")} AS z FROM b),
+             u AS (SELECT 'zorder' AS layout, CAST(z >> 2 AS INT) AS bin,
+                          pk_q, sk_q FROM z
+                   UNION ALL
+                   SELECT 'by_part' AS layout, pk_q AS bin, pk_q, sk_q FROM z),
+             g AS (SELECT layout, bin, COUNT(*) AS n_rows,
+                          MIN(pk_q) AS pk_lo, MAX(pk_q) AS pk_hi,
+                          MIN(sk_q) AS sk_lo, MAX(sk_q) AS sk_hi
+                   FROM u GROUP BY 1, 2)
+             SELECT layout, COUNT(*) AS n_bins,
+                    CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                    ROUND(CAST(SUM(pk_hi - pk_lo + 1) AS DOUBLE)
+                      / (COUNT(*) * 16), 6) AS pk_scan_frac,
+                    ROUND(CAST(SUM(sk_hi - sk_lo + 1) AS DOUBLE)
+                      / (COUNT(*) * 16), 6) AS sk_scan_frac,
+                    GREATEST(
+                      ROUND(CAST(SUM(pk_hi - pk_lo + 1) AS DOUBLE)
+                        / (COUNT(*) * 16), 6),
+                      ROUND(CAST(SUM(sk_hi - sk_lo + 1) AS DOUBLE)
+                        / (COUNT(*) * 16), 6)) AS worst_scan_frac
+             FROM g GROUP BY layout""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
-    basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental)
+    basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental,
+    zorderLayout)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-10 operator additions: the Bloom
+  * prefilter's plan shape and exactness, z-order's balanced zone-map
+  * pruning vs the lexicographic layout, and CCNet bucketing's tercile
+  * balance / partition property. All run at sf0.001 against the
+  * registered queries — the same closures the driver gate runs.
+  */
+class Round10Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0001)
+
+  test("q_bloom_semijoin: result equals the exact semi join (bloom adds no rows)") {
+    val exact = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 450000.0).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("q_bloom_semijoin").select("l_returnflag", "n_items")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
+  test("q_bloom_semijoin: might_contain prefilter reaches the fact scan side") {
+    val plan = run("q_bloom_semijoin").queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
+  test("bloom prefilter passes the true matches and prunes most non-matches") {
+    val orders = Tables.orders(spark, sf0001)
+    val hi = orders.filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey").cast("long").as("k"))
+    val n = hi.count()
+    val bloom = hi.stat.bloomFilter("k", math.max(n, 1024L), 0.01)
+    val keys = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val truth = hi.collect().map(_.getLong(0)).toSet
+    // no false negatives — every true key passes the sketch
+    assert(truth.forall(bloom.mightContainLong))
+    // false-positive rate among non-matches stays near the 1% target
+    val nonMatch = keys.filterNot(truth)
+    val fp = nonMatch.count(bloom.mightContainLong)
+    assert(fp.toDouble / math.max(nonMatch.length, 1) < 0.05,
+      s"fp=$fp of ${nonMatch.length}")
+  }
+
+  test("q_zorder_layout: z-order bounds BOTH dims; by_part leaves supplier unpruned") {
+    val rows = run("q_zorder_layout")
+      .select("layout", "pk_scan_frac", "sk_scan_frac", "worst_scan_frac")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (zPk, zSk, zWorst) = rows("zorder")
+    val (pPk, pSk, pWorst) = rows("by_part")
+    // part-ordering prunes its leading dim perfectly (span 1 of 16)...
+    assert(pPk < 0.07, s"by_part pk_scan_frac=$pPk")
+    // ...but supplier point queries scan most files
+    assert(pSk > 0.5, s"by_part sk_scan_frac=$pSk")
+    // z-order tiles bound both dims at ≤ 2 grid cells of 16 by construction
+    assert(zPk <= 0.125 + 1e-9 && zSk <= 0.125 + 1e-9, s"zorder pk=$zPk sk=$zSk")
+    // z-order's worst dim beats by_part's worst dim — the reason to z-order
+    assert(zWorst < pWorst, s"zorder worst=$zWorst by_part worst=$pWorst")
+  }
+
+  test("q_ccnet_buckets: buckets partition each language into balanced terciles") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) > 0)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("q_ccnet_buckets")
+      .select("lang", "bucket", "n_docs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.keySet === docs.keySet)
+    perLang.foreach { case (lang, bs) =>
+      val n = docs(lang)
+      // partition property: bucket counts sum to the corpus
+      assert(bs.map(_._3).sum === n, s"$lang sums ${bs.map(_._3).sum} != $n")
+      // tercile balance: rank-based cutpoints put each bucket within
+      // one score-tie group of n/3 — generous bound of ±40% of n
+      bs.foreach { case (_, b, c) =>
+        assert(c <= math.ceil(n * 0.75).toLong, s"$lang/$b overfull: $c of $n")
+      }
+      assert(bs.map(_._2).toSet.subsetOf(Set("head", "middle", "tail")))
+    }
+  }
+
+  test("q_ccnet_buckets: head scores strictly above tail scores per language") {
+    val rows = run("q_ccnet_buckets")
+      .select("lang", "bucket", "lo_bits", "hi_bits")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> (b._3, b._4)).toMap
+      for (h <- m.get("head"); t <- m.get("tail"))
+        assert(h._1 > t._2, s"$lang head lo ${h._1} !> tail hi ${t._2}")
+    }
+  }
+}
