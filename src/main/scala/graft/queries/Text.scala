@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.{PortableHash, TextFunctions => TF, TextSql => TS}
+import graft.warehouse.TextStage
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -520,9 +521,10 @@ object Text {
     "q_tfidf",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      // staged (doc_id, token, tf) artifact — built once per snapshot,
+      // shared with q_bm25_topk (TextStage); same DAG as the inline
+      // explode+agg it replaced, so results are bit-identical
+      val tf = TextStage.tok(s, d)
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy("doc_id")
@@ -575,14 +577,16 @@ object Text {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val terms = Seq("spark", "vector", "merge", "filter", "shuffle")
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // staged (doc_id, token, tf) artifact shared with q_tfidf: doc
+      // lengths re-aggregate the reduced counts (bucketed by doc_id,
+      // so the rollup is exchange-free) and the query-term tf rows are
+      // a map-only filter of pre-reduced counts
+      val tok = TextStage.tok(s, d)
+      val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         round(sum(col("dl").cast(DecimalType(28, 6))).cast("double") /
           count(lit(1)), 6).as("avgdl"))
-      val tf = toks.filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val tf = tok.filter(col("token").isin(terms: _*))
       val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val idf = log(lit(1.0) +
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -842,17 +846,13 @@ object Text {
     "q_lm_score",
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val bg = Tables.documents(s, d)
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"),
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", "_").as("t"))
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
-      // one explode pass total: the (doc, bigram) counts are the staging
-      // table; the corpus bigram counts RE-AGGREGATE that reduced side
-      // (the q_tfidf pattern) instead of re-exploding the raw stream,
-      // and the cache serves both the model build and the scoring join
-      val dt = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("n")).cache()
+      // the (doc, bigram) counts are the staged TextStage.bg artifact
+      // (one explode per SNAPSHOT, shared with q_dsir_weights); the
+      // corpus bigram counts RE-AGGREGATE that reduced side (the
+      // q_tfidf pattern) instead of re-exploding the raw stream. lang
+      // is functionally dependent on doc_id, so dropping it leaves the
+      // (doc_id, b) counts unchanged.
+      val dt = TextStage.bg(s, d).select(col("doc_id"), col("b"), col("n"))
       val occ = dt.groupBy("b").agg(sum(col("n")).as("c2"))
       val pre = occ.groupBy(substring(col("b"), 1, 1).as("p"))
         .agg(sum(col("c2")).as("c1"))
@@ -861,18 +861,15 @@ object Text {
         .select(col("b"),
           round(log(col("c2").cast("double") / col("c1")), 9)
             .cast(DecimalType(18, 9)).as("logp"))
-      // materialize the per-doc scores (narrower than the (doc, bigram)
-      // staging table), then release the staged counts (cache-hygiene
-      // standard: PageRank.ranks pattern)
-      val out = dt
-        .join(broadcast(model), Seq("b"))
+      // per-doc rollup rides the artifact's doc_id bucketing — no
+      // cache/checkpoint needed: the shared side is on disk
+      dt.join(broadcast(model), Seq("b"))
         .groupBy("doc_id")
         .agg(sum(col("n")).as("n_bigrams"),
           round(sum(col("n").cast(DecimalType(10, 0)) * col("logp"))
             .cast("double") / sum(col("n")).cast("double"), 6).as("avg_logp"))
         .withColumn("lm_class",
           when(col("avg_logp") < -3.0, "suspect").otherwise("ok"))
-      graft.util.Staged.checkpointRelease("q_lm_score", out, dt)
     },
     Some(s"""WITH t0 AS (SELECT doc_id,
                     regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t
@@ -920,14 +917,9 @@ object Text {
     "q_dsir_weights",
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val bg = Tables.documents(s, d)
-        .filter(length(col("text")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", "_").as("t"))
-        .select(col("doc_id"), col("lang"), explode(
-          expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("b"))
-      val dt = bg.groupBy("doc_id", "lang", "b")
-        .agg(count(lit(1)).as("n")).cache()
+      // staged (doc_id, lang, b, n) artifact shared with q_lm_score —
+      // both models re-aggregate the reduced counts, no corpus explode
+      val dt = TextStage.bg(s, d)
       def model(occ: org.apache.spark.sql.DataFrame, out: String) = {
         val pre = occ.groupBy(substring(col("b"), 1, 1).as("p"))
           .agg(sum(col("c2")).as("c1"))
@@ -951,7 +943,7 @@ object Text {
           .as("dsir_weight"))
         .orderBy(desc("dsir_weight"), asc("doc_id"))
         .limit(50)
-      graft.util.Staged.checkpointRelease("q_dsir_weights", out, dt)
+      out
     },
     Some("""WITH t0 AS (SELECT doc_id, lang,
                    regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS t

@@ -130,7 +130,8 @@ object ScaleBench {
     val stageTriggers: Seq[(String, (SparkSession, String) => Unit)] = Seq(
       "graph" -> ((s, d) => { graft.warehouse.GraphStage.und(s, d); () }),
       "dedup" -> ((s, d) => { graft.warehouse.DedupStage.pairs(s, d); () }),
-      "gold" -> ((s, d) => { graft.warehouse.GoldStage.hourly(s, d); () }))
+      "gold" -> ((s, d) => { graft.warehouse.GoldStage.hourly(s, d); () }),
+      "text" -> ((s, d) => { graft.warehouse.TextStage.tok(s, d); () }))
 
     points.foreach { case (label, dir, _) =>
       // Warmup (and the first stage builds) for this SF, untimed.

@@ -19,8 +19,8 @@ class CacheHygieneSpec extends SparkSpec {
     "q_dedup_clusters",      // signatures + CC edge list
     "q_dedup_survivors",     // signatures + CC edge list
     "q_pq_encode",           // VectorStage build's subvector view (first run)
-    "q_lm_score",            // (doc, bigram) counts
-    "q_dsir_weights",        // (doc, lang, bigram) counts, two models
+    "q_lm_score",            // reads the staged TextStage.bg artifact (no cache since r10)
+    "q_dsir_weights",        // reads the staged TextStage.bg artifact (no cache since r10)
     "q_ngram_novelty",       // (doc, shingle-hash) relation
     "q_ml_logreg_gd",        // feature staging across GD rounds
     "q_bpe_merges",          // word-frequency vocab table

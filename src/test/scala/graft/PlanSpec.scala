@@ -139,8 +139,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_dsir_weights: models broadcast; selection is top-k not a sort") {
-    plan("q_dsir_weights")
-    val p = graft.util.Staged.plan("q_dsir_weights")
+    // live plan: the staged TextStage.bg artifact replaced the
+    // checkpointRelease, so the real executed plan is inspectable
+    val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("SortMergeJoin"), p)
@@ -310,8 +311,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_lm_score: the bigram model joins as a broadcast") {
-    plan("q_lm_score") // runs the query; the recorder captures the real plan
-    val p = graft.util.Staged.plan("q_lm_score")
+    // live plan: the staged TextStage.bg artifact replaced the
+    // checkpointRelease, so the real executed plan is inspectable
+    val p = plan("q_lm_score")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -356,16 +358,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_lm_score: one corpus explode — model re-aggregates the cached reduced side") {
-    // the (doc, bigram) staging table is cached and serves both the
-    // model build and the scoring join; if either consumer falls off
-    // the cache, the doubled interpreted transform() explode pass is
-    // back. Asserted on the recorded logical plan (AQE's string
-    // collapses the broadcast-side stage, hiding its cache scan; the
-    // checkpointed result hides the whole thing).
-    SparkEntry.queries("q_lm_score")(spark, sf0001).collect()
-    assert(graft.util.Staged.cachedRefCount("q_lm_score") >= 2,
-      graft.util.Staged.plan("q_lm_score"))
+  test("q_lm_score: zero corpus explodes — both consumers scan the staged artifact") {
+    // the (doc, bigram) counts live in the TextStage.bg bucketed table;
+    // if either the model build or the scoring join falls back to
+    // re-deriving them from raw documents, the interpreted transform()
+    // explode pass is back in the per-query plan
+    val p = plan("q_lm_score")
+    assert(!p.contains("Generate explode"), p)
+    assert(p.contains("tx_bg_"), p)
   }
 
   test("q_boilerplate_prefix: per-source totals broadcast; window over reduced counts") {
