@@ -699,7 +699,74 @@ object Warehouse {
              FROM g GROUP BY layout""")
   )
 
+  /** Snapshot diff / CDC derivation — given two versions of a keyed
+    * table, classify every key as added / deleted / modified /
+    * unchanged and emit per-class counts plus exact value deltas (the
+    * change feed a lakehouse MERGE or audit consumes). The "previous"
+    * snapshot derives deterministically from the current one so the
+    * oracle can replay it: keys ≡ 3 (mod 29) are absent from prev
+    * (⇒ added), keys ≡ 5 (mod 29) carried a price 100.00 higher
+    * (⇒ modified; +100.0 is an exact IEEE add, no rounding ambiguity),
+    * and prev additionally held retired keys (−k for k ≡ 11 mod 37,
+    * ⇒ deleted).
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key — both
+    * sides shuffle by k once, classification is a map-side CASE, and
+    * the 4-row rollup partial-aggregates. No window, no driver-side
+    * diffing; at 100 TB this is the standard partition-wise
+    * reconciliation join (and with both snapshots bucketed by key it
+    * would run exchange-free). Deltas sum through DECIMAL so the
+    * per-class checksum is order-free.
+    */
+  val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cur = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price_cur"))
+      val prev = o.filter(col("o_orderkey") % 29 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 29 === 5, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")).as("price_prev"))
+        .unionByName(o.filter(col("o_orderkey") % 37 === 11)
+          .select((-col("o_orderkey")).as("k"),
+            col("o_totalprice").as("price_prev")))
+      cur.join(prev, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("price_prev").isNull, "added")
+            .when(col("price_cur").isNull, "deleted")
+            .when(col("price_cur") =!= col("price_prev"), "modified")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_sum"),
+          Exact.dsum(coalesce(col("price_cur"), lit(0.0)) -
+            coalesce(col("price_prev"), lit(0.0))).as("amount_delta"))
+    },
+    Some(s"""WITH cur AS (SELECT o_orderkey AS k, o_totalprice AS price_cur
+                  FROM orders),
+             prev AS (SELECT o_orderkey AS k,
+                        CASE WHEN o_orderkey % 29 = 5
+                             THEN o_totalprice + 100.0
+                             ELSE o_totalprice END AS price_prev
+                      FROM orders WHERE o_orderkey % 29 <> 3
+                      UNION ALL
+                      SELECT -o_orderkey AS k, o_totalprice AS price_prev
+                      FROM orders WHERE o_orderkey % 37 = 11),
+             j AS (SELECT COALESCE(cur.k, prev.k) AS k, price_cur, price_prev,
+                     CASE WHEN price_prev IS NULL THEN 'added'
+                          WHEN price_cur IS NULL THEN 'deleted'
+                          WHEN price_cur <> price_prev THEN 'modified'
+                          ELSE 'unchanged' END AS change_type
+                   FROM cur FULL OUTER JOIN prev ON cur.k = prev.k)
+             SELECT change_type, COUNT(*) AS n_rows,
+                    CAST(SUM(k) AS BIGINT) AS key_sum,
+                    ${Sql.SUMD("(COALESCE(price_cur, 0.0) - COALESCE(price_prev, 0.0))")}
+                      AS amount_delta
+             FROM j GROUP BY change_type""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
     basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental,
-    zorderLayout)
+    zorderLayout, snapshotDiff)
 }

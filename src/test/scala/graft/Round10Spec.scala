@@ -88,6 +88,25 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q_snapshot_diff: classes partition the key space with exact deltas") {
+    val keys = Tables.orders(spark, sf0001).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val rows = run("q_snapshot_diff")
+      .select("change_type", "n_rows", "amount_delta")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("added", "deleted", "modified", "unchanged"))
+    assert(rows("added")._1 === keys.count(_ % 29 == 3).toLong)
+    assert(rows("deleted")._1 === keys.count(_ % 37 == 11).toLong)
+    assert(rows("modified")._1 === keys.count(_ % 29 == 5).toLong)
+    assert(rows.values.map(_._1).sum ===
+      keys.length + keys.count(_ % 37 == 11)) // every key classified once
+    // modified rows each carry exactly the −100.00 price restatement
+    assert(math.abs(rows("modified")._2 + 100.0 * rows("modified")._1) < 1e-6,
+      rows("modified").toString)
+    assert(rows("unchanged")._2 === 0.0)
+    assert(rows("added")._2 > 0 && rows("deleted")._2 < 0)
+  }
+
   test("q_ccnet_buckets: head scores strictly above tail scores per language") {
     val rows = run("q_ccnet_buckets")
       .select("lang", "bucket", "lo_bits", "hi_bits")
