@@ -50,7 +50,10 @@ object ScaleBench {
     "ml" -> Seq("q_kmeans_lloyd"),
     "gold_dashboard" -> Seq("q_dash_districts"),
     "gold_incremental" -> Seq("q_gold_incremental"),
-    "streaming" -> Seq("q_stream_hourly"))
+    "streaming" -> Seq("q_stream_hourly"),
+    // round 10: snapshot reconciliation + layout audit + bloom-filtered
+    // join — the full-outer diff is the row-volume-bound member
+    "layout_cdc" -> Seq("q_snapshot_diff", "q_zorder_layout", "q_bloom_semijoin"))
 
   private def loadavg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
