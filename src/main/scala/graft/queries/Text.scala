@@ -465,6 +465,72 @@ object Text {
              FROM e JOIN cuts USING (lang) GROUP BY 1, 2""")
   )
 
+  /** Heaps'-law vocabulary-growth audit: split the corpus into 10
+    * doc_id-ordered slices and report, per slice, the token volume,
+    * the NEW vocabulary types first seen there, the cumulative
+    * type/token totals, and the running Heaps exponent estimate
+    * ln V / ln N (V(n) ≈ K·n^β for natural text, β ≈ 0.4–0.6 — the
+    * dataset-card statistic that says whether a corpus keeps
+    * contributing new vocabulary or has gone repetitive).
+    *
+    * Scale shape: "first seen" is one min-agg over the staged
+    * [[TextStage]] token counts (per-token, vocabulary-sized output);
+    * slice volumes re-aggregate the same reduced relation keyed by
+    * doc_id. The only window runs over the 10-row slice rollup.
+    * Determinism: everything is integer until the final ln ratio of
+    * identical integers — bit-equal in both engines.
+    */
+  val vocabGrowth = QueryDef(
+    "q_vocab_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = TextStage.tok(s, d)
+      val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+      // integer division (DIV), not `/`: float division + int cast can
+      // land one ULP under an integer boundary and floor differently
+      // than DuckDB's exact `//`
+      val slice = (c: String) => expr(s"CAST(($c * 10) DIV (mx + 1) AS INT)")
+      val firsts = tok.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .groupBy(slice("first_doc").as("slice"))
+        .agg(count(lit(1)).as("new_types"))
+      val vol = tok.crossJoin(broadcast(mx))
+        .groupBy(slice("doc_id").as("slice"))
+        .agg(sum(col("tf")).as("n_tokens"))
+      val w = Window.orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vol.join(firsts, Seq("slice"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .withColumn("heaps_beta",
+          round(log(col("cum_types").cast("double")) /
+            log(col("cum_tokens").cast("double")), 6))
+    },
+    Some {
+      val tk = TS.tokens("lower(text)")
+      s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+          tok AS (SELECT doc_id, unnest($tk) AS token FROM documents),
+          nt AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS new_types
+                 FROM (SELECT CAST(first_doc * 10 // (mx + 1) AS INT) AS slice
+                       FROM (SELECT token, MIN(doc_id) AS first_doc
+                             FROM tok GROUP BY token) CROSS JOIN mx)
+                 GROUP BY slice),
+          vol AS (SELECT CAST(doc_id * 10 // (mx + 1) AS INT) AS slice,
+                         CAST(COUNT(*) AS BIGINT) AS n_tokens
+                  FROM tok CROSS JOIN mx GROUP BY 1)
+          SELECT slice, n_tokens, new_types,
+                 CAST(SUM(n_tokens) OVER (ORDER BY slice
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                 CAST(SUM(new_types) OVER (ORDER BY slice
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+                 ROUND(LN(CAST(SUM(new_types) OVER (ORDER BY slice
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE))
+                   / LN(CAST(SUM(n_tokens) OVER (ORDER BY slice
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS heaps_beta
+          FROM vol JOIN nt USING (slice)"""
+    }
+  )
+
   /** Context-window packing: documents are concatenated in doc_id order
     * within a shard and cut into fixed 2048-token blocks (GPT-style
     * sequence packing — each doc is assigned to the block containing
@@ -1483,7 +1549,7 @@ object Text {
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, ccnetBuckets,
-      packDocs, tfidf,
+      vocabGrowth, packDocs, tfidf,
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
       bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations,

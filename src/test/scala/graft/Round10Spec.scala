@@ -107,6 +107,27 @@ class Round10Spec extends SparkSpec {
     assert(rows("added")._2 > 0 && rows("deleted")._2 < 0)
   }
 
+  test("q_vocab_growth: slices cover the corpus; cumulative curves are consistent") {
+    val rows = run("q_vocab_growth")
+      .select("slice", "n_tokens", "new_types", "cum_tokens", "cum_types",
+        "heaps_beta")
+      .orderBy("slice")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices.toSeq)
+    // cumulative columns really are running sums of the per-slice ones
+    assert(rows.map(_._2).sum === rows.last._4)
+    assert(rows.map(_._3).sum === rows.last._5)
+    // total new types across slices = corpus vocabulary size
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("t")).distinct().count()
+    assert(rows.last._5 === vocab)
+    // ln V / ln N stays a valid exponent estimate (V ≤ N ⇒ β ≤ 1)
+    assert(rows.forall { case (_, _, _, _, _, b) => b > 0.0 && b <= 1.0 })
+  }
+
   test("q_ccnet_buckets: head scores strictly above tail scores per language") {
     val rows = run("q_ccnet_buckets")
       .select("lang", "bucket", "lo_bits", "hi_bits")
