@@ -128,7 +128,10 @@ object Bench {
       "q_jaccard_pairs", "q_dedup_clusters", "q_ann_ivf", "q_knn_brute",
       "q_validation_report", "q_ml_cluster_summary",
       "q_dedup_survivors", "q_bpe_merges", "q_pagerank",
-      "q_cooccur_similarity", "q_embed_truncation", "q_boilerplate_prefix")
+      "q_cooccur_similarity", "q_embed_truncation", "q_boilerplate_prefix",
+      // round 10 additions
+      "q_bloom_semijoin", "q_ccnet_buckets", "q_zorder_layout",
+      "q_snapshot_diff", "q_vocab_growth", "q_tfidf", "q_dsir_weights")
     val slowest = results.sortBy(-_._2).take(5).map(_._1).toSet
     val printed = results.filter { case (k, _) => headline(k) || slowest(k) }
     val qs = printed.map { case (k, v) => s"\"" + k + "\":" + f2(v) }

@@ -259,4 +259,19 @@ class PropertySpec extends SparkSpec {
       plain == reduced
     }, n = 30)
   }
+
+  test("Morton interleave is a bijection on the 16x16 grid with 2x2-tile bins") {
+    // the q_zorder_layout kernel: 4-bit interleave must be injective
+    // (distinct cells -> distinct z) and its z>>2 bins must bound both
+    // dims to a 2-cell range — the zone-map guarantee the audit measures
+    val cells = for (a <- 0 until 16; b <- 0 until 16) yield (a, b)
+    def z(a: Int, b: Int) = (0 until 4).map(i =>
+      (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))).reduce(_ | _)
+    val zs = cells.map { case (a, b) => z(a, b) }
+    assert(zs.distinct.size == 256 && zs.min == 0 && zs.max == 255)
+    cells.groupBy { case (a, b) => z(a, b) >> 2 }.foreach { case (bin, cs) =>
+      assert(cs.map(_._1).max - cs.map(_._1).min <= 1, s"bin $bin pk span")
+      assert(cs.map(_._2).max - cs.map(_._2).min <= 1, s"bin $bin sk span")
+    }
+  }
 }
