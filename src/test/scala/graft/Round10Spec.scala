@@ -128,6 +128,33 @@ class Round10Spec extends SparkSpec {
     assert(rows.forall { case (_, _, _, _, _, b) => b > 0.0 && b <= 1.0 })
   }
 
+  test("q_hard_negatives matches a brute-force reference on the full fixture") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos6(a: Array[Float], b: Array[Float]) = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = vecs.filter(_._1 % 97 == 0).map { case (pid, plab, qv) =>
+      val scored = vecs.filter(_._1 != pid)
+        .map { case (vid, lab, v) => (vid, lab == plab, cos6(v, qv)) }
+      def top(same: Boolean) =
+        scored.filter(_._2 == same).maxBy { case (vid, _, c) => (c, -vid) }
+      val (posId, _, posCos) = top(true)
+      val (negId, _, negCos) = top(false)
+      pid -> (posId, posCos, negId, negCos,
+        BigDecimal(posCos - negCos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toMap
+    val got = run("q_hard_negatives")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got === expected)
+  }
+
   test("q_ccnet_buckets: head scores strictly above tail scores per language") {
     val rows = run("q_ccnet_buckets")
       .select("lang", "bucket", "lo_bits", "hi_bits")
