@@ -402,15 +402,17 @@ object Text {
     * for the wikipedia-LM perplexity (high entropy = richer text =
     * head). Downstream mixing then samples head > middle > tail.
     *
-    * Scale shape: the tercile CUTPOINTS come from a (lang, score)
-    * histogram — a reduced side of |langs| × |distinct scores| rows —
-    * so the only window runs over that small relation, never over the
-    * corpus (no per-language single-partition sort of raw docs). The
-    * cutpoint table broadcasts back and bucket assignment is map-only.
-    * Determinism: cutpoints are ELEMENTS of the rounded score set
-    * (rank-based, `cum*3 >= n` in exact integer arithmetic), not
-    * interpolated quantiles — so both engines compare identical
-    * doubles and no boundary doc can flip buckets.
+    * Scale shape: ONE corpus pass builds a (lang, score) histogram —
+    * a reduced side of |langs| × |distinct scores| rows — and
+    * everything downstream (the rank-based tercile cutpoints, the
+    * bucket assignment, the per-bucket counts and score ranges) derives
+    * from that histogram alone; the corpus is never re-scanned and the
+    * only window runs over the reduced relation (no per-language
+    * single-partition sort of raw docs). Determinism: cutpoints are
+    * ELEMENTS of the rounded score set (rank-based, `cum*3 >= n` in
+    * exact integer arithmetic), not interpolated quantiles — so both
+    * engines compare identical doubles and no boundary doc can flip
+    * buckets.
     */
   val ccnetBuckets = QueryDef(
     "q_ccnet_buckets",
@@ -431,15 +433,17 @@ object Text {
       val cuts = cum.groupBy("lang").agg(
         min(when(col("cum") * 3 >= col("n"), col("sc"))).as("cut1"),
         min(when(col("cum") * 3 >= col("n") * 2, col("sc"))).as("cut2"))
-      scored.join(broadcast(cuts), Seq("lang"))
+      // assignment over the HISTOGRAM, not the corpus: per-bucket doc
+      // counts and score ranges are exactly recoverable from (sc, c)
+      hist.join(broadcast(cuts), Seq("lang"))
         .withColumn("bucket",
-          when(col("entropy_bits") <= col("cut1"), "tail")
-            .when(col("entropy_bits") <= col("cut2"), "middle")
+          when(col("sc") <= col("cut1"), "tail")
+            .when(col("sc") <= col("cut2"), "middle")
             .otherwise("head"))
         .groupBy("lang", "bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          round(min(col("entropy_bits")), 6).as("lo_bits"),
-          round(max(col("entropy_bits")), 6).as("hi_bits"))
+        .agg(sum(col("c")).as("n_docs"),
+          round(min(col("sc")), 6).as("lo_bits"),
+          round(max(col("sc")), 6).as("hi_bits"))
     },
     Some(s"""WITH t0 AS (SELECT doc_id, lang, lower(text) AS t FROM documents
                          WHERE length(text) > 0),
