@@ -236,6 +236,53 @@ object Sampling {
           ORDER BY priority DESC, doc_id LIMIT 50"""
     })
 
+  /** Class-balance audit over the labeled corpus (the dataset-card
+    * check before training a classifier or weighting a mixture): per
+    * label its share of the corpus, plus one summary row carrying the
+    * chi-square uniformity statistic Σ(nᵢ−E)²/E, the max/min share
+    * imbalance ratio, and a balance verdict (ratio ≤ 1.5 ⇒
+    * 'balanced' — the rule of thumb below which per-class reweighting
+    * is unnecessary).
+    *
+    * Scale shape: one hash-agg to |labels| rows; the summary
+    * re-aggregates that reduced side and every downstream number is
+    * arithmetic on exact integers (counts), so both engines emit
+    * identical doubles after the final rounded divisions.
+    */
+  val labelBalance = QueryDef(
+    "q_label_balance",
+    (s, d) => {
+      val counts = Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(col("n")).as("total"), count(lit(1)).as("k"),
+        max(col("n")).as("mx"), min(col("n")).as("mn"),
+        // chi-square vs uniform: Σ n² · k / N − N, an integer-exact
+        // rearrangement of Σ(n−N/k)²/(N/k) — no per-class float error
+        sum(col("n") * col("n")).as("ssq"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("ssq").cast("double") * col("k") / col("total")
+            - col("total"), 6).as("chi2"),
+          round(col("mx").cast("double") / col("mn"), 6).as("imbalance_ratio"))
+        .withColumn("verdict",
+          when(col("imbalance_ratio") <= 1.5, "balanced").otherwise("skewed"))
+    },
+    Some("""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k,
+                         MAX(n) AS mx, MIN(n) AS mn,
+                         CAST(SUM(n * n) AS BIGINT) AS ssq
+                  FROM c)
+            SELECT label, n,
+                   ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+                   ROUND(CAST(ssq AS DOUBLE) * k / total - total, 6) AS chi2,
+                   ROUND(CAST(mx AS DOUBLE) / mn, 6) AS imbalance_ratio,
+                   CASE WHEN ROUND(CAST(mx AS DOUBLE) / mn, 6) <= 1.5
+                        THEN 'balanced' ELSE 'skewed' END AS verdict
+            FROM c CROSS JOIN t""")
+  )
+
   def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample,
-    domainCaps, weightedSample)
+    domainCaps, weightedSample, labelBalance)
 }
