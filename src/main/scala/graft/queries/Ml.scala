@@ -113,14 +113,14 @@ object Ml {
   /** M4+M5+M6: assembler→RF pipeline forecasting next-hour event count,
     * RMSE on a deterministic 80/20 time split.
     *
-    * The RF fit itself has no closed form, so this stays the engine's
-    * one rows-only (no-oracle) query — but the ROW is self-validating:
-    * it carries the RMSE of the fully-oracled closed-form twin
-    * (`q_forecast_linreg`, same task/split) plus the RF/twin ratio and
-    * an in-row regime verdict using MlSpec's pinned bounds (ratio in
-    * (1/100, 10) — order-of-magnitude on purpose; a leaked target or a
-    * broken split lands far outside). The driver's rows-only check
-    * therefore records the validation evidence, not just a row count.
+    * The RF fit itself has no closed form, so this is NOT in the
+    * registered query surface (every registered query carries a full
+    * DuckDB oracle — the oracle-matched members of the forecast family
+    * are `q_forecast_tree` and `q_forecast_linreg`). It remains the
+    * engine's MLlib variant, exercised and regime-pinned against both
+    * oracled twins in MlSpec; the ROW is still self-validating (twin
+    * RMSE + ratio + in-row regime verdict) for anyone running it
+    * directly.
     */
   val forecastRmse = QueryDef(
     "q_ml_forecast_rmse",
@@ -336,30 +336,63 @@ object Ml {
     * or shuffled past the first agg. The train moments reduce to ONE
     * row, so "fit" costs one map-side-combined pass regardless of SF.
     */
+  /** Shared lag-feature frame for the forecast family (linreg + tree):
+    * hourly grain (guarded), x1 = this hour's count, x2 = the count 24
+    * rows back, y = next hour's count, hs = epoch seconds — all exact
+    * BIGINTs; `feat` is checkpointed once (≤2M rows) because the cut
+    * scalar, the fit pass, and the test residual pass all re-read it.
+    * Returns (train, test) on the deterministic 80/20 time split.
+    */
+  private[queries] def forecastFrames(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Analytics.requireHourlyGrain(hourly.count(), "forecastFrames")
+    val w = Window.orderBy("h")
+    val feat = hourly
+      .withColumn("x2", lag(col("n"), 24).over(w))
+      .withColumn("y", lead(col("n"), 1).over(w))
+      .filter(col("x2").isNotNull && col("y").isNotNull)
+      .select(expr("unix_micros(cast(h as timestamp)) div 1000000").as("hs"),
+        col("n").as("x1"), col("x2"), col("y"))
+      .localCheckpoint(true)
+    val cut = feat.agg((min(col("hs")) +
+      floor((max(col("hs")) - min(col("hs"))) * lit(0.8)).cast("long")).as("c"))
+    (feat.crossJoin(broadcast(cut)).filter(col("hs") <= col("c")),
+      feat.crossJoin(broadcast(cut)).filter(col("hs") > col("c")))
+  }
+
+  /** DuckDB CTE text for [[forecastFrames]] — `train` / `test` with
+    * columns (hs, x1, x2, y), shared verbatim by both forecast oracles
+    * so the split discipline cannot drift between them.
+    */
+  private[queries] val forecastFrameCtes: String =
+    """hourly AS (
+              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            feat AS (
+              SELECT epoch_us(h) // 1000000 AS hs,
+                     n AS x1,
+                     lag(n, 24) OVER (ORDER BY h) AS x2,
+                     lead(n, 1) OVER (ORDER BY h) AS y
+              FROM hourly),
+            f AS (SELECT hs, x1, x2, y FROM feat
+                  WHERE x2 IS NOT NULL AND y IS NOT NULL),
+            cut AS (SELECT MIN(hs) + CAST(FLOOR((MAX(hs) - MIN(hs))
+                             * CAST(0.8 AS DOUBLE)) AS BIGINT) AS c FROM f),
+            train AS (SELECT * FROM f WHERE hs <= (SELECT c FROM cut)),
+            test AS (SELECT * FROM f WHERE hs > (SELECT c FROM cut))"""
+
   val forecastLinreg = QueryDef(
     "q_forecast_linreg",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
-      val hourly = Tables.events(s, d)
-        .filter(col("ts").isNotNull)
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n"))
-      Analytics.requireHourlyGrain(hourly.count(), "forecastLinreg")
-      val w = Window.orderBy("h")
-      val feat = hourly
-        .withColumn("x2", lag(col("n"), 24).over(w))
-        .withColumn("y", lead(col("n"), 1).over(w))
-        .filter(col("x2").isNotNull && col("y").isNotNull)
-        .select(expr("unix_micros(cast(h as timestamp)) div 1000000").as("hs"),
-          col("n").as("x1"), col("x2"), col("y"))
-        // materialized once (≤2M rows): read by the cut scalar, the
-        // train moments, and the test residual pass
-        .localCheckpoint(true)
-      val cut = feat.agg((min(col("hs")) +
-        floor((max(col("hs")) - min(col("hs"))) * lit(0.8)).cast("long")).as("c"))
-      val train = feat.crossJoin(broadcast(cut)).filter(col("hs") <= col("c"))
-      val test = feat.crossJoin(broadcast(cut)).filter(col("hs") > col("c"))
+      val (train, test) = forecastFrames(s, d)
       val m = train.agg(
         count(lit(1)).as("n_train"),
         sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
@@ -399,22 +432,7 @@ object Ml {
           round(col("b0"), 6).as("beta0"), round(col("b1"), 6).as("beta1"),
           round(col("b2"), 6).as("beta2"))
     },
-    Some("""WITH hourly AS (
-              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                     CAST(COUNT(*) AS BIGINT) AS n
-              FROM events WHERE ts IS NOT NULL GROUP BY 1),
-            feat AS (
-              SELECT epoch_us(h) // 1000000 AS hs,
-                     n AS x1,
-                     lag(n, 24) OVER (ORDER BY h) AS x2,
-                     lead(n, 1) OVER (ORDER BY h) AS y
-              FROM hourly),
-            f AS (SELECT hs, x1, x2, y FROM feat
-                  WHERE x2 IS NOT NULL AND y IS NOT NULL),
-            cut AS (SELECT MIN(hs) + CAST(FLOOR((MAX(hs) - MIN(hs))
-                             * CAST(0.8 AS DOUBLE)) AS BIGINT) AS c FROM f),
-            train AS (SELECT * FROM f WHERE hs <= (SELECT c FROM cut)),
-            test AS (SELECT * FROM f WHERE hs > (SELECT c FROM cut)),
+    Some(s"""WITH $forecastFrameCtes,
             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
                     CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
                     CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
@@ -462,6 +480,249 @@ object Ml {
                    ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
                    ROUND(b2, 6) AS beta2
             FROM res GROUP BY n_train, b0, b1, b2"""))
+
+  /** M4–M6 oracle closure: a deterministic depth-2 REGRESSION TREE on
+    * the same forecasting task and 80/20 time split as
+    * `q_ml_forecast_rmse` — exact best-split search over binned lag
+    * features, so the fit AND the predictions replay bit-for-bit in
+    * DuckDB. This is the oracle-matched member of the forecast family;
+    * the MLlib RandomForest (Analytics.forecastRmse) is the engine
+    * variant spec-pinned against it in MlSpec.
+    *
+    * Fit, exactly as a distributed tree learner does it (the
+    * XGBoost/LightGBM histogram trick): features are binned into B=16
+    * integer buckets (edges from train min/max, all-integer floor
+    * division), per-(feature, bin) sufficient statistics (n, Σy) are
+    * ONE map-side-combined hash-agg, and the best split maximizes
+    * Σy_L²/n_L + Σy_R²/n_R (variance gain with the constant parent
+    * terms dropped) via a prefix-sum window over the ≤32-row histogram
+    * — never over the data. Depth 2 repeats the search once per child
+    * (histogram now keyed by side); a child with no valid split (all
+    * rows in one bin) stays a leaf, encoded as feature -1. Leaf
+    * prediction = mean(y) over the leaf's train rows, rounded to 8 dp
+    * before scoring; ties in the gain break on (feature, bin), and
+    * both engines compute the gain with the identical double
+    * expression tree over identical integer sums, so the argmax
+    * agrees exactly.
+    *
+    * Scale shape: after the shared hourly reduction, every pass over
+    * the (bounded, checkpointed) feature frame is map-only + hash-agg;
+    * the tree parameters that cross stages are ≤ 2 rows (root, child
+    * splits) and 4 rows (leaf means), attached by broadcast. At 100 TB
+    * of raw events the corpus is reduced to hourly grain before any
+    * window, and the histogram agg is the only extra shuffle per
+    * level — the standard distributed-GBT cost model.
+    */
+  val forecastTree = QueryDef(
+    "q_forecast_tree",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.{Column, DataFrame}
+      val B = 16
+      val (train, test) = forecastFrames(s, d)
+      val edges = train.agg(
+        min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
+        min(col("x2")).as("mn2"), max(col("x2")).as("mx2"))
+      // integer bin id — DIV floor division, exact in both engines
+      def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(edges))
+        .withColumn("b1", expr(
+          s"least(CAST(${B - 1} AS BIGINT), ((x1 - mn1) * $B) DIV (mx1 - mn1 + 1))"))
+        .withColumn("b2", expr(
+          s"least(CAST(${B - 1} AS BIGINT), ((x2 - mn2) * $B) DIV (mx2 - mn2 + 1))"))
+        .drop("mn1", "mx1", "mn2", "mx2")
+      // per-(…, feature, bin) histogram of (n, Σy) — the only pass
+      // that touches every row at this level
+      def hist(df: DataFrame, keys: Seq[String]): DataFrame = df
+        .select(keys.map(col) ++ Seq(col("y"), explode(array(
+          struct(lit(1L).as("f"), col("b1").as("b")),
+          struct(lit(2L).as("f"), col("b2").as("b")))).as("fb")): _*)
+        .select(keys.map(col) ++ Seq(col("fb.f").as("f"), col("fb.b").as("b"),
+          col("y")): _*)
+        .groupBy((keys ++ Seq("f", "b")).map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      // split gain over the tiny histogram: prefix sums per feature,
+      // candidates need both sides non-empty; identical double tree
+      // in the oracle so the argmax (incl. tie-break f, b) agrees
+      def bestSplit(h: DataFrame, part: Seq[String]): DataFrame = {
+        val wCum = Window.partitionBy((part :+ "f").map(col): _*).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy((part :+ "f").map(col): _*)
+        val wPick = if (part.isEmpty) Window.orderBy(col("score").desc, col("f"), col("b"))
+          else Window.partitionBy(part.map(col): _*)
+            .orderBy(col("score").desc, col("f"), col("b"))
+        val csy = col("csy").cast("double"); val cn = col("cn").cast("double")
+        val rsy = (col("tsy") - col("csy")).cast("double")
+        val rn = (col("tn") - col("cn")).cast("double")
+        h.withColumn("cn", sum(col("n")).over(wCum))
+          .withColumn("csy", sum(col("sy")).over(wCum))
+          .withColumn("tn", sum(col("n")).over(wTot))
+          .withColumn("tsy", sum(col("sy")).over(wTot))
+          .filter(col("cn") < col("tn"))
+          .withColumn("score", csy * csy / cn + rsy * rsy / rn)
+          .withColumn("rn_", row_number().over(wPick))
+          .filter(col("rn_") === 1)
+          .select(part.map(col) :+ col("f") :+ col("b"): _*)
+      }
+      val btr = binned(train)
+      val root = bestSplit(hist(btr, Nil), Nil)
+        .select(col("f").as("root_f"), col("b").as("root_b"))
+      def side(df: DataFrame): DataFrame = df.crossJoin(broadcast(root))
+        .withColumn("side", when(col("root_f") === 1L,
+          when(col("b1") <= col("root_b"), 0L).otherwise(1L))
+          .otherwise(when(col("b2") <= col("root_b"), 0L).otherwise(1L)))
+      val str = side(btr)
+      val child = bestSplit(hist(str, Seq("side")), Seq("side"))
+        .select(col("side"), col("f").as("cf"), col("b").as("cb"))
+      // leaf id; a side with no valid child split stays one leaf (-1)
+      def leafed(df: DataFrame): DataFrame = df
+        .join(broadcast(child), Seq("side"), "left")
+        .withColumn("cf", coalesce(col("cf"), lit(-1L)))
+        .withColumn("cb", coalesce(col("cb"), lit(-1L)))
+        .withColumn("subside", when(col("cf") === 1L,
+          when(col("b1") <= col("cb"), 0L).otherwise(1L))
+          .when(col("cf") === 2L,
+            when(col("b2") <= col("cb"), 0L).otherwise(1L))
+          .otherwise(0L))
+      val leaves = leafed(str).groupBy("side", "subside")
+        .agg(round(sum(col("y")).cast("double") /
+          count(lit(1)).cast("double"), 8).as("pred"))
+      val nTr = train.agg(count(lit(1)).as("n_train"))
+      val childAgg = child.agg(
+        coalesce(max(when(col("side") === 0L, col("cf"))), lit(-1L)).as("left_f"),
+        coalesce(max(when(col("side") === 0L, col("cb"))), lit(-1L)).as("left_b"),
+        coalesce(max(when(col("side") === 1L, col("cf"))), lit(-1L)).as("right_f"),
+        coalesce(max(when(col("side") === 1L, col("cb"))), lit(-1L)).as("right_b"))
+      val resid = col("y").cast("double") - col("pred")
+      leafed(side(binned(test)))
+        .join(broadcast(leaves), Seq("side", "subside"))
+        .select((resid * resid).cast(DecimalType(28, 12)).as("e2"))
+        .agg(count(lit(1)).as("n_test"),
+          round(sqrt(sum(col("e2")).cast("double") / count(lit(1))), 6).as("rmse"))
+        .crossJoin(broadcast(nTr))
+        .crossJoin(broadcast(root))
+        .crossJoin(broadcast(childAgg))
+        .select(col("n_train"), col("n_test"), col("rmse"),
+          col("root_f"), col("root_b"), col("left_f"), col("left_b"),
+          col("right_f"), col("right_b"))
+    },
+    Some {
+      val B = 16
+      val score = "CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS DOUBLE)" +
+        " + CAST(tsy - csy AS DOUBLE) * CAST(tsy - csy AS DOUBLE)" +
+        " / CAST(tn - cn AS DOUBLE)"
+      s"""WITH $forecastFrameCtes,
+          edges AS (SELECT MIN(x1) AS mn1, MAX(x1) AS mx1,
+                           MIN(x2) AS mn2, MAX(x2) AS mx2 FROM train),
+          btr AS (SELECT x1, x2, y,
+                    least(CAST(${B - 1} AS BIGINT),
+                          ((x1 - mn1) * $B) // (mx1 - mn1 + 1)) AS b1,
+                    least(CAST(${B - 1} AS BIGINT),
+                          ((x2 - mn2) * $B) // (mx2 - mn2 + 1)) AS b2
+                  FROM train CROSS JOIN edges),
+          h0 AS (SELECT f, b, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS sy
+                 FROM (SELECT CAST(1 AS BIGINT) AS f, b1 AS b, y FROM btr
+                       UNION ALL
+                       SELECT CAST(2 AS BIGINT), b2, y FROM btr)
+                 GROUP BY f, b),
+          c0 AS (SELECT f, b,
+                   CAST(SUM(n) OVER (PARTITION BY f ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                   CAST(SUM(sy) OVER (PARTITION BY f ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csy,
+                   CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS tn,
+                   CAST(SUM(sy) OVER (PARTITION BY f) AS BIGINT) AS tsy
+                 FROM h0),
+          root AS (SELECT f AS root_f, b AS root_b FROM (
+                     SELECT f, b, ROW_NUMBER() OVER (
+                       ORDER BY $score DESC, f, b) AS rn_
+                     FROM c0 WHERE cn < tn) WHERE rn_ = 1),
+          str AS (SELECT btr.*, CASE WHEN root_f = 1
+                    THEN CASE WHEN b1 <= root_b THEN CAST(0 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) END
+                    ELSE CASE WHEN b2 <= root_b THEN CAST(0 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) END END AS side
+                  FROM btr CROSS JOIN root),
+          h1 AS (SELECT side, f, b, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS sy
+                 FROM (SELECT side, CAST(1 AS BIGINT) AS f, b1 AS b, y FROM str
+                       UNION ALL
+                       SELECT side, CAST(2 AS BIGINT), b2, y FROM str)
+                 GROUP BY side, f, b),
+          c1 AS (SELECT side, f, b,
+                   CAST(SUM(n) OVER (PARTITION BY side, f ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                   CAST(SUM(sy) OVER (PARTITION BY side, f ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS csy,
+                   CAST(SUM(n) OVER (PARTITION BY side, f) AS BIGINT) AS tn,
+                   CAST(SUM(sy) OVER (PARTITION BY side, f) AS BIGINT) AS tsy
+                 FROM h1),
+          child AS (SELECT side, f AS cf, b AS cb FROM (
+                      SELECT side, f, b, ROW_NUMBER() OVER (PARTITION BY side
+                        ORDER BY $score DESC, f, b) AS rn_
+                      FROM c1 WHERE cn < tn) WHERE rn_ = 1),
+          tl AS (SELECT str.*, COALESCE(cf, CAST(-1 AS BIGINT)) AS cfc,
+                        COALESCE(cb, CAST(-1 AS BIGINT)) AS cbc
+                 FROM str LEFT JOIN child USING (side)),
+          tl2 AS (SELECT *, CASE
+                    WHEN cfc = 1 THEN CASE WHEN b1 <= cbc THEN CAST(0 AS BIGINT)
+                                           ELSE CAST(1 AS BIGINT) END
+                    WHEN cfc = 2 THEN CASE WHEN b2 <= cbc THEN CAST(0 AS BIGINT)
+                                           ELSE CAST(1 AS BIGINT) END
+                    ELSE CAST(0 AS BIGINT) END AS subside
+                  FROM tl),
+          leaves AS (SELECT side, subside,
+                       ROUND(CAST(SUM(y) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 8) AS pred
+                     FROM tl2 GROUP BY side, subside),
+          btt AS (SELECT x1, x2, y,
+                    least(CAST(${B - 1} AS BIGINT),
+                          ((x1 - mn1) * $B) // (mx1 - mn1 + 1)) AS b1,
+                    least(CAST(${B - 1} AS BIGINT),
+                          ((x2 - mn2) * $B) // (mx2 - mn2 + 1)) AS b2
+                  FROM test CROSS JOIN edges),
+          stt AS (SELECT btt.*, CASE WHEN root_f = 1
+                    THEN CASE WHEN b1 <= root_b THEN CAST(0 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) END
+                    ELSE CASE WHEN b2 <= root_b THEN CAST(0 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) END END AS side
+                  FROM btt CROSS JOIN root),
+          ttl AS (SELECT stt.*, COALESCE(cf, CAST(-1 AS BIGINT)) AS cfc,
+                         COALESCE(cb, CAST(-1 AS BIGINT)) AS cbc
+                  FROM stt LEFT JOIN child USING (side)),
+          ttl2 AS (SELECT *, CASE
+                     WHEN cfc = 1 THEN CASE WHEN b1 <= cbc THEN CAST(0 AS BIGINT)
+                                            ELSE CAST(1 AS BIGINT) END
+                     WHEN cfc = 2 THEN CASE WHEN b2 <= cbc THEN CAST(0 AS BIGINT)
+                                            ELSE CAST(1 AS BIGINT) END
+                     ELSE CAST(0 AS BIGINT) END AS subside
+                   FROM ttl),
+          res AS (SELECT (CAST(y AS DOUBLE) - pred) * (CAST(y AS DOUBLE) - pred)
+                    AS e2
+                  FROM ttl2 JOIN leaves USING (side, subside)),
+          ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM train),
+          childagg AS (SELECT
+                COALESCE(MAX(CASE WHEN side = 0 THEN cf END),
+                         CAST(-1 AS BIGINT)) AS left_f,
+                COALESCE(MAX(CASE WHEN side = 0 THEN cb END),
+                         CAST(-1 AS BIGINT)) AS left_b,
+                COALESCE(MAX(CASE WHEN side = 1 THEN cf END),
+                         CAST(-1 AS BIGINT)) AS right_f,
+                COALESCE(MAX(CASE WHEN side = 1 THEN cb END),
+                         CAST(-1 AS BIGINT)) AS right_b
+              FROM child)
+          SELECT n_train, CAST(COUNT(*) AS BIGINT) AS n_test,
+                 ROUND(SQRT(CAST(SUM(CAST(e2 AS DECIMAL(28,12))) AS DOUBLE)
+                            / COUNT(*)), 6) AS rmse,
+                 root_f, root_b,
+                 CAST(left_f AS BIGINT) AS left_f,
+                 CAST(left_b AS BIGINT) AS left_b,
+                 CAST(right_f AS BIGINT) AS right_f,
+                 CAST(right_b AS BIGINT) AS right_b
+          FROM res CROSS JOIN ntr CROSS JOIN root CROSS JOIN childagg
+          GROUP BY n_train, root_f, root_b, left_f, left_b, right_f, right_b"""
+    })
 
   /** Distributed logistic regression WITHOUT MLlib: full-batch gradient
     * descent, 3 fixed rounds, predicting P(event_type = 'purchase')
@@ -732,6 +993,7 @@ object Ml {
             FROM v""")
   )
 
-  def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag, forecastRmse,
-    forecastLinreg, groupOls, linreg, logregGd, bootstrapCi, welchTtest)
+  def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag,
+    forecastTree, forecastLinreg, groupOls, linreg, logregGd, bootstrapCi,
+    welchTtest)
 }

@@ -295,6 +295,15 @@ object Relational {
     * the difference between shuffling the whole fact table and ~10% of
     * it. The sketch is sized from the build side's count — one cheap
     * count job over the filtered dimension, NOT a hardcoded capacity.
+    *
+    * Caveat (by design): the count + bloom aggregation run EAGERLY at
+    * DataFrame-construction time — a caller that only builds the plan
+    * (PlanDump, plan specs) still pays those two jobs, and the
+    * serialized sketch (~1.2 MB at 1M keys) rides the plan as a binary
+    * Literal, so `executedPlan.toString` carries it. That is exactly
+    * how Spark's own runtime filtering materializes the sketch
+    * (aggregate → literal in the rewritten plan); plan-only tooling
+    * that must stay cheap should skip this query.
     */
   val bloomSemijoin = QueryDef(
     "q_bloom_semijoin",

@@ -503,7 +503,11 @@ object Text {
         .agg(sum(col("tf")).as("n_tokens"))
       val w = Window.orderBy("slice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vol.join(firsts, Seq("slice"))
+      // LEFT join from volumes: a slice whose tokens introduce zero new
+      // vocabulary types must still appear (and contribute its tokens
+      // to cum_tokens), or the slice axis becomes corpus-dependent
+      vol.join(firsts, Seq("slice"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .withColumn("cum_types", sum(col("new_types")).over(w))
         .withColumn("heaps_beta",
@@ -522,16 +526,17 @@ object Text {
           vol AS (SELECT CAST(doc_id * 10 // (mx + 1) AS INT) AS slice,
                          CAST(COUNT(*) AS BIGINT) AS n_tokens
                   FROM tok CROSS JOIN mx GROUP BY 1)
-          SELECT slice, n_tokens, new_types,
+          SELECT slice, n_tokens,
+                 CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types,
                  CAST(SUM(n_tokens) OVER (ORDER BY slice
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-                 CAST(SUM(new_types) OVER (ORDER BY slice
+                 CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY slice
                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
-                 ROUND(LN(CAST(SUM(new_types) OVER (ORDER BY slice
+                 ROUND(LN(CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY slice
                      ROWS UNBOUNDED PRECEDING) AS DOUBLE))
                    / LN(CAST(SUM(n_tokens) OVER (ORDER BY slice
                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS heaps_beta
-          FROM vol JOIN nt USING (slice)"""
+          FROM vol LEFT JOIN nt USING (slice)"""
     }
   )
 

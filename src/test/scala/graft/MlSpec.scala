@@ -43,22 +43,34 @@ class MlSpec extends SparkSpec {
     mllib.unpersist()
   }
 
-  test("MLlib RF forecast agrees in magnitude with the oracled linear twin") {
-    val rf = SparkEntry.queries("q_ml_forecast_rmse")(spark, sf0001).collect()
+  test("MLlib RF forecast agrees in magnitude with the oracled twins") {
+    // the RF variant is spec-pinned here, not registered (no closed
+    // form → no oracle); the registered family members are the
+    // DuckDB-replayable q_forecast_tree and q_forecast_linreg
+    val rf = queries.Ml.forecastRmse.fn(spark, sf0001).collect()
     assert(rf.length === 1)
     val rfRmse = rf(0).getAs[Double]("rmse")
     val lin = SparkEntry.queries("q_forecast_linreg")(spark, sf0001).collect()
     assert(lin.length === 1)
     val linRmse = lin(0).getAs[Double]("rmse")
+    val tree = SparkEntry.queries("q_forecast_tree")(spark, sf0001).collect()
+    assert(tree.length === 1)
+    val treeRmse = tree(0).getAs[Double]("rmse")
     // same task, same split discipline: the RF must be in the same
-    // error regime as the closed-form linear model — a broken pipeline
+    // error regime as both closed-form models — a broken pipeline
     // (leaked target → rmse ~0, wrong split / unfit model → rmse
     // orders of magnitude up) lands far outside. Order-of-magnitude
     // bounds on purpose: a tight constant here would trip on benign
     // generator or MLlib-version changes without any real bug.
-    assert(rfRmse > 0.0 && linRmse > 0.0)
+    assert(rfRmse > 0.0 && linRmse > 0.0 && treeRmse > 0.0)
     assert(rfRmse < linRmse * 10.0 && rfRmse > linRmse / 100.0,
       s"RF rmse $rfRmse out of regime vs linear $linRmse")
+    assert(rfRmse < treeRmse * 10.0 && rfRmse > treeRmse / 100.0,
+      s"RF rmse $rfRmse out of regime vs tree $treeRmse")
+    // both oracled twins share the exact same split: train/test sizes
+    // must agree between them
+    assert(tree(0).getAs[Long]("n_train") === lin(0).getAs[Long]("n_train"))
+    assert(tree(0).getAs[Long]("n_test") === lin(0).getAs[Long]("n_test"))
   }
 
   test("q_silhouette: scores in [-1, 1], every vector counted once") {
