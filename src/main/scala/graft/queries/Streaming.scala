@@ -187,7 +187,7 @@ object Streaming {
       q.awaitTermination()
       Streams.lastBatchCounts.put("stream_upsert", q.recentProgress.length.toLong)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      s.read.parquet(statusPath)
+      Streams.readStatus(s, statusPath).get
         .select(col("user_id"), col("last_ts").cast("timestamp_ntz").as("last_ts"),
           col("last_value"), col("last_type"))
     },

@@ -581,7 +581,7 @@ object Warehouse {
         graft.warehouse.GoldStage.refreshHourly(
           ev.filter(pmod(col("event_id"), lit(3)) === r), path)
       }
-      s.read.parquet(path).select(
+      graft.warehouse.GoldStage.readHourly(s, path).get.select(
         col("user_id"), col("event_type"), col("h"), col("n"),
         col("v_sum").cast("double").as("v_sum"), col("v_cnt"),
         col("q_sum").cast("double").as("q_sum"), col("q_cnt"))

@@ -1,0 +1,247 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Crash-safe publication for maintained parquet tables: a
+  * manifest-pointer commit in the Iceberg/Delta spirit, without
+  * adopting a table-format dependency.
+  *
+  * The reference keeps its maintained tables (status upserts, MV
+  * refreshes) in Postgres, where publication is a transaction
+  * (ref: sql/enhanced_data_schema.sql:440-467,566-591). Plain
+  * dynamic-partition-overwrite parquet has no such boundary: a job
+  * killed mid-rewrite leaves a half-replaced partition that readers
+  * see immediately. This module restores the boundary with three
+  * invariants:
+  *
+  *  1. data is IMMUTABLE once referenced — writers only ever create
+  *     NEW version directories (`<root>/v=<n>/…`), never touch files a
+  *     reader could be scanning;
+  *  2. a commit is ONE atomic pointer swap — the version's manifest
+  *     (a file listing `bucket → data dir`) is fully written and
+  *     synced first, then `<root>/_POINTER` is atomically renamed over
+  *     (HDFS rename and POSIX rename are atomic; object stores with
+  *     atomic rename — or a conditional-PUT pointer object — slot in
+  *     behind the same two calls);
+  *  3. readers resolve through the pointer — they see the previous
+  *     complete snapshot until the instant of the swap, and the new
+  *     complete snapshot after. A crash at ANY point before the swap
+  *     leaves only unreferenced garbage (cleaned by [[vacuum]]).
+  *
+  * Incremental writers keep their bounded write amplification: a
+  * refresh writes only the buckets its batch touched into the new
+  * version dir, and the new manifest CARRIES the untouched buckets'
+  * entries forward (still pointing into older version dirs) — exactly
+  * a table format's "new snapshot references old data files". A batch
+  * touching one user still costs one bucket of IO however large the
+  * accumulated table grows, and crash safety is no longer traded away
+  * for it.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_POINTER            one line: current manifest file name
+  *   <root>/manifest-<v>.txt    line 1 = version; then "<bucket>\t<dir>"
+  *   <root>/v=<v>/bucket=<b>/…  parquet data (or v=<v>/… for whole dirs)
+  * }}}
+  */
+object Commit {
+
+  /** One manifest entry: bucket id → data dir relative to the root.
+    * Whole-directory (unbucketed) snapshots use key = -1.
+    */
+  final case class Entry(key: Int, dir: String)
+
+  private val Pointer = "_POINTER"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current (version, entries), resolved through the pointer; None if
+    * nothing has ever been committed (a partially-written first
+    * version without a pointer swap reads as None — correct).
+    */
+  def current(spark: SparkSession, root: String): Option[(Long, Seq[Entry])] = {
+    val f = fs(spark, root)
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val name = readSmall(f, ptr).trim
+      val mf = new Path(root, name)
+      val lines = readSmall(f, mf).split("\n").toSeq.filter(_.nonEmpty)
+      val v = lines.head.toLong
+      val entries = lines.tail.map { l =>
+        val Array(k, dir) = l.split("\t", 2)
+        Entry(k.toInt, dir)
+      }
+      Some((v, entries))
+    }
+  }
+
+  /** Read the current snapshot. Bucketed entries come back with the
+    * bucket id as an int column named `bucketCol`; whole-dir entries
+    * (key -1) come back as-is. One parquet scan per distinct VERSION
+    * dir (entries sharing a version are listed into a single scan with
+    * that version as basePath, so `bucket=<b>` partition pruning and
+    * parallel listing still apply) — versions outstanding are bounded
+    * by vacuum cadence, not by table size. Returns None before any
+    * commit.
+    */
+  def read(spark: SparkSession, root: String,
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    current(spark, root).map { case (_, entries) =>
+      val whole = entries.filter(_.key < 0)
+      val byVersion = entries.filter(_.key >= 0)
+        .groupBy(e => e.dir.takeWhile(_ != '/'))
+      val parts =
+        whole.map(e => spark.read.parquet(s"$root/${e.dir}")) ++
+          byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
+            spark.read.option("basePath", s"$root/$vdir")
+              .parquet(es.map(e => s"$root/${e.dir}"): _*)
+              .withColumn(bucketCol, col(bucketCol).cast("int"))
+          }
+      parts.reduce(_ unionByName _)
+    }
+
+  private def readSmall(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def nextVersion(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    // max over BOTH manifests and v-dirs: a crashed publish may have
+    // left a v-dir (or a manifest) above the committed version, and a
+    // new writer must never reuse it
+    val committed = current(spark, root).map(_._1).getOrElse(0L)
+    val orphaned =
+      if (!f.exists(r)) 0L
+      else f.listStatus(r).map(_.getPath.getName).collect {
+        case n if n.startsWith("v=") => n.drop(2).toLong
+        case n if n.startsWith("manifest-") =>
+          n.stripPrefix("manifest-").stripSuffix(".txt").toLong
+      }.foldLeft(0L)(math.max)
+    math.max(committed, orphaned) + 1
+  }
+
+  /** Publish a new version whose data was just written by `write`
+    * (given the fresh version dir). The manifest's entries are the
+    * version dir's `bucket=<b>` children (plus carried entries for
+    * buckets this version did not rewrite), or a single whole-dir
+    * entry when the writer produced no bucket dirs.
+    */
+  private def publish(spark: SparkSession, root: String)
+      (write: String => Unit): Long = {
+    val f = fs(spark, root)
+    val v = nextVersion(spark, root)
+    val vdir = s"v=$v"
+    write(s"$root/$vdir")
+    val newBuckets = f.listStatus(new Path(root, vdir))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
+    val fresh =
+      if (newBuckets.isEmpty) Seq(Entry(-1, vdir))
+      else newBuckets.map(b => Entry(b, s"$vdir/bucket=$b"))
+    val carried =
+      if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
+      else current(spark, root).map(_._2).getOrElse(Nil)
+        .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
+    commitManifest(spark, root, v,
+      (carried ++ fresh).sortBy(_.key))
+    v
+  }
+
+  /** Write + sync the manifest file, then atomically swap the pointer.
+    * Everything before the final rename is invisible to readers.
+    */
+  private def commitManifest(spark: SparkSession, root: String, v: Long,
+      entries: Seq[Entry]): Unit = {
+    val f = fs(spark, root)
+    val name = s"manifest-$v.txt"
+    val body = (v.toString +: entries.map(e => s"${e.key}\t${e.dir}"))
+      .mkString("\n")
+    val mf = new Path(root, name)
+    val out = f.create(mf, true)
+    try {
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+      out.hflush(); out.hsync()
+    } finally out.close()
+    // stage the new pointer content beside the target, then rename
+    val tmp = new Path(root, s".$Pointer.tmp-$v")
+    val pout = f.create(tmp, true)
+    try {
+      pout.write(name.getBytes(StandardCharsets.UTF_8))
+      pout.hflush(); pout.hsync()
+    } finally pout.close()
+    atomicRename(spark, tmp, new Path(root, Pointer))
+  }
+
+  /** Atomic replace of `dst` by `src`. Local paths go through POSIX
+    * rename (atomic, replaces); everything else through FileContext
+    * rename with OVERWRITE (atomic on HDFS — the same primitive HBase
+    * and Delta-on-HDFS commit with).
+    */
+  private def atomicRename(spark: SparkSession, src: Path, dst: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val uri = src.getFileSystem(conf).getUri
+    if (uri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      FileContext.getFileContext(uri, conf)
+        .rename(src, dst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Commit `df` partitioned by `bucketCol`: only the buckets present
+    * in `df` are written; the rest carry forward from the current
+    * manifest. This is the incremental-upsert publication: bounded
+    * write amplification AND a transactional boundary.
+    */
+  def publishBuckets(df: DataFrame, root: String,
+      bucketCol: String = "bucket"): Long =
+    publish(df.sparkSession, root) { vdir =>
+      df.write.mode("overwrite").partitionBy(bucketCol).parquet(vdir)
+    }
+
+  /** Commit a whole-snapshot rewrite (compaction, full MV rebuild):
+    * the writer fills the fresh version dir, the manifest replaces all
+    * previous entries.
+    */
+  def publishDir(spark: SparkSession, root: String)
+      (write: String => Unit): Long =
+    publish(spark, root)(write)
+
+  /** Delete versions and manifests no longer referenced by the current
+    * pointer — crashed-publish garbage and superseded snapshots. NOT
+    * called automatically: in-flight readers may still be scanning a
+    * superseded version, so production runs this on a grace-period
+    * schedule (the standard table-format vacuum contract).
+    */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    current(spark, root).foreach { case (v, entries) =>
+      val live = entries.map(_.dir.takeWhile(_ != '/')).toSet
+      f.listStatus(new Path(root)).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale =
+          (n.startsWith("v=") && !live.contains(n)) ||
+            (n.startsWith("manifest-") &&
+              n.stripPrefix("manifest-").stripSuffix(".txt").toLong != v) ||
+            n.startsWith(s".$Pointer.tmp-")
+        if (stale) f.delete(p, true)
+      }
+    }
+  }
+}

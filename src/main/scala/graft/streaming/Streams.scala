@@ -323,15 +323,21 @@ object Streams {
     * Last-writer-wins on (ts, event_id).
     *
     * Write amplification is bounded by the buckets the batch TOUCHES,
-    * not the table: only those partitions are read for the merge, and
-    * dynamic partition overwrite rewrites only them — a micro-batch
-    * touching one user costs one bucket's worth of IO however large
-    * the accumulated status table grows. The merged slice is
-    * materialized (localCheckpoint) before the write because it reads
-    * the same partitions it overwrites; blocks are released after. At
-    * production scale the same shape is one Delta/Iceberg MERGE —
-    * parquet-with-buckets keeps the engine dependency-free and the IO
-    * bound identical.
+    * not the table: only those buckets are read for the merge and only
+    * they are written into the new version — a micro-batch touching
+    * one user costs one bucket's worth of IO however large the
+    * accumulated status table grows.
+    *
+    * Publication goes through [[graft.sources.Commit]]: the merged
+    * slices land in a fresh version dir and commit in one atomic
+    * pointer swap, untouched buckets carried forward by manifest entry.
+    * A micro-batch killed mid-write leaves readers on the previous
+    * complete snapshot, and the stream's retry simply re-runs the merge
+    * — safe because last-writer-wins is idempotent, and the crashed
+    * attempt's version dir is unreferenced garbage (Commit.vacuum).
+    * At production scale the same shape is one Delta/Iceberg MERGE —
+    * the manifest keeps the engine dependency-free with the same
+    * transactional boundary and IO bound.
     */
   def statusUpsert(batch: DataFrame, statusPath: String,
       buckets: Int = 16): Unit = {
@@ -344,12 +350,9 @@ object Streams {
         struct(col("ts"), col("event_id"))).as("s"))
       .select(col("user_id"), col("s.ts").as("last_ts"),
         col("s.value").as("last_value"), col("s.event_type").as("last_type")))
-    val existing =
-      try spark.read.parquet(statusPath)
-      catch { case _: Exception => spark.emptyDataFrame }
-    val merged =
-      if (existing.isEmpty) incoming
-      else {
+    val merged = graft.sources.Commit.read(spark, statusPath) match {
+      case None => incoming
+      case Some(existing) =>
         // ≤ `buckets` driver values — which partitions this batch touches
         val touched = incoming.select("bucket").distinct()
           .collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -362,24 +365,16 @@ object Streams {
           .select(col("user_id"), col("s.last_ts").as("last_ts"),
             col("s.last_value").as("last_value"),
             col("s.last_type").as("last_type")))
-      }
-    // materialize the merged slice before overwriting the partitions it
-    // was read from, then release the blocks. localCheckpoint blocks are
-    // executor-local and non-replicated: executor loss between the
-    // checkpoint and the write fails THIS micro-batch, and the stream
-    // retries it from the source — acceptable because the merge is
-    // idempotent (last-writer-wins re-derives the same slice); an
-    // engine without micro-batch retry would need reliable checkpointing
-    // here instead.
-    val out = merged.localCheckpoint(true)
-    // per-WRITE dynamic-overwrite scope: a session-level conf flip would
-    // leak dynamic semantics to any concurrent writer in the shared
-    // session and two concurrent upsert streams could race the restore
-    try out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(statusPath)
-    finally out.unpersist()
+    }
+    graft.sources.Commit.publishBuckets(merged, statusPath)
   }
+
+  /** Reader for the maintained status table — resolves through the
+    * manifest pointer (None before the first upsert commits).
+    */
+  def readStatus(spark: org.apache.spark.sql.SparkSession,
+      statusPath: String): Option[DataFrame] =
+    graft.sources.Commit.read(spark, statusPath)
 
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) into a named memory sink; returns the

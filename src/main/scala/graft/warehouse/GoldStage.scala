@@ -164,6 +164,21 @@ object GoldStage {
     * the partial's declared type — exact while the per-key value mass
     * stays under 10^24, which a (user, type, hour) grain cannot
     * approach.
+    *
+    * Publication goes through [[graft.sources.Commit]]: the merged
+    * touched-bucket slices land in a NEW version dir and become
+    * visible in one atomic pointer swap, with untouched buckets
+    * carried forward by manifest entry (no IO). A job killed mid-write
+    * leaves readers on the previous complete snapshot (CommitSpec
+    * kills one and proves it) — the crash-safety the reference gets
+    * from Postgres transactions on its MV refresh
+    * (enhanced_data_schema.sql:440-467). Because the merge now reads
+    * committed version dirs and writes a fresh one, no
+    * read-what-you-overwrite materialization barrier is needed.
+    * Unlike statusUpsert's last-writer-wins, an additive merge is NOT
+    * idempotent under batch replay: exactly-once batch delivery is
+    * the CALLER's contract (foreachBatch batchId dedup, or a MERGE
+    * keyed on a batch id column in production).
     */
   def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16): Unit = {
     val spark = batch.sparkSession
@@ -171,12 +186,9 @@ object GoldStage {
       pmod(col("user_id"), lit(buckets)).cast("int"))
     val incoming = hourlyPartials(withQuality(batch))
     val sumType = incoming.schema("v_sum").dataType
-    val existing =
-      try spark.read.parquet(path)
-      catch { case _: Exception => spark.emptyDataFrame }
-    val merged =
-      if (existing.isEmpty) bucketed(incoming)
-      else {
+    val merged = graft.sources.Commit.read(spark, path) match {
+      case None => bucketed(incoming)
+      case Some(existing) =>
         val inc = bucketed(incoming)
         // ≤ `buckets` driver values — which partitions this batch touches
         val touched = inc.select("bucket").distinct()
@@ -191,18 +203,15 @@ object GoldStage {
             sum(col("v_cnt")).as("v_cnt"),
             sum(col("q_sum")).cast(sumType).as("q_sum"),
             sum(col("q_cnt")).as("q_cnt")))
-      }
-    // Materialize before overwriting partitions the merge read from.
-    // Unlike statusUpsert's last-writer-wins, an additive merge is NOT
-    // idempotent under batch replay: exactly-once batch delivery is
-    // the CALLER's contract (foreachBatch batchId dedup, or a MERGE
-    // keyed on a batch id column in production).
-    val out = merged.localCheckpoint(true)
-    try out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
-    finally out.unpersist()
+    }
+    graft.sources.Commit.publishBuckets(merged, path)
   }
+
+  /** Reader for the incrementally-maintained hourly fact — resolves
+    * through the manifest pointer (None before the first refresh).
+    */
+  def readHourly(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.sources.Commit.read(spark, path)
 
   /** Exact AVG over staged partials: Σ(decimal partial sums) cast to
     * double, over Σ(partial counts) — the re-aggregated twin of

@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.{Commit, Sources}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+/** Manifest-pointer commit (graft.sources.Commit): readers must see a
+  * complete snapshot at every instant — before, during, and after a
+  * publish — and a publish job KILLED mid-write must leave the
+  * previous snapshot untouched and visible. This is the transactional
+  * boundary the reference gets from Postgres for its maintained
+  * tables (MV refresh, status trigger).
+  */
+class CommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/table"
+
+  private def statusDf(rows: (Long, Double)*) =
+    rows.toDF("user_id", "v")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+
+  test("a job killed mid-write leaves readers on the old complete snapshot") {
+    val root = tmp("commit-kill")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), root)
+    val before = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    val pointerBefore = Files.readString(Paths.get(root, "_POINTER"))
+
+    // the killer: a dataset whose evaluation aborts the write job
+    // after some tasks have already written files — a real mid-write
+    // crash of the Spark job, not a mocked one
+    val poison = spark.range(0, 100, 1, 4)
+      .select(col("id").as("user_id"),
+        // the assertion feeds the KEPT column so pruning can't drop it
+        expr("if(assert_true(id < 50, 'killed mid-write') is null, " +
+          "cast(id as double), -1.0)").as("v"),
+        pmod(col("id"), lit(4)).cast("int").as("bucket"))
+    val died = intercept[Exception] {
+      Commit.publishBuckets(poison, root)
+    }
+    assert(died != null)
+
+    // pointer untouched; readers resolve the old snapshot exactly
+    assert(Files.readString(Paths.get(root, "_POINTER")) === pointerBefore)
+    val after = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(after === before, "reader saw a partial snapshot after a crash")
+
+    // the crashed attempt's version is garbage, never reused: the next
+    // successful publish takes a HIGHER version and commits cleanly
+    val v = Commit.publishBuckets(statusDf(1L -> 9.0), root)
+    assert(v >= 3, s"crashed version number reused: $v")
+    val merged = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    // bucket 1 (users 1) replaced wholesale; buckets of users 2,3 carried
+    assert(merged === Set(1L -> 9.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
+  test("a manifest without a pointer swap is invisible; versions never rewind") {
+    val root = tmp("commit-nopswap")
+    Commit.publishBuckets(statusDf(1L -> 1.0), root)
+    // crash AFTER manifest write, BEFORE pointer swap: fabricate the
+    // exact on-disk state (data + manifest present, pointer old)
+    val fake = statusDf(1L -> 777.0)
+    fake.write.partitionBy("bucket").parquet(s"$root/v=7")
+    Files.writeString(Paths.get(root, "manifest-7.txt"), "7\n1\tv=7/bucket=1")
+    val got = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(got === Set(1L -> 1.0), "unswapped manifest became visible")
+    // a new publish must jump past the orphaned version
+    val v = Commit.publishBuckets(statusDf(2L -> 2.0), root)
+    assert(v === 8, s"orphaned version reused: $v")
+  }
+
+  test("vacuum drops unreferenced versions and manifests, keeps the snapshot") {
+    val root = tmp("commit-vacuum")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root)
+    Commit.publishBuckets(statusDf(1L -> 5.0), root) // v=2 supersedes bucket 1
+    // orphan garbage from a "crash"
+    Files.createDirectories(Paths.get(root, "v=9"))
+    Files.writeString(Paths.get(root, "manifest-9.txt"), "9")
+    Commit.vacuum(spark, root)
+    val left = Files.list(Paths.get(root)).iterator()
+    val names = Iterator.continually(left)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(!names.contains("v=9") && !names.contains("manifest-9.txt"))
+    // v=1 still referenced (bucket 2 carried) → must survive
+    assert(names.contains("v=1") && names.contains("v=2"))
+    val got = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(got === Set(1L -> 5.0, 2L -> 2.0))
+  }
+
+  test("compactCommit publishes whole snapshots atomically") {
+    val root = tmp("commit-compact")
+    val landing = Files.createTempDirectory("commit-landing").toString
+    spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(landing)
+    val n = Sources.compactCommit(spark, landing, root)
+    assert(n === 1) // tiny input compacts to one file
+    assert(Commit.read(spark, root).get.count() === 1000)
+    // recompaction replaces the whole snapshot; old version vacuums away
+    Sources.compactCommit(spark, landing, root)
+    Commit.vacuum(spark, root)
+    assert(Commit.read(spark, root).get.count() === 1000)
+    assert(!Files.exists(Paths.get(root, "v=1")))
+  }
+}

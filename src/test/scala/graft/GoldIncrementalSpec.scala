@@ -33,14 +33,14 @@ class GoldIncrementalSpec extends SparkSpec {
       ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
       ev.filter(col("event_id") > cuts(1)))
     batches.foreach(b => GoldStage.refreshHourly(b, path))
-    val got = canon(spark.read.parquet(path).drop("bucket"))
+    val got = canon(GoldStage.readHourly(spark, path).get.drop("bucket"))
     val want = canon(full(ev))
     assert(got.length === want.length)
     assert(got.sameElements(want),
       "incrementally-maintained fact differs from the from-scratch build")
   }
 
-  test("a batch keyed to one bucket rewrites only that bucket's files") {
+  test("a batch keyed to one bucket writes only that bucket into the new version") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-gold-inc2").toString + "/hourly"
     val ev = events
@@ -58,21 +58,27 @@ class GoldIncrementalSpec extends SparkSpec {
       .limit(1).localCheckpoint(true)
     val bucket = oneUser.select(pmod(col("user_id"), lit(16)).cast("int"))
       .head.getInt(0)
-    Thread.sleep(1100) // mtime granularity
     GoldStage.refreshHourly(oneUser, path)
     val after = fileStamps()
-    val changed = after.filter { case (p, m) => before.get(p) != Some(m) }
-    // every new/modified file lives in the touched bucket's partition dir
-    assert(changed.nonEmpty)
-    assert(changed.keys.forall(_.contains(s"bucket=$bucket")),
-      s"files outside bucket=$bucket rewritten: ${changed.keys}")
-    // untouched buckets' files survive verbatim
-    val untouchedBefore = before.keys.filterNot(_.contains(s"bucket=$bucket"))
-    assert(untouchedBefore.forall(after.contains),
-      "untouched bucket files were dropped")
+    // committed data is immutable: every pre-existing file survives
+    // byte-for-byte (stamps included) — the refresh only ADDS files
+    before.foreach { case (p, m) =>
+      assert(after.get(p) === Some(m), s"committed file disturbed: $p")
+    }
+    // and everything added lives in the new version's touched bucket
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty)
+    assert(added.forall(p => p.contains("v=2") && p.contains(s"bucket=$bucket")),
+      s"files outside v=2/bucket=$bucket written: $added")
+    // untouched buckets are carried forward by manifest entry, still
+    // pointing into v=1
+    val (_, entries) = sources.Commit.current(spark, path).get
+    entries.filter(_.key != bucket).foreach(e =>
+      assert(e.dir.startsWith("v=1/"), s"untouched entry rewritten: $e"))
     // and the merged content is still exact
     val want = canon(full(ev.filter(col("event_id") % 2 === 0)
       .unionByName(oneUser)))
-    assert(canon(spark.read.parquet(path).drop("bucket")).sameElements(want))
+    assert(canon(GoldStage.readHourly(spark, path).get.drop("bucket"))
+      .sameElements(want))
   }
 }

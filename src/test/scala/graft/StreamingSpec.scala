@@ -270,19 +270,19 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "ts", "value", "event_type", "event_id")
     Streams.statusUpsert(b1, path)
     Streams.statusUpsert(b2, path)
-    val out = spark.read.parquet(path)
+    val out = Streams.readStatus(spark, path).get
       .select("user_id", "last_value").as[(Long, Double)].collect().toSet
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
 
-  test("statusUpsert rewrites only the buckets a micro-batch touches") {
+  test("statusUpsert writes only the buckets a micro-batch touches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("status_bkt").toString
     val path = s"$dir/status"
-    def bucketFiles(b: Int): Map[String, Long] = {
-      val p = Paths.get(path, s"bucket=$b")
+    def bucketFiles(v: Int, b: Int): Map[String, Long] = {
+      val p = Paths.get(path, s"v=$v", s"bucket=$b")
       if (!Files.exists(p)) Map.empty
       else Files.list(p).iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
@@ -292,18 +292,24 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L))
       .toDF("user_id", "ts", "value", "event_type", "event_id")
     Streams.statusUpsert(b1, path)
-    val bucket1Before = bucketFiles(1)
-    val bucket2Before = bucketFiles(2)
-    assert(bucket1Before.nonEmpty && bucket2Before.nonEmpty)
-    // second batch touches ONLY user 1 → only bucket 1 may be rewritten
+    val bucket1V1 = bucketFiles(1, 1)
+    val bucket2V1 = bucketFiles(1, 2)
+    assert(bucket1V1.nonEmpty && bucket2V1.nonEmpty)
+    // second batch touches ONLY user 1 → only bucket 1 appears in v=2,
+    // bucket 2's v=1 files survive untouched and stay referenced
     val b2 = Seq((1L, ts(500), 9.0, "flow", 3L))
       .toDF("user_id", "ts", "value", "event_type", "event_id")
     Streams.statusUpsert(b2, path)
-    assert(bucketFiles(2) === bucket2Before,
+    assert(bucketFiles(1, 2) === bucket2V1,
       "untouched bucket was rewritten — write amplification is O(table)")
-    assert(bucketFiles(1) !== bucket1Before, "touched bucket not rewritten")
+    assert(bucketFiles(2, 1).nonEmpty, "touched bucket not in new version")
+    assert(bucketFiles(2, 2).isEmpty,
+      "untouched bucket copied into new version — write amplification")
+    val (_, entries) = sources.Commit.current(spark, path).get
+    assert(entries.find(_.key == 2).get.dir.startsWith("v=1/"))
+    assert(entries.find(_.key == 1).get.dir.startsWith("v=2/"))
     // and the merge is still last-writer-wins
-    val out = spark.read.parquet(path)
+    val out = Streams.readStatus(spark, path).get
       .select("user_id", "last_value").as[(Long, Double)].collect().toSet
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
