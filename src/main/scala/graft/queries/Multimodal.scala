@@ -15,13 +15,27 @@ object Multimodal {
   val decode = QueryDef(
     "q_mm_decode",
     (s, d) => Media.decode(Media.asMedia(Tables.documents(s, d))),
+    // image rows (doc_id % 3 = 0): the oracle states the FIXTURE — the
+    // constructed PNG's dims (imgW/imgH formulas) and its closed-form
+    // stored-deflate byte length 68 + h*(1+3w); the engine side reports
+    // what javax.imageio actually decoded, so a green row proves the
+    // real codec read back the constructed bitstream. Audio/video rows
+    // keep the documented stub arithmetic.
     Some("""SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
                         ELSE 'video/mp4' END AS mime,
-                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                   CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
-                   CAST(64 + (octet_length(encode(text)) * 7) % 577 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0
+                             THEN 68 + (8 + (doc_id * 3) % 16)
+                                  * (1 + 3 * (8 + doc_id % 16))
+                             ELSE octet_length(encode(text)) END AS INT)
+                     AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+                             ELSE 64 + octet_length(encode(text)) % 577 END
+                     AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
+                             ELSE 64 + (octet_length(encode(text)) * 7) % 577
+                        END AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2
                              THEN 1 + octet_length(encode(text)) % 240
                              ELSE 1 END AS INT) AS n_frames
@@ -48,8 +62,12 @@ object Multimodal {
       Media.decode(Media.asMedia(Tables.documents(s, d))), box = 224),
     Some("""WITH dec AS (
               SELECT doc_id,
-                     CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
-                     CAST(64 + (octet_length(encode(text)) * 7) % 577 AS INT) AS height
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+                               ELSE 64 + octet_length(encode(text)) % 577 END
+                       AS INT) AS width,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
+                               ELSE 64 + (octet_length(encode(text)) * 7) % 577
+                          END AS INT) AS height
               FROM documents)
             SELECT doc_id, width, height,
                    CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INT)

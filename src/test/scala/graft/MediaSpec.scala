@@ -16,12 +16,34 @@ class MediaSpec extends SparkSpec {
     val d2 = Media.decode(Media.asMedia(docs)).collect().sortBy(_.getLong(0))
     assert(d1.toSeq === d2.toSeq)
     assert(d1.length === 4)
-    val r0 = d1(0) // doc 0: "tiny", image
+    val r0 = d1(0) // doc 0: image — a REAL PNG, really decoded
     assert(r0.getString(1) === "image/png")
-    assert(r0.getInt(2) === 4)
-    assert(r0.getInt(3) === 64 + 4 % 577)
+    // fixture dims for doc 0: 8×8; stored-deflate length 68 + h*(1+3w)
+    assert(r0.getInt(3) === 8 && r0.getInt(4) === 8)
+    assert(r0.getInt(2) === 68 + 8 * (1 + 3 * 8))
     // only videos get multiple frames
     assert(d1.filter(_.getString(1) != "video/mp4").forall(_.getInt(5) === 1))
+  }
+
+  test("pngBytes is a valid PNG: ImageIO decodes the exact constructed bitmap") {
+    for (id <- Seq(0L, 3L, 6L, 9L, 33L, 48L)) {
+      val (w, h) = (Media.imgW(id), Media.imgH(id))
+      val bytes = Media.pngBytes(w, h, id)
+      // closed-form length the oracle states
+      assert(bytes.length === 68 + h * (1 + 3 * w))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: codec rejected the PNG")
+      assert(img.getWidth === w && img.getHeight === h)
+      // pixel-exact roundtrip: the codec must return the generator's
+      // channel values (truecolor 8-bit, filter None — lossless)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === ((x * 7 + y * 13 + id) % 256).toInt)
+        assert(((rgb >> 8) & 0xff) === ((x * 3 + y * 5 + id * 11) % 251).toInt)
+        assert((rgb & 0xff) === ((x + y * 17 + id * 29) % 241).toInt)
+      }
+    }
   }
 
   test("sampleFrames explodes every step-th frame of videos only") {
