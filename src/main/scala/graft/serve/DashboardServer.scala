@@ -97,22 +97,40 @@ final class DashboardServer(
     sb.append(']').toString
   }
 
-  /** Cached payload for `name`, recomputing if stale. Concurrent
-    * requests for a stale entry may compute twice (last write wins) —
-    * harmless (both payloads are correct) and simpler than a per-query
-    * lock around a Spark job.
+  /** One in-flight recompute per query (single-flight). */
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Cached payload for `name`, recomputing if stale — SINGLE-FLIGHT:
+    * when an entry expires under concurrent load, exactly one request
+    * runs the Spark job; the others serve the STALE payload until the
+    * swap (stale-while-revalidate — a 30 s dashboard would rather see
+    * a 31 s-old page than queue N identical Spark jobs). On a cold
+    * entry there is nothing stale to serve, so followers wait on the
+    * winner's future instead of stampeding the cluster.
     */
   private def payload(name: String): String = {
     val hit = cache.get(name)
     if (hit != null && clock() - hit._2 < ttlMillis) hit._1
     else {
-      val json = toJson(SparkEntry.queries(name)(spark, dataDir))
-      computes.merge(name, 1L, (a, b) => a + b)
-      // stamp AFTER the recompute: the TTL measures payload AGE. Stamping
-      // before would shorten a t-second query's effective TTL to ttl−t,
-      // making slow queries refresh more often than the 30 s contract.
-      cache.put(name, (json, clock()))
-      json
+      val mine = new java.util.concurrent.CompletableFuture[String]()
+      val winner = inflight.putIfAbsent(name, mine)
+      if (winner == null) {
+        try {
+          val json = toJson(SparkEntry.queries(name)(spark, dataDir))
+          computes.merge(name, 1L, (a, b) => a + b)
+          // stamp AFTER the recompute: the TTL measures payload AGE.
+          // Stamping before would shorten a t-second query's effective
+          // TTL to ttl−t, making slow queries refresh more often than
+          // the 30 s contract.
+          cache.put(name, (json, clock()))
+          mine.complete(json)
+          json
+        } catch {
+          case e: Throwable => mine.completeExceptionally(e); throw e
+        } finally inflight.remove(name, mine)
+      } else if (hit != null) hit._1 // stale-while-revalidate
+      else winner.join() // cold: exactly one compute, everyone shares it
     }
   }
 
@@ -145,13 +163,23 @@ final class DashboardServer(
           }
       }
     })
-    s.setExecutor(null) // serve on the dispatch thread; payloads are cached
+    // a real (small) pool: dashboard routes are cache hits almost
+    // always, but requests must be able to OVERLAP so the
+    // single-flight path is exercised rather than masked by
+    // dispatch-thread serialization
+    pool = Some(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.setExecutor(pool.get)
     s.start()
     server = Some(s)
     s.getAddress.getPort
   }
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  private var pool: Option[java.util.concurrent.ExecutorService] = None
+
+  def stop(): Unit = {
+    server.foreach(_.stop(0)); server = None
+    pool.foreach(_.shutdown()); pool = None
+  }
 }
 
 object DashboardServer {

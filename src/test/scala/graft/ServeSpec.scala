@@ -91,6 +91,48 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("single-flight: racing expired requests observe exactly one recompute") {
+    val now = new java.util.concurrent.atomic.AtomicLong(0L)
+    val srv = new DashboardServer(spark, sf0001,
+      queryNames = Seq("q_dash_districts"),
+      ttlMillis = 30000L, clock = () => now.get())
+    val port = srv.start()
+    try {
+      def race(n: Int): Seq[String] = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val futs = (1 to n).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[String] {
+              def call(): String = {
+                gate.await()
+                val r = get(port, "/api/q_dash_districts")
+                assert(r.statusCode() == 200)
+                r.body()
+              }
+            })
+          }
+          gate.countDown() // fire all requests as simultaneously as we can
+          futs.map(_.get())
+        } finally pool.shutdown()
+      }
+      // COLD stampede: no cached value — followers must wait on the one
+      // winner's future, not each launch a Spark job
+      val cold = race(8)
+      assert(srv.computeCount("q_dash_districts") == 1L,
+        "cold stampede ran more than one Spark job")
+      assert(cold.toSet.size == 1)
+      // EXPIRED stampede: a stale value exists — exactly one request
+      // recomputes; the rest serve the stale payload until the swap
+      now.addAndGet(30001L)
+      val stale = race(8)
+      assert(srv.computeCount("q_dash_districts") == 2L,
+        "expired stampede ran more than one recompute")
+      // every body is a complete payload (stale or fresh — both valid)
+      stale.foreach(b => assert(b.startsWith("[") && b.endsWith("]")))
+    } finally srv.stop()
+  }
+
   test("rejects unknown query names at construction") {
     intercept[IllegalArgumentException] {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
