@@ -143,11 +143,61 @@ final class DashboardServer(
     try os.write(bytes) finally os.close()
   }
 
+  /** The dashboard PAGE (the reference's templates/dashboard page,
+    * app.py:760-858): one static HTML document that fetches the six
+    * JSON routes client-side and renders them as tables, auto-
+    * refreshing every 30 s like the reference's page. Server-side it
+    * is a constant string — all data flows through the same cached
+    * /api routes the page shares with programmatic consumers.
+    */
+  private def pageHtml: String = {
+    val qs = queryNames.map(q => s""""$q"""").mkString("[", ",", "]")
+    s"""<!doctype html><html><head><meta charset="utf-8">
+       |<title>graft dashboard</title><style>
+       |body{font-family:system-ui,sans-serif;margin:1.5rem;background:#f7f7f5}
+       |h1{font-size:1.2rem} h2{font-size:1rem;margin:.4rem 0}
+       |section{background:#fff;border:1px solid #ddd;border-radius:6px;
+       |  padding:.8rem;margin-bottom:1rem}
+       |table{border-collapse:collapse;font-size:.85rem}
+       |td,th{border:1px solid #e2e2e2;padding:.25rem .5rem;text-align:right}
+       |th{background:#fafafa} td:first-child,th:first-child{text-align:left}
+       |#stamp{color:#777;font-size:.8rem}</style></head><body>
+       |<h1>graft dashboard</h1><div id="stamp"></div><div id="root"></div>
+       |<script>
+       |const QS=$qs;
+       |function render(el,rows){if(!rows.length){el.textContent='(empty)';return}
+       | const cols=Object.keys(rows[0]);
+       | let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+       | for(const r of rows.slice(0,50))
+       |  h+='<tr>'+cols.map(c=>'<td>'+(r[c]===null?'':r[c])+'</td>').join('')+'</tr>';
+       | el.innerHTML=h+'</table>';}
+       |async function refresh(){
+       | const root=document.getElementById('root');
+       | for(const q of QS){
+       |  let sec=document.getElementById('s_'+q);
+       |  if(!sec){sec=document.createElement('section');sec.id='s_'+q;
+       |   sec.innerHTML='<h2>'+q+'</h2><div class="t"></div>';
+       |   root.appendChild(sec);}
+       |  try{const r=await fetch('/api/'+q);
+       |   render(sec.querySelector('.t'),await r.json());}
+       |  catch(e){sec.querySelector('.t').textContent='error: '+e;}}
+       | document.getElementById('stamp').textContent=
+       |  'refreshed '+new Date().toISOString()+' — auto-refresh 30 s';}
+       |refresh();setInterval(refresh,30000);
+       |</script></body></html>""".stripMargin
+  }
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/healthz", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")
+    })
+    s.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestURI.getPath == "/")
+          respond(ex, 200, pageHtml, "text/html; charset=utf-8")
+        else respond(ex, 404, """{"error":"not found"}""")
     })
     s.createContext("/api/", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {

@@ -91,6 +91,10 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // explicit (both default-on in Spark 4): the skewed sweep relies
+      // on AQE's oversized-partition splitting being engaged
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -221,6 +225,68 @@ object ScaleBench {
         (if (e.isNaN) "null" else jNum(e)) + "}"
     }.mkString("{", ",", "}")
 
+    // ---- adversarially-skewed points (join/graph/dedup under hot keys) ----
+    // ScaleUp's plain replicas inherit sf0.1's key distribution, so the
+    // exponents above never meet a NEW hot key. buildSkewed hands 20%
+    // of orders to one customer, 20% of line items to one supplier and
+    // a shared boilerplate token to 20% of documents; measuring the
+    // same families at sk0.1 → sk0.3 fits an exponent WITH the skew
+    // held constant. AQE skew-join splitting plus the by-construction
+    // mitigations (degree caps in the co-purchase graph, df-capped
+    // inverted-index buckets) are what should keep it ~linear; a
+    // super-linear family here is a named bug (salt it, re-measure).
+    val skewOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKEWED", "1") != "0"
+    val skewJson = if (!skewOn) "null" else {
+      val skewFams = Families.filter { case (f, _) =>
+        Set("join", "graph", "dedup")(f) &&
+          (onlyFam.isEmpty || onlyFam(f)) }
+      val skSuite = skewFams.flatMap(_._2)
+        .map(q => q -> graft.SparkEntry.queries(q))
+      val skGen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val skPoints = Seq(("sk0.1", 1), ("sk0.3", 3)).map { case (l, kk) =>
+        val out = s"$genRoot/$l"
+        val t0 = System.nanoTime()
+        ScaleUp.ensureSkewed(spark, s"$testRoot/sf0.1", out, kk)
+        skGen(l) = (System.nanoTime() - t0) / 1e9
+        (l, out, 0.1 * kk)
+      }
+      val skTimes = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[String, Seq[Double]]]
+      skPoints.foreach { case (label, dir, _) =>
+        skSuite.foreach { case (_, fn) => fn(spark, dir).count() } // warm+stages
+        System.gc()
+        skSuite.foreach { case (name, fn) =>
+          val ts = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          skTimes.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap.empty)(label) = ts
+          System.err.println(f"[scale][skew] $label $name ${median(ts)}%.2f s")
+        }
+      }
+      val skSfOf = skPoints.map(p => p._1 -> p._3).toMap
+      val fams = skewFams.map { case (fam, qs) =>
+        val c = skPoints.map { case (l, _, _) =>
+          l -> qs.map(q => skTimes(q)(l).min).sum }
+        val eTop = slope(c.map { case (l, t) => (skSfOf(l), t) })
+        // contention-corrected skew cost: skewed vs plain at the SAME
+        // row count (sk0.3 vs sf0.3, both min-statistics, same session)
+        val plain03 = qs.map(q => times(q)("sf0.3").min).sum
+        val ratio = c.last._2 / math.max(plain03, 1e-9)
+        val secs = c.map { case (l, t) => s"\"$l\":${jNum(t)}" }
+          .mkString("{", ",", "}")
+        s"\"$fam\":{\"secs_min\":$secs,\"exponent_top\":${jNum(eTop)}," +
+          s"\"vs_plain_sf03\":${jNum(ratio)}}"
+      }.mkString("{", ",", "}")
+      val skPtJson = skPoints.map { case (l, d, sf) =>
+        s"""{"label":"$l","sf":$sf,"dir":"$d","gen_secs":${jNum(skGen(l))}}"""
+      }.mkString("[", ",", "]")
+      s"""{"points":$skPtJson,"families":$fams,""" +
+        s""""note":"hot keys own ~20% of fact rows (ScaleUp.buildSkewed); exponent_top fits sk0.1->sk0.3 with skew held constant; vs_plain_sf03 is the skew cost at equal row count. AQE skew-join + degree caps + df-capped index buckets are the engaged mitigations."}"""
+    }
+
     val ptJson = points.map { case (l, d, sf) =>
       s"""{"label":"$l","sf":$sf,"dir":"$d"""" +
         genSecs.get(l).map(s => s""","gen_secs":${jNum(s)}""").getOrElse("") + "}"
@@ -229,7 +295,7 @@ object ScaleBench {
 
     val out =
       s"""{"points":$ptJson,"iters":$iters,"families":$famJson,""" +
-        s""""stage_builds":$stageJson,""" +
+        s""""stage_builds":$stageJson,"skewed":$skewJson,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"build_iters":$buildIters,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","cpus":"$cpus",""" +
         s""""note":"exponents fit on per-SF min times (contention-robust); exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
     java.nio.file.Files.writeString(

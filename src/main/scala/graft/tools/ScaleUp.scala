@@ -71,7 +71,49 @@ object ScaleUp {
     * and directories identically; multiple splits also mean the scan
     * parallelizes without [[graft.Tables]]'s single-file fanout).
     */
-  def build(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+  def build(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit =
+    buildWith(spark, srcDir, outDir, k, Map.empty)
+
+  /** Adversarially-SKEWED variant of [[build]]: same key-shifted
+    * replicas, then ~20% of the fact rows are remapped onto ONE hot
+    * key per dimension — the distribution [[build]]'s replicas can
+    * never produce (they inherit sf0.1's profile, so the measured
+    * exponents there never meet a genuinely new hot key):
+    *
+    *  - orders: o_orderkey % 5 == 0 → customer 1 (one customer owns
+    *    20% of all orders, across every replica — the hot key GROWS
+    *    with SF, the adversarial case for the customer joins),
+    *  - lineitem: l_orderkey % 5 == 0 → supplier 1 (one supplier on
+    *    20% of line items — the co-purchase graph gains a hub whose
+    *    basket is 20% of the catalog; degree caps must hold),
+    *  - events: event_id % 5 == 0 → user 1 (hot user for the
+    *    per-user aggs/windows),
+    *  - documents: doc_id % 5 == 0 → a shared boilerplate sentence
+    *    prepended (one hot token/shingle in 20% of the corpus — the
+    *    inverted-index dedup family's hot-bucket case).
+    *
+    * Remaps are applied AFTER replication, so the hot fraction is
+    * constant in k and referential integrity still holds (key 1
+    * exists in replica 0 of every dimension).
+    */
+  def buildSkewed(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int): Unit = {
+    def hot(df: DataFrame, cond: org.apache.spark.sql.Column, key: String) =
+      df.withColumn(key,
+        when(cond, lit(1L)).otherwise(col(key)).cast(df.schema(key).dataType))
+    buildWith(spark, srcDir, outDir, k, Map(
+      "orders" -> (d => hot(d, pmod(col("o_orderkey"), lit(5)) === 0, "o_custkey")),
+      "lineitem" -> (d => hot(d, pmod(col("l_orderkey"), lit(5)) === 0, "l_suppkey")),
+      "events" -> (d => hot(d, pmod(col("event_id"), lit(5)) === 0, "user_id")),
+      "documents" -> (d => d.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("shared boilerplate preamble common to the hot " +
+            "quintile of this corpus "), col("text")))
+          .otherwise(col("text"))))))
+  }
+
+  private def buildWith(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int, post: Map[String, DataFrame => DataFrame]): Unit = {
     require(k >= 1, s"replicas must be >= 1, got $k")
     def src(name: String): DataFrame = graft.Tables.table(spark, srcDir, name)
 
@@ -113,7 +155,8 @@ object ScaleUp {
       "embeddings" -> replicate(src("embeddings"), k,
         Map("vec_id" -> vecCap), mutVec))
 
-    tables.foreach { case (name, df) =>
+    tables.foreach { case (name, df0) =>
+      val df = post.get(name).map(_(df0)).getOrElse(df0)
       val files = if (name == "region" || name == "nation") 1
         else math.max(k, 4)
       df.repartition(files)
@@ -126,5 +169,13 @@ object ScaleUp {
     val probe = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet/_SUCCESS")
     val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(probe)) build(spark, srcDir, outDir, k)
+  }
+
+  /** [[ensure]] for the skewed variant. */
+  def ensureSkewed(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int): Unit = {
+    val probe = new org.apache.hadoop.fs.Path(s"$outDir/embeddings.parquet/_SUCCESS")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(probe)) buildSkewed(spark, srcDir, outDir, k)
   }
 }

@@ -49,6 +49,18 @@ class ServeSpec extends SparkSpec {
       val r404 = get(port, "/api/q_nope")
       assert(r404.statusCode() == 404)
       assert(r404.body().contains("q_dash_districts"))
+
+      // the dashboard PAGE: static HTML shell naming every route, with
+      // the 30 s auto-refresh — all data flows through /api
+      val page = get(port, "/")
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").get()
+        .startsWith("text/html"))
+      assert(page.body().contains("<title>graft dashboard</title>"))
+      assert(page.body().contains("q_dash_districts") &&
+        page.body().contains("setInterval(refresh,30000)"))
+      // non-root unknown path under "/" is a 404, not the page
+      assert(get(port, "/favicon.ico").statusCode() == 404)
     } finally srv.stop()
   }
 
