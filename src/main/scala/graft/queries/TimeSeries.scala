@@ -487,7 +487,93 @@ object TimeSeries {
             FROM rec r JOIN cnt c ON c.user_id = r.user_id AND r.i = c.n""")
   )
 
+  /** Seasonal decomposition on the hour-of-week grid (STL-lite): the
+    * hourly event-count series is decomposed into a 168-slot seasonal
+    * profile (mean count per hour-of-week — the periodic component a
+    * capacity planner or anomaly baseline uses) and a remainder, with
+    * the VARIANCE-EXPLAINED seasonal strength
+    * `1 − SS_resid / SS_tot` (Hyndman's seasonal-strength statistic)
+    * attached to every row.
+    *
+    * Exactness without a second pass: per hour-of-week slot, ONE hash
+    * agg collects (count, Σn, Σn²) as exact BIGINTs off the hourly
+    * grain; within-group and total sums of squares then derive
+    * closed-form (SS_tot = Σn² − (Σn)²/N, SS_resid = Σ_how within-
+    * group SS), so the decomposition costs one agg + a 168-row
+    * re-reduction. The 168-row second stage rides DECIMAL partials —
+    * merge-order-free, oracle hash-matches. Scale: the corpus reduces
+    * to hourly grain before anything else; the seasonal grid is O(168)
+    * regardless of SF.
+    */
+  val seasonalDecompose = QueryDef(
+    "q_seasonal_decompose",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val how = ((dayofweek(col("h")) - 1) * 24 + hour(col("h"))).as("how")
+      val slots = hourly.select(how, col("n"))
+        .groupBy("how")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+      // within-slot SS as a DECIMAL partial; totals re-derived from the
+      // exact slot sums (168 rows)
+      val tot = slots.agg(
+        sum(col("n_hours")).as("nh"),
+        sum(col("sn")).as("tsn"),
+        sum(col("snn")).as("tsnn"),
+        sum((col("snn").cast("double") -
+          col("sn").cast("double") * col("sn").cast("double") /
+            col("n_hours").cast("double")).cast(DecimalType(28, 12)))
+          .as("ss_resid"))
+      val ssTot = col("tsnn").cast("double") -
+        col("tsn").cast("double") * col("tsn").cast("double") /
+          col("nh").cast("double")
+      val strength = tot.select(
+        round(lit(1.0) - col("ss_resid").cast("double") / ssTot, 6)
+          .as("seasonal_strength"))
+      slots.crossJoin(broadcast(strength))
+        .select(col("how").cast("int").as("how"), col("n_hours"),
+          round(col("sn").cast("double") / col("n_hours").cast("double"), 6)
+            .as("seasonal_mean"),
+          col("seasonal_strength"))
+    },
+    Some("""WITH hourly AS (
+              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            slots AS (
+              SELECT CAST(dayofweek(h) * 24 + EXTRACT(HOUR FROM h) AS BIGINT)
+                       AS how,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(SUM(n) AS BIGINT) AS sn,
+                     CAST(SUM(n * n) AS BIGINT) AS snn
+              FROM hourly GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(n_hours) AS BIGINT) AS nh,
+                     CAST(SUM(sn) AS BIGINT) AS tsn,
+                     CAST(SUM(snn) AS BIGINT) AS tsnn,
+                     SUM(CAST(CAST(snn AS DOUBLE)
+                           - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                             / CAST(n_hours AS DOUBLE)
+                         AS DECIMAL(28,12))) AS ss_resid
+              FROM slots),
+            st AS (
+              SELECT ROUND(1.0 - CAST(ss_resid AS DOUBLE)
+                       / (CAST(tsnn AS DOUBLE)
+                          - CAST(tsn AS DOUBLE) * CAST(tsn AS DOUBLE)
+                            / CAST(nh AS DOUBLE)), 6) AS seasonal_strength
+              FROM tot)
+            SELECT CAST(how AS INT) AS how, n_hours,
+                   ROUND(CAST(sn AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+                     AS seasonal_mean,
+                   seasonal_strength
+            FROM slots CROSS JOIN st""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa,
-      changepoint, holtForecast)
+      changepoint, holtForecast, seasonalDecompose)
 }
