@@ -102,6 +102,11 @@ object Tables {
   private val viewsFor = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
   def registerViews(spark: SparkSession, dir: String): Unit =
-    if (viewsFor.put(spark, dir) != dir)
-      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    // whole check-and-register under the map's lock: Verify dumps batch
+    // queries concurrently, and a second caller must not observe the
+    // memo hit while the first is still mid-registration
+    viewsFor.synchronized {
+      if (viewsFor.put(spark, dir) != dir)
+        names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    }
 }
