@@ -573,7 +573,141 @@ object TimeSeries {
             FROM slots CROSS JOIN st""")
   )
 
+  /** Autocorrelation function (lags 1..6) of each event type's hourly
+    * count series, with the Ljung–Box portmanteau statistic — the
+    * standard "is this series white noise / how much memory does it
+    * carry" diagnostic that sits upstream of every forecasting choice
+    * (an ACF that dies at lag 1 says plain EMA is enough; a spike at
+    * 24 says the seasonal term in [[seasonalDecompose]] is doing real
+    * work).
+    *
+    * Lag alignment runs on the DENSE hour grid (global span sequence-
+    * exploded per type, missing hours fill 0) — lagging observed rows
+    * would silently compare non-adjacent hours wherever an hour has no
+    * events (sf0.01 has ~40 such holes per type).
+    *
+    * Exactness: every sufficient statistic is an integer. With S = Σx,
+    * A/B the head/tail sums of each lag's pair window,
+    * n²·Σ(x_t−x̄)(x_{t+k}−x̄) = n²·Σx_t·x_{t+k} − nS(A+B) + (n−k)S²
+    * and n²·Σ(x−x̄)² = n²Σx² − nS², so acf_k is ONE double division of
+    * two exact BIGINTs (round 6) — no float accumulation anywhere.
+    * Ljung–Box reduces the 6 ROUNDED acf values through
+    * DECIMAL(38,24) terms (merge-order-free) with the integer factor
+    * n(n+2) applied last.
+    *
+    * Scale shape: one hash-agg to (type, hour) grain, a |types|-row
+    * broadcast span, per-type windows on the bounded hourly grain
+    * (never the corpus), and the lag unpivot is a 6× expansion of that
+    * grain. At 100 TB the corpus reduces before anything sorts.
+    */
+  val acf = QueryDef(
+    "q_acf",
+    (s, d) => {
+      val K = 6
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val dense = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val lagged = dense.select(
+        Seq(col("event_type"), col("x")) ++
+          (1 to K).map(k => lag(col("x"), k).over(w).as(s"x$k")): _*)
+      val pairs = lagged.selectExpr("event_type", "x",
+        s"stack($K, ${(1 to K).map(k => s"${k}L, x$k").mkString(", ")}) AS (lag_k, xl)")
+      val byLag = pairs.filter(col("xl").isNotNull)
+        .groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x") * col("xl")).as("sxy"),
+          sum(col("xl")).as("sa"),
+          sum(col("x")).as("sb"))
+      val tot = dense.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sg"),
+          sum(col("x") * col("x")).as("sxx"))
+      val num = (col("n") * col("n") * col("sxy")
+        - col("n") * col("sg") * (col("sa") + col("sb"))
+        + (col("n") - col("lag_k")) * col("sg") * col("sg")).cast("double")
+      val den = (col("n") * col("n") * col("sxx")
+        - col("n") * col("sg") * col("sg")).cast("double")
+      val scored = byLag.join(broadcast(tot), Seq("event_type"))
+        .withColumn("acf", round(num / den, 6))
+      val lb = scored
+        .select(col("event_type"), col("n"),
+          (col("acf") * col("acf") /
+            (col("n") - col("lag_k")).cast("double"))
+            .cast(DecimalType(38, 24)).as("term"))
+        .groupBy("event_type")
+        .agg(round((first(col("n")) * (first(col("n")) + 2)).cast("double") *
+          sum(col("term")).cast("double"), 4).as("lb_q"))
+      scored.join(broadcast(lb), Seq("event_type"))
+        .select(col("event_type"), col("lag_k"), col("n_pairs"),
+          col("acf"), col("lb_q"))
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts
+                        FROM events WHERE ts IS NOT NULL),
+            hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM ev GROUP BY 1, 2),
+            span AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                            date_trunc('hour', MAX(ts)) AS h1 FROM ev),
+            grid AS (SELECT t.event_type,
+                            unnest(generate_series(span.h0, span.h1,
+                                                   INTERVAL 1 HOUR)) AS h
+                     FROM (SELECT DISTINCT event_type FROM hourly) t
+                     CROSS JOIN span),
+            dense AS (SELECT g.event_type, g.h, COALESCE(hourly.n, 0) AS x
+                      FROM grid g LEFT JOIN hourly
+                        ON hourly.event_type = g.event_type AND hourly.h = g.h),
+            lagged AS (SELECT event_type, x,
+                              lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+                              lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+                              lag(x, 5) OVER w AS x5, lag(x, 6) OVER w AS x6
+                       FROM dense
+                       WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+            pairs AS (
+              SELECT event_type, CAST(1 AS BIGINT) AS lag_k, x, x1 AS xl FROM lagged
+              UNION ALL SELECT event_type, 2, x, x2 FROM lagged
+              UNION ALL SELECT event_type, 3, x, x3 FROM lagged
+              UNION ALL SELECT event_type, 4, x, x4 FROM lagged
+              UNION ALL SELECT event_type, 5, x, x5 FROM lagged
+              UNION ALL SELECT event_type, 6, x, x6 FROM lagged),
+            bylag AS (SELECT event_type, lag_k,
+                             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                             CAST(SUM(x * xl) AS BIGINT) AS sxy,
+                             CAST(SUM(xl) AS BIGINT) AS sa,
+                             CAST(SUM(x) AS BIGINT) AS sb
+                      FROM pairs WHERE xl IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(x) AS BIGINT) AS sg,
+                           CAST(SUM(x * x) AS BIGINT) AS sxx
+                    FROM dense GROUP BY 1),
+            scored AS (SELECT b.event_type, b.lag_k, b.n_pairs, t.n,
+                              ROUND(CAST(t.n * t.n * b.sxy
+                                         - t.n * t.sg * (b.sa + b.sb)
+                                         + (t.n - b.lag_k) * t.sg * t.sg
+                                    AS DOUBLE)
+                                    / CAST(t.n * t.n * t.sxx
+                                           - t.n * t.sg * t.sg AS DOUBLE),
+                                    6) AS acf
+                       FROM bylag b JOIN tot t USING (event_type)),
+            lb AS (SELECT event_type,
+                          ROUND(CAST(MIN(n) * (MIN(n) + 2) AS DOUBLE) *
+                            CAST(SUM(CAST(acf * acf / CAST(n - lag_k AS DOUBLE)
+                                     AS DECIMAL(38,24))) AS DOUBLE), 4) AS lb_q
+                   FROM scored GROUP BY 1)
+            SELECT s.event_type, s.lag_k, s.n_pairs, s.acf, l.lb_q
+            FROM scored s JOIN lb l USING (event_type)""")
+  )
+
   def all: Seq[QueryDef] =
     Seq(ema, trendClassify, pipelineReplay, anomalyEvents, gapFill, twa,
-      changepoint, holtForecast, seasonalDecompose)
+      changepoint, holtForecast, seasonalDecompose, acf)
 }
