@@ -993,7 +993,158 @@ object Ml {
             FROM v""")
   )
 
+  /** Split-conformal prediction interval for the hourly forecast — the
+    * distribution-free wrapper every production forecaster needs around
+    * a point model: "the next-hour count will land in ŷ ± q̂ with 90%
+    * probability", with the guarantee holding REGARDLESS of the model's
+    * correctness (Vovk; Lei et al., "Distribution-Free Predictive
+    * Inference for Regression", JASA 2018).
+    *
+    * Procedure, exactly by the book: the shared 80% train window
+    * ([[forecastFrames]]) splits again by time at 75% into fit/cal;
+    * the linreg closed form (same determinant expressions as
+    * `q_forecast_linreg`, betas rounded 8) fits on `fit` only; q̂ is
+    * the ⌈0.9·(n_cal+1)⌉-th smallest absolute calibration residual
+    * (the finite-sample-corrected order statistic, clamped to n_cal);
+    * empirical coverage is then measured on the untouched test window.
+    *
+    * Exactness: betas are the proven linreg recipe; each residual is
+    * ONE IEEE subtraction of an 8-dp-rounded prediction from an
+    * integer y (no accumulation), so the order statistic picks the
+    * same value in both engines (ties broken by hs); coverage is an
+    * integer ratio. Scale shape: the two scalar fits are map-side-
+    * combined aggs; the order statistic is a window on the bounded,
+    * guarded hourly grain (never the corpus); everything else rides
+    * 1-row broadcasts.
+    */
+  val forecastConformal = QueryDef(
+    "q_forecast_conformal",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (train, test) = forecastFrames(s, d)
+      val cut2 = train.agg((min(col("hs")) +
+        floor((max(col("hs")) - min(col("hs"))) * lit(0.75)).cast("long")).as("c2"))
+      val fit = train.crossJoin(broadcast(cut2)).filter(col("hs") <= col("c2"))
+      val cal = train.crossJoin(broadcast(cut2)).filter(col("hs") > col("c2"))
+      val m = fit.agg(
+        count(lit(1)).as("n_fit"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"))
+      val nD = col("n_fit").cast("double")
+      val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+      val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
+      val sx22 = col("sx22").cast("double")
+      val sy = col("sy").cast("double"); val sx1y = col("sx1y").cast("double")
+      val sx2y = col("sx2y").cast("double")
+      val det = nD * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+      val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+      val det1 = nD * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+      val det2 = nD * (sx11 * sx2y - sx1y * sx12) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+      val sol = m.select(col("n_fit"),
+        round(det0 / det, 8).as("b0"),
+        round(det1 / det, 8).as("b1"),
+        round(det2 / det, 8).as("b2"))
+      val pred = round(col("b0") + col("b1") * col("x1") + col("b2") * col("x2"), 8)
+      val r = abs(col("y").cast("double") - pred)
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      val k = least(ceil(lit(0.9) * (col("n_cal") + 1).cast("double")).cast("long"),
+        col("n_cal"))
+      val qhat = cal.crossJoin(broadcast(sol))
+        .select(col("hs"), col("n_fit"), col("b0"), col("b1"), col("b2"),
+          r.as("r"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("hs"))))
+        .crossJoin(broadcast(nCal))
+        .filter(col("rn") === k)
+        .select(col("n_fit"), col("n_cal"), col("b0"), col("b1"), col("b2"),
+          col("r").as("qh"))
+      test.crossJoin(broadcast(qhat))
+        .select(col("n_fit"), col("n_cal"), col("qh"),
+          (r <= col("qh")).cast("long").as("cov"))
+        .groupBy("n_fit", "n_cal", "qh")
+        .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_covered"))
+        .select(col("n_fit"), col("n_cal"), col("n_test"),
+          round(col("qh"), 6).as("qhat"), col("n_covered"),
+          round(col("n_covered").cast("double") /
+            col("n_test").cast("double"), 6).as("coverage"))
+    },
+    Some(s"""WITH $forecastFrameCtes,
+            cut2 AS (SELECT MIN(hs) + CAST(FLOOR((MAX(hs) - MIN(hs))
+                              * CAST(0.75 AS DOUBLE)) AS BIGINT) AS c2
+                     FROM train),
+            fit AS (SELECT * FROM train WHERE hs <= (SELECT c2 FROM cut2)),
+            cal AS (SELECT * FROM train WHERE hs > (SELECT c2 FROM cut2)),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+                    CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+                    CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+                    CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+                    CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+                    CAST(SUM(y) AS BIGINT) AS sy,
+                    CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+                    CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+                  FROM fit),
+            dd AS (SELECT n_fit,
+                     CAST(n_fit AS DOUBLE) AS nd,
+                     CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+                     CAST(sx11 AS DOUBLE) AS sx11d, CAST(sx12 AS DOUBLE) AS sx12d,
+                     CAST(sx22 AS DOUBLE) AS sx22d,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(sx1y AS DOUBLE) AS sx1yd, CAST(sx2y AS DOUBLE) AS sx2yd
+                   FROM m),
+            sol AS (SELECT n_fit,
+                      ROUND((syd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1yd * sx22d - sx12d * sx2yd) +
+                             sx2d * (sx1yd * sx12d - sx11d * sx2yd)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b0,
+                      ROUND((nd * (sx1yd * sx22d - sx12d * sx2yd) -
+                             syd * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx2yd - sx1yd * sx2d)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b1,
+                      ROUND((nd * (sx11d * sx2yd - sx1yd * sx12d) -
+                             sx1d * (sx1d * sx2yd - sx1yd * sx2d) +
+                             syd * (sx1d * sx12d - sx11d * sx2d)) /
+                            (nd * (sx11d * sx22d - sx12d * sx12d) -
+                             sx1d * (sx1d * sx22d - sx12d * sx2d) +
+                             sx2d * (sx1d * sx12d - sx11d * sx2d)), 8) AS b2
+                    FROM dd),
+            calr AS (SELECT hs, n_fit, b0, b1, b2,
+                       ABS(CAST(y AS DOUBLE)
+                           - ROUND(b0 + b1 * x1 + b2 * x2, 8)) AS r
+                     FROM cal CROSS JOIN sol),
+            nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+            ranked AS (SELECT calr.*, nc.n_cal,
+                         ROW_NUMBER() OVER (ORDER BY r, hs) AS rn
+                       FROM calr CROSS JOIN nc),
+            qh AS (SELECT n_fit, n_cal, b0, b1, b2, r AS qh
+                   FROM ranked
+                   WHERE rn = LEAST(CAST(CEIL(CAST(0.9 AS DOUBLE)
+                                * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT), n_cal))
+            SELECT n_fit, n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   ROUND(qh, 6) AS qhat,
+                   CAST(SUM(CASE WHEN ABS(CAST(y AS DOUBLE)
+                                - ROUND(b0 + b1 * x1 + b2 * x2, 8)) <= qh
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                   ROUND(CAST(SUM(CASE WHEN ABS(CAST(y AS DOUBLE)
+                                - ROUND(b0 + b1 * x1 + b2 * x2, 8)) <= qh
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+            FROM test CROSS JOIN qh
+            GROUP BY n_fit, n_cal, qh""")
+  )
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag,
-    forecastTree, forecastLinreg, groupOls, linreg, logregGd, bootstrapCi,
-    welchTtest)
+    forecastTree, forecastLinreg, forecastConformal, groupOls, linreg,
+    logregGd, bootstrapCi, welchTtest)
 }
