@@ -1144,7 +1144,133 @@ object Ml {
             GROUP BY n_fit, n_cal, qh""")
   )
 
+  /** Ranking-quality evaluation of a similarity scorer: per-label
+    * one-vs-rest ROC AUC (Mann–Whitney with full tie correction), Gini,
+    * and the Kolmogorov–Smirnov separation statistic, where each
+    * label's score is cosine-to-its-centroid — the standard "is this
+    * embedding space linearly separating my classes" audit a training-
+    * data pipeline runs before trusting kNN labels or ANN retrieval
+    * (`q_knn_classify` measures top-k accuracy; this measures the whole
+    * ranking, threshold-free).
+    *
+    * Exactness: AUC stays in INTEGER arithmetic until one division —
+    * with avg tie rank = (2·rank_min + tie_cnt − 1)/2,
+    * 2·U = Σ_pos(2·rank_min + tie_cnt − 1) − n_pos(n_pos+1) and
+    * AUC = 2U / (2·n_pos·n_neg), all BIGINT until the final double
+    * divide (round 6). KS evaluates TPR−FPR at distinct-score
+    * boundaries (scores pre-rounded to 6, so tie groups agree across
+    * engines); each rate is one BIGINT/BIGINT divide.
+    *
+    * Scale shape: centroids are a 10-row broadcast (exact DECIMAL
+    * means, the q_embed_centroids recipe); scoring is a map-only ×10
+    * label fan-out of the corpus; ranks are per-label windows over that
+    * fan-out — the one sort this query pays, hash-partitioned by
+    * label, never global; everything downstream is per-label aggs and
+    * 10-row broadcast joins.
+    */
+  val auc = QueryDef(
+    "q_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.embeddings(s, d)
+      val cents = e
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("clabel", "pos")
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+          .cast("double") / count(lit(1)), 8).as("c"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cv"))
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("clabel"), col("vec_id"),
+          (col("label") === col("clabel")).cast("long").as("p"),
+          round(VF.cosineSpark("embedding", "cv"), 6).as("sc"))
+      val ranked = scored
+        .withColumn("rmin",
+          rank().over(Window.partitionBy("clabel").orderBy("sc")).cast("long"))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("clabel", "sc")))
+      val aucDf = ranked.groupBy("clabel")
+        .agg(sum(col("p")).as("n_pos"),
+          (count(lit(1)) - sum(col("p"))).as("n_neg"),
+          sum(when(col("p") === 1, lit(2) * col("rmin") + col("cnt") - 1)
+            .otherwise(0)).as("s2"))
+        .select(col("clabel"), col("n_pos"), col("n_neg"),
+          round((col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      val bounds = scored.groupBy("clabel", "sc")
+        .agg(sum(col("p")).as("bp"), (count(lit(1)) - sum(col("p"))).as("bn"))
+      val wCum = Window.partitionBy("clabel").orderBy(desc("sc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ks = bounds
+        .withColumn("cp", sum(col("bp")).over(wCum))
+        .withColumn("cn", sum(col("bn")).over(wCum))
+        .join(broadcast(aucDf.select(col("clabel"), col("n_pos"), col("n_neg"))),
+          Seq("clabel"))
+        .groupBy("clabel")
+        .agg(round(max(abs(col("cp").cast("double") / col("n_pos").cast("double")
+          - col("cn").cast("double") / col("n_neg").cast("double"))), 6).as("ks"))
+      aucDf.join(broadcast(ks), Seq("clabel"))
+        .select(col("clabel").as("label"), col("n_pos"), col("n_neg"),
+          col("auc"), round(lit(2) * col("auc") - 1, 6).as("gini"), col("ks"))
+    },
+    Some(s"""WITH cents AS (
+              SELECT label AS clabel,
+                     list(ROUND(cm, 8) ORDER BY pos) AS cv
+              FROM (SELECT label, g.i AS pos,
+                      CAST(SUM(CAST(CAST(embedding[g.i + 1] AS DOUBLE)
+                        AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS cm
+                    FROM embeddings, generate_series(0, 63) AS g(i)
+                    GROUP BY label, g.i)
+              GROUP BY label),
+            scored AS (
+              SELECT c.clabel, e.vec_id,
+                     CASE WHEN e.label = c.clabel THEN 1 ELSE 0 END AS p,
+                     ROUND(${VF.cosineDuck("e.embedding", "c.cv")}, 6) AS sc
+              FROM embeddings e CROSS JOIN cents c),
+            ranked AS (
+              SELECT clabel, p,
+                     CAST(RANK() OVER (PARTITION BY clabel ORDER BY sc)
+                          AS BIGINT) AS rmin,
+                     CAST(COUNT(*) OVER (PARTITION BY clabel, sc)
+                          AS BIGINT) AS cnt
+              FROM scored),
+            aucs AS (
+              SELECT clabel,
+                     CAST(SUM(p) AS BIGINT) AS n_pos,
+                     CAST(COUNT(*) - SUM(p) AS BIGINT) AS n_neg,
+                     CAST(SUM(CASE WHEN p = 1 THEN 2 * rmin + cnt - 1
+                              ELSE 0 END) AS BIGINT) AS s2
+              FROM ranked GROUP BY clabel),
+            aucf AS (
+              SELECT clabel, n_pos, n_neg,
+                     ROUND(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+              FROM aucs),
+            bounds AS (
+              SELECT clabel, sc, CAST(SUM(p) AS BIGINT) AS bp,
+                     CAST(COUNT(*) - SUM(p) AS BIGINT) AS bn
+              FROM scored GROUP BY clabel, sc),
+            cum AS (
+              SELECT clabel, sc,
+                     SUM(bp) OVER (PARTITION BY clabel ORDER BY sc DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                     SUM(bn) OVER (PARTITION BY clabel ORDER BY sc DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+              FROM bounds),
+            ksf AS (
+              SELECT c.clabel,
+                     ROUND(MAX(ABS(CAST(c.cp AS DOUBLE) / CAST(a.n_pos AS DOUBLE)
+                       - CAST(c.cn AS DOUBLE) / CAST(a.n_neg AS DOUBLE))), 6) AS ks
+              FROM cum c JOIN aucf a USING (clabel) GROUP BY c.clabel)
+            SELECT a.clabel AS label, a.n_pos, a.n_neg, a.auc,
+                   ROUND(2 * a.auc - 1, 6) AS gini, k.ks
+            FROM aucf a JOIN ksf k USING (clabel)""")
+  )
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag,
-    forecastTree, forecastLinreg, forecastConformal, groupOls, linreg,
+    forecastTree, forecastLinreg, forecastConformal, auc, groupOls, linreg,
     logregGd, bootstrapCi, welchTtest)
 }
