@@ -1555,6 +1555,162 @@ object Text {
             FROM agg CROSS JOIN top""")
   )
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/
+    * Büttcher, SIGIR 2009 — the fusion rule every production RAG stack
+    * uses): for each probe document, a SPARSE more-like-this ranking
+    * (BM25 over the probe's top-3 tf-idf terms, the q_bm25_topk
+    * recipe) and a DENSE ranking (embedding cosine, vec_id = doc_id)
+    * each keep their top-20, and fuse by
+    * rrf = Σ 1/(60 + rank) over the lists that contain the doc —
+    * rank-based fusion needs no score normalization across the two
+    * incomparable scales, which is exactly why RRF won out.
+    *
+    * Exactness: ranks are integers from deterministically tie-broken
+    * row_numbers (score desc, doc_id); each RRF term is ONE double
+    * division, summed sparse-then-dense in both engines; the only
+    * accumulated float (bm25) rides the proven 9-dp-term DECIMAL-sum
+    * recipe. Scale shape: probe term lists and df/avgdl stats are
+    * k-row broadcasts off the staged token artifact; the sparse side
+    * filters the corpus token stream to query-term hits FIRST
+    * (broadcast semi-shape); the dense side is a map-only scan against
+    * 3 broadcast probe vectors; fusion joins two ≤(probes×20)-row
+    * lists — TakeOrdered territory, the corpus itself never shuffles.
+    */
+  val hybridRrf = QueryDef(
+    "q_hybrid_rrf",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => VF}
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val probes = Seq(0L, 17L, 42L)
+      val tok = TextStage.tok(s, d)
+      val dfc = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+      val wq = Window.partitionBy("probe")
+        .orderBy(col("score").desc, col("token"))
+      val qterms = tok.filter(col("doc_id").isin(probes: _*))
+        .withColumnRenamed("doc_id", "probe")
+        .join(dfc, Seq("token"))
+        .crossJoin(broadcast(nd))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("probe"), col("token"))
+      val qdf = qterms.select("token").distinct().join(dfc, Seq("token"))
+      val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        round(sum(col("dl").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)), 6).as("avgdl"))
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      val sc = round(idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 9)
+      val ws = Window.partitionBy("probe")
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val sparse = tok.join(broadcast(qterms), Seq("token"))
+        .filter(col("doc_id") =!= col("probe"))
+        .join(broadcast(qdf), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("probe"), col("doc_id"), sc.as("sc"))
+        .groupBy("probe", "doc_id")
+        .agg(round(sum(col("sc").cast(DecimalType(28, 12))).cast("double"), 6)
+          .as("bm25"))
+        .withColumn("rank_sparse", row_number().over(ws).cast("long"))
+        .filter(col("rank_sparse") <= 20)
+      val e = Tables.embeddings(s, d)
+      val pv = e.filter(col("vec_id").isin(probes: _*))
+        .select(col("vec_id").as("probe"), col("embedding").as("qv"))
+      val wd = Window.partitionBy("probe")
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val dense = e.crossJoin(broadcast(pv))
+        .filter(col("vec_id") =!= col("probe"))
+        .select(col("probe"), col("vec_id").as("doc_id"),
+          round(VF.cosineSpark("embedding", "qv"), 6).as("cosine"))
+        .withColumn("rank_dense", row_number().over(wd).cast("long"))
+        .filter(col("rank_dense") <= 20)
+      val wf = Window.partitionBy("probe")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      sparse.select("probe", "doc_id", "rank_sparse")
+        .join(dense.select("probe", "doc_id", "rank_dense"),
+          Seq("probe", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_sparse")).cast("double"),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")).cast("double"),
+              lit(0.0)), 6))
+        .withColumn("rrf_rank", row_number().over(wf).cast("long"))
+        .filter(col("rrf_rank") <= 10)
+        .select(col("probe"), col("rrf_rank"), col("doc_id"), col("rrf"),
+          col("rank_sparse"), col("rank_dense"))
+    },
+    Some {
+      val tk = TS.tokens("lower(text)")
+      val cos = graft.functions.VectorFunctions.cosineDuck("e.embedding", "p.qv")
+      val dbl = (x: String) => s"CAST($x AS DOUBLE)"
+      val idf = s"LN(${dbl("1")} + (${dbl("n_docs")} - ${dbl("df")} + ${dbl("0.5")}) / (${dbl("df")} + ${dbl("0.5")}))"
+      val sc = s"ROUND($idf * (tf * ${dbl("2.2")}) / (tf + ${dbl("1.2")} * (${dbl("0.25")} + ${dbl("0.75")} * dl / avgdl)), 9)"
+      s"""WITH toks AS (SELECT doc_id, unnest($tk) AS token FROM documents),
+          tfc AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+          dfc AS (SELECT token, COUNT(*) AS df FROM tfc GROUP BY 1),
+          nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfc),
+          qterms AS (
+            SELECT probe, token FROM (
+              SELECT t.doc_id AS probe, t.token,
+                     ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                       ORDER BY ROUND(t.tf * LN(${dbl("n_docs")} / df), 6) DESC,
+                                t.token) AS rk
+              FROM tfc t JOIN dfc USING (token) CROSS JOIN nd
+              WHERE t.doc_id IN (0, 17, 42))
+            WHERE rk <= 3),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tfc GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                      ROUND(CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS avgdl FROM dl),
+          sparse AS (
+            SELECT probe, doc_id, bm25,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY probe
+                     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_sparse
+            FROM (
+              SELECT q.probe, t.doc_id,
+                     ROUND(CAST(SUM(CAST($sc AS DECIMAL(28,12))) AS DOUBLE), 6)
+                       AS bm25
+              FROM tfc t
+              JOIN qterms q ON q.token = t.token AND t.doc_id <> q.probe
+              JOIN dfc ON dfc.token = t.token
+              JOIN dl ON dl.doc_id = t.doc_id
+              CROSS JOIN stats
+              GROUP BY q.probe, t.doc_id)),
+          st20 AS (SELECT * FROM sparse WHERE rank_sparse <= 20),
+          dense AS (
+            SELECT probe, doc_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY probe
+                     ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_dense
+            FROM (
+              SELECT p.probe, e.vec_id AS doc_id, ROUND($cos, 6) AS cosine
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id AS probe, embedding AS qv
+                          FROM embeddings WHERE vec_id IN (0, 17, 42)) p
+              WHERE e.vec_id <> p.probe)),
+          dn20 AS (SELECT * FROM dense WHERE rank_dense <= 20),
+          fused AS (
+            SELECT probe, doc_id,
+                   s.rank_sparse, dn.rank_dense,
+                   ROUND(COALESCE(${dbl("1")} / ${dbl("60 + s.rank_sparse")}, 0)
+                     + COALESCE(${dbl("1")} / ${dbl("60 + dn.rank_dense")}, 0),
+                     6) AS rrf
+            FROM st20 s FULL OUTER JOIN dn20 dn USING (probe, doc_id))
+          SELECT probe, rrf_rank, doc_id, rrf, rank_sparse, rank_dense
+          FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe
+                  ORDER BY rrf DESC, doc_id) AS BIGINT) AS rrf_rank
+                FROM fused)
+          WHERE rrf_rank <= 10"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, ccnetBuckets,
@@ -1562,5 +1718,5 @@ object Text {
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
       bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations,
-      datasetCard)
+      datasetCard, hybridRrf)
 }
