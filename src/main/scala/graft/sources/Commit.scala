@@ -44,9 +44,16 @@ import java.nio.charset.StandardCharsets
   * Layout:
   * {{{
   *   <root>/_POINTER            one line: current manifest file name
-  *   <root>/manifest-<v>.txt    line 1 = version; then "<bucket>\t<dir>"
+  *   <root>/manifest-<v>.txt    line 1 = version; "#parent=<v>"; then
+  *                              "<bucket>\t<dir>" entries
   *   <root>/v=<v>/bucket=<b>/…  parquet data (or v=<v>/… for whole dirs)
   * }}}
+  *
+  * The `#parent=` line records committed lineage: [[history]] walks it
+  * from the pointer, [[readAt]] time-travels to any retained link, and
+  * [[vacuum]]'s `retain` bound decides how much of the chain stays
+  * reconstructable — the Iceberg snapshot-log / Delta time-travel
+  * contract, one text line instead of a format dependency.
   */
 object Commit {
 
@@ -60,6 +67,34 @@ object Commit {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Parsed manifest: version, parent version (0 = none / pre-lineage
+    * manifest), entries. Lines starting with '#' are metadata — the
+    * only one today is `#parent=<v>`, the committed-lineage link that
+    * time travel walks; manifests written before the link existed
+    * parse with parent 0.
+    */
+  private final case class Manifest(v: Long, parent: Long, entries: Seq[Entry])
+
+  private def parseManifest(text: String): Manifest = {
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val v = lines.head.toLong
+    val parent = lines.tail.collectFirst {
+      case l if l.startsWith("#parent=") => l.stripPrefix("#parent=").toLong
+    }.getOrElse(0L)
+    val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
+      val Array(k, dir) = l.split("\t", 2)
+      Entry(k.toInt, dir)
+    }
+    Manifest(v, parent, entries)
+  }
+
+  private def manifestAt(spark: SparkSession, root: String,
+      v: Long): Option[Manifest] = {
+    val f = fs(spark, root)
+    val mf = new Path(root, s"manifest-$v.txt")
+    if (f.exists(mf)) Some(parseManifest(readSmall(f, mf))) else None
+  }
+
   /** Current (version, entries), resolved through the pointer; None if
     * nothing has ever been committed (a partially-written first
     * version without a pointer swap reads as None — correct).
@@ -69,17 +104,39 @@ object Commit {
     val ptr = new Path(root, Pointer)
     if (!f.exists(ptr)) None
     else {
-      val name = readSmall(f, ptr).trim
-      val mf = new Path(root, name)
-      val lines = readSmall(f, mf).split("\n").toSeq.filter(_.nonEmpty)
-      val v = lines.head.toLong
-      val entries = lines.tail.map { l =>
-        val Array(k, dir) = l.split("\t", 2)
-        Entry(k.toInt, dir)
-      }
-      Some((v, entries))
+      val m = parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim)))
+      Some((m.v, m.entries))
     }
   }
+
+  /** COMMITTED versions still reconstructable on disk, newest first:
+    * the `#parent=` chain walked from the current pointer until a
+    * vacuumed-away (or pre-lineage) manifest ends it. A manifest that
+    * never got its pointer swap is NOT in any chain — a crashed
+    * publish can never resurface as "history".
+    */
+  def history(spark: SparkSession, root: String): Seq[Long] = {
+    val head = current(spark, root).map(_._1)
+    Iterator.iterate(head) {
+      case Some(v) => manifestAt(spark, root, v)
+        .map(_.parent).filter(p => p > 0 && manifestAt(spark, root, p).nonEmpty)
+      case None => None
+    }.takeWhile(_.nonEmpty).map(_.get).toSeq
+  }
+
+  /** Time travel: read snapshot `v` exactly as readers saw it when it
+    * was current. Only versions on the committed chain resolve
+    * ([[history]]); asking for a crashed or vacuumed version returns
+    * None rather than a half-readable guess. Same scan shape as
+    * [[read]] — data dirs are immutable once referenced, so an old
+    * manifest's entries are as scannable as the day they committed
+    * (until [[vacuum]] reclaims them).
+    */
+  def readAt(spark: SparkSession, root: String, v: Long,
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    if (!history(spark, root).contains(v)) None
+    else manifestAt(spark, root, v).map(m =>
+      assemble(spark, root, m.entries, bucketCol))
 
   /** Read the current snapshot. Bucketed entries come back with the
     * bucket id as an int column named `bucketCol`; whole-dir entries
@@ -93,18 +150,23 @@ object Commit {
   def read(spark: SparkSession, root: String,
       bucketCol: String = "bucket"): Option[DataFrame] =
     current(spark, root).map { case (_, entries) =>
-      val whole = entries.filter(_.key < 0)
-      val byVersion = entries.filter(_.key >= 0)
-        .groupBy(e => e.dir.takeWhile(_ != '/'))
-      val parts =
-        whole.map(e => spark.read.parquet(s"$root/${e.dir}")) ++
-          byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
-            spark.read.option("basePath", s"$root/$vdir")
-              .parquet(es.map(e => s"$root/${e.dir}"): _*)
-              .withColumn(bucketCol, col(bucketCol).cast("int"))
-          }
-      parts.reduce(_ unionByName _)
+      assemble(spark, root, entries, bucketCol)
     }
+
+  private def assemble(spark: SparkSession, root: String,
+      entries: Seq[Entry], bucketCol: String): DataFrame = {
+    val whole = entries.filter(_.key < 0)
+    val byVersion = entries.filter(_.key >= 0)
+      .groupBy(e => e.dir.takeWhile(_ != '/'))
+    val parts =
+      whole.map(e => spark.read.parquet(s"$root/${e.dir}")) ++
+        byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
+          spark.read.option("basePath", s"$root/$vdir")
+            .parquet(es.map(e => s"$root/${e.dir}"): _*)
+            .withColumn(bucketCol, col(bucketCol).cast("int"))
+        }
+    parts.reduce(_ unionByName _)
+  }
 
   private def readSmall(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -150,11 +212,12 @@ object Commit {
     val fresh =
       if (newBuckets.isEmpty) Seq(Entry(-1, vdir))
       else newBuckets.map(b => Entry(b, s"$vdir/bucket=$b"))
+    val parent = current(spark, root).map(_._1).getOrElse(0L)
     val carried =
       if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
       else current(spark, root).map(_._2).getOrElse(Nil)
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
-    commitManifest(spark, root, v,
+    commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key))
     v
   }
@@ -163,11 +226,11 @@ object Commit {
     * Everything before the final rename is invisible to readers.
     */
   private def commitManifest(spark: SparkSession, root: String, v: Long,
-      entries: Seq[Entry]): Unit = {
+      parent: Long, entries: Seq[Entry]): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
-    val body = (v.toString +: entries.map(e => s"${e.key}\t${e.dir}"))
-      .mkString("\n")
+    val body = (v.toString +: s"#parent=$parent" +:
+      entries.map(e => s"${e.key}\t${e.dir}")).mkString("\n")
     val mf = new Path(root, name)
     val out = f.create(mf, true)
     try {
@@ -223,22 +286,30 @@ object Commit {
       (write: String => Unit): Long =
     publish(spark, root)(write)
 
-  /** Delete versions and manifests no longer referenced by the current
-    * pointer — crashed-publish garbage and superseded snapshots. NOT
-    * called automatically: in-flight readers may still be scanning a
-    * superseded version, so production runs this on a grace-period
-    * schedule (the standard table-format vacuum contract).
+  /** Delete versions and manifests outside the retained history —
+    * crashed-publish garbage and superseded snapshots. `retain` is the
+    * number of committed chain versions (newest first, always
+    * including current) whose snapshots stay time-travel-readable;
+    * live data dirs are the UNION of the retained manifests' entries,
+    * so a bucket carried forward since v=1 survives every vacuum that
+    * retains any manifest referencing it. NOT called automatically:
+    * in-flight readers may still be scanning a superseded version, so
+    * production runs this on a grace-period schedule (the standard
+    * table-format vacuum contract).
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"vacuum must retain the current version; got $retain")
     val f = fs(spark, root)
-    current(spark, root).foreach { case (v, entries) =>
-      val live = entries.map(_.dir.takeWhile(_ != '/')).toSet
+    if (current(spark, root).nonEmpty) {
+      val keep = history(spark, root).take(retain)
+      val live = keep.flatMap(v => manifestAt(spark, root, v))
+        .flatMap(_.entries.map(_.dir.takeWhile(_ != '/'))).toSet
       f.listStatus(new Path(root)).map(_.getPath).foreach { p =>
         val n = p.getName
         val stale =
           (n.startsWith("v=") && !live.contains(n)) ||
-            (n.startsWith("manifest-") &&
-              n.stripPrefix("manifest-").stripSuffix(".txt").toLong != v) ||
+            (n.startsWith("manifest-") && !keep.contains(
+              n.stripPrefix("manifest-").stripSuffix(".txt").toLong)) ||
             n.startsWith(s".$Pointer.tmp-")
         if (stale) f.delete(p, true)
       }

@@ -94,6 +94,48 @@ class CommitSpec extends SparkSpec {
     assert(got === Set(1L -> 5.0, 2L -> 2.0))
   }
 
+  test("time travel resolves committed history; crashed manifests are not history") {
+    val root = tmp("commit-travel")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root)
+    Commit.publishBuckets(statusDf(1L -> 5.0), root)
+    assert(Commit.history(spark, root) === Seq(2L, 1L))
+    // v=1 exactly as it committed, v=2 == current, future version = None
+    val at1 = Commit.readAt(spark, root, 1L).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(at1 === Set(1L -> 1.0, 2L -> 2.0))
+    val at2 = Commit.readAt(spark, root, 2L).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(at2 === Set(1L -> 5.0, 2L -> 2.0))
+    assert(Commit.readAt(spark, root, 99L).isEmpty)
+    // a manifest that never got its pointer swap must not time-travel
+    statusDf(1L -> 777.0).write.partitionBy("bucket").parquet(s"$root/v=7")
+    Files.writeString(Paths.get(root, "manifest-7.txt"),
+      "7\n#parent=2\n1\tv=7/bucket=1")
+    assert(Commit.history(spark, root) === Seq(2L, 1L))
+    assert(Commit.readAt(spark, root, 7L).isEmpty,
+      "crashed (unswapped) manifest resurfaced as history")
+  }
+
+  test("vacuum retain=N bounds time travel, keeps carried buckets alive") {
+    val root = tmp("commit-retain")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root) // v=1
+    Commit.publishBuckets(statusDf(1L -> 5.0), root)            // v=2
+    Commit.publishBuckets(statusDf(1L -> 9.0), root)            // v=3
+    Commit.vacuum(spark, root, retain = 2)
+    assert(Commit.history(spark, root) === Seq(3L, 2L))
+    // v=2's snapshot still reconstructs (its data dirs are all alive:
+    // bucket 2 carried from v=1 is referenced by a retained manifest)
+    val at2 = Commit.readAt(spark, root, 2L).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(at2 === Set(1L -> 5.0, 2L -> 2.0))
+    // v=1's manifest is reclaimed; its carried data dir survives
+    assert(Commit.readAt(spark, root, 1L).isEmpty)
+    assert(Files.exists(Paths.get(root, "v=1")))
+    val now = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    assert(now === Set(1L -> 9.0, 2L -> 2.0))
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = Files.createTempDirectory("commit-landing").toString
