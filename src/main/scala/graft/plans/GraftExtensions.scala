@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.vecD2)
+    ext.injectFunction(GraftExtensions.shingleHash)
   }
 }
 
@@ -49,11 +50,35 @@ object GraftExtensions {
       VecD2(args.head, args(1))
     })
 
+  /** shingle_hash(text, k) → array<bigint> — the one-pass codegen'd
+    * [[ShingleHash]] k-token shingle fingerprinter as a SQL function.
+    * `k` must be a foldable integer literal (it shapes codegen).
+    */
+  val shingleHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hash"),
+    new ExpressionInfo(classOf[ShingleHash].getCanonicalName, null, "shingle_hash",
+      "shingle_hash(text, k) - 64-bit rolling hashes of the k-token shingles of text; k a positive integer literal.",
+      ""),
+    args => {
+      require(args.length == 2, "shingle_hash(text, k) takes exactly 2 arguments")
+      val k = args(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash k must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "shingle_hash k must be a foldable integer literal")
+      }
+      ShingleHash(args.head, k)
+    })
+
   /** Install the function set into a live session (same descriptors the
     * `spark.sql.extensions` path injects at session build).
     */
   def register(spark: SparkSession): Unit =
-    Seq(vecDot, vecD2).foreach { case (id, info, builder) =>
+    Seq(vecDot, vecD2, shingleHash).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

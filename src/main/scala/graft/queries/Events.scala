@@ -1068,10 +1068,124 @@ object Events {
             FROM cr GROUP BY channel ORDER BY channel""")
   )
 
+  /** Mutual information between categorical feature pairs — the
+    * model-free dependence screen a feature-selection / leakage audit
+    * runs before training ([[hourlyCorr]] sees only LINEAR relations
+    * between numeric columns; MI sees any relation between discrete
+    * ones). Three event-table pairs: type×hour-of-day, type×day-of-
+    * week, type×value-bucket (fixed 50-wide buckets capped at 10 — a
+    * data-independent binning, so no quantile pass). Reported in nats
+    * with both marginal entropies and the min-entropy-normalized
+    * NMI ∈ [0,1].
+    *
+    * Exactness: the contingency table is all BIGINT counts; each MI
+    * term is (c/n)·ln(c·n / (ra·cb)) — the LN argument is a ratio of
+    * EXACT integer products, so one LN + one multiply per cell, rounded
+    * to 9 dp and DECIMAL-summed (the transcendental-exact recipe);
+    * entropies follow the same shape on the marginals.
+    *
+    * Scale shape: one map-only feature projection, one hash-agg to the
+    * contingency grain (|types|×24-ish cells), marginals re-aggregate
+    * THAT (never the corpus), and every join below the first agg is on
+    * k-row frames. The three pairs union at the cell grain, so the
+    * corpus is scanned once per pair with no shuffle beyond the
+    * contingency agg — at 100 TB this is three map-side-combined
+    * passes.
+    */
+  val mutualInformation = QueryDef(
+    "q_mutual_information",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      def pairDf(name: String, a: Column, b: Column): DataFrame =
+        ev.select(a.cast("string").as("a"), b.cast("string").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .withColumn("pair", lit(name))
+      val cells = pairDf("type_hour", col("event_type"),
+          hour(col("ts")))
+        .unionByName(pairDf("type_dow", col("event_type"),
+          dayofweek(col("ts"))))
+        .unionByName(pairDf("type_vbucket", col("event_type"),
+          least(floor(col("value") / 50), lit(9)).cast("long")))
+      val ra = cells.groupBy("pair", "a").agg(sum(col("c")).as("ra"))
+      val cb = cells.groupBy("pair", "b").agg(sum(col("c")).as("cb"))
+      val n = cells.groupBy("pair").agg(sum(col("c")).as("n"))
+      val term = round((col("c").cast("double") / col("n").cast("double")) *
+        log(col("c").cast("double") * col("n").cast("double") /
+          (col("ra").cast("double") * col("cb").cast("double"))), 9)
+      val mi = cells.join(ra, Seq("pair", "a")).join(cb, Seq("pair", "b"))
+        .join(broadcast(n), Seq("pair"))
+        .select(col("pair"), term.cast(DecimalType(28, 12)).as("t"))
+        .groupBy("pair")
+        .agg(round(sum(col("t")).cast("double"), 6).as("mi"))
+      def entropy(marg: DataFrame, cnt: String, out: String): DataFrame =
+        marg.join(broadcast(n), Seq("pair"))
+          .select(col("pair"),
+            round(-(col(cnt).cast("double") / col("n").cast("double")) *
+              log(col(cnt).cast("double") / col("n").cast("double")), 9)
+              .cast(DecimalType(28, 12)).as("t"))
+          .groupBy("pair")
+          .agg(round(sum(col("t")).cast("double"), 6).as(out))
+      mi.join(entropy(ra, "ra", "h_a"), Seq("pair"))
+        .join(entropy(cb, "cb", "h_b"), Seq("pair"))
+        .join(broadcast(n), Seq("pair"))
+        .select(col("pair"), col("n"), col("h_a"), col("h_b"), col("mi"),
+          round(col("mi") / least(col("h_a"), col("h_b")), 6).as("nmi"))
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+                        FROM events WHERE ts IS NOT NULL),
+            feat AS (
+              SELECT 'type_hour' AS pair, event_type AS a,
+                     CAST(hour(ts) AS VARCHAR) AS b FROM ev
+              UNION ALL
+              SELECT 'type_dow', event_type,
+                     CAST(dayofweek(ts) + 1 AS VARCHAR) FROM ev
+              UNION ALL
+              SELECT 'type_vbucket', event_type,
+                     CAST(CAST(LEAST(FLOOR(value / 50), 9) AS BIGINT)
+                          AS VARCHAR) FROM ev),
+            cells AS (SELECT pair, a, b, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM feat GROUP BY 1, 2, 3),
+            ra AS (SELECT pair, a, CAST(SUM(c) AS BIGINT) AS ra
+                   FROM cells GROUP BY 1, 2),
+            cb AS (SELECT pair, b, CAST(SUM(c) AS BIGINT) AS cb
+                   FROM cells GROUP BY 1, 2),
+            nn AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+                   FROM cells GROUP BY 1),
+            mi AS (
+              SELECT pair,
+                     ROUND(CAST(SUM(CAST(
+                       ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                         LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi
+              FROM cells JOIN ra USING (pair, a) JOIN cb USING (pair, b)
+              JOIN nn USING (pair)
+              GROUP BY pair),
+            ha AS (
+              SELECT pair,
+                     ROUND(CAST(SUM(CAST(
+                       ROUND(-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)) *
+                         LN(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_a
+              FROM ra JOIN nn USING (pair) GROUP BY pair),
+            hb AS (
+              SELECT pair,
+                     ROUND(CAST(SUM(CAST(
+                       ROUND(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+                         LN(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_b
+              FROM cb JOIN nn USING (pair) GROUP BY pair)
+            SELECT pair, n, h_a, h_b, mi,
+                   ROUND(mi / LEAST(h_a, h_b), 6) AS nmi
+            FROM mi JOIN ha USING (pair) JOIN hb USING (pair)
+            JOIN nn USING (pair)""")
+  )
+
   def all: Seq[QueryDef] = Seq(
     windowRolling, windowRange, windowLagLead, zscore, lastPerGroup,
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
-    abTest, pathMining, attributionCredit)
+    abTest, pathMining, attributionCredit, mutualInformation)
 }

@@ -1270,7 +1270,92 @@ object Ml {
             FROM aucf a JOIN ksf k USING (clabel)""")
   )
 
+  /** Reliability diagram + expected calibration error for the label-0
+    * one-vs-rest similarity scorer — [[auc]] asks "does the score RANK
+    * positives above negatives"; this asks "does the score's VALUE
+    * mean what a probability should" (Guo et al., "On Calibration of
+    * Modern Neural Networks", ICML 2017 — ECE is their Eq. 3). The
+    * cosine maps to [0,1] via p = (cos+1)/2 and lands in 10 fixed-width
+    * bins; per bin, confidence (mean p) vs accuracy (positive rate),
+    * and ECE = Σ |acc−conf|·n_b/n rides every row.
+    *
+    * Exactness: p = (round(cos,6)+1)/2 is two exact IEEE ops; bin ids
+    * are floor arithmetic on that; conf is a DECIMAL(28,12)-summed
+    * exact mean; acc is an integer ratio; each ECE term is arithmetic
+    * on the two ROUNDED per-bin values (round 9), DECIMAL-summed.
+    * Scale shape: one 64-row broadcast centroid, map-only scoring +
+    * binning, ONE hash-agg to ≤10 bins, and the ECE rollup runs on
+    * those 10 rows.
+    */
+  val calibration = QueryDef(
+    "q_calibration",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("label") === 0)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+          .cast("double") / count(lit(1)), 8).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cv"))
+      val p = (round(VF.cosineSpark("embedding", "cv"), 6) + 1) / 2
+      val bins = e.crossJoin(broadcast(cent))
+        .select((col("label") === 0).cast("long").as("y"), p.as("p"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_bin"), sum(col("y")).as("n_pos"),
+          round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1)), 6).as("conf"))
+        .withColumn("acc",
+          round(col("n_pos").cast("double") / col("n_bin").cast("double"), 6))
+      val ece = bins
+        .withColumn("n", sum(col("n_bin")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(round(abs(col("acc") - col("conf")) *
+          col("n_bin").cast("double") / col("n").cast("double"), 9)
+          .cast(DecimalType(28, 12)).as("t"))
+        .agg(round(sum(col("t")).cast("double"), 6).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_bin"), col("n_pos"), col("conf"),
+          col("acc"), col("ece"))
+    },
+    Some(s"""WITH cent AS (
+              SELECT list(ROUND(cm, 8) ORDER BY pos) AS cv
+              FROM (SELECT g.i AS pos,
+                      CAST(SUM(CAST(CAST(embedding[g.i + 1] AS DOUBLE)
+                        AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS cm
+                    FROM embeddings, generate_series(0, 63) AS g(i)
+                    WHERE label = 0
+                    GROUP BY g.i)),
+            scored AS (
+              SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS y,
+                     (ROUND(${VF.cosineDuck("e.embedding", "c.cv")}, 6) + 1) / 2
+                       AS p
+              FROM embeddings e CROSS JOIN cent c),
+            bins AS (
+              SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n_bin,
+                     CAST(SUM(y) AS BIGINT) AS n_pos,
+                     ROUND(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE)
+                           / COUNT(*), 6) AS conf
+              FROM scored GROUP BY 1),
+            withacc AS (
+              SELECT *, ROUND(CAST(n_pos AS DOUBLE) / CAST(n_bin AS DOUBLE), 6)
+                          AS acc
+              FROM bins),
+            ece AS (
+              SELECT ROUND(CAST(SUM(CAST(
+                       ROUND(ABS(acc - conf) * CAST(n_bin AS DOUBLE)
+                             / CAST(n AS DOUBLE), 9)
+                       AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece
+              FROM withacc CROSS JOIN
+                   (SELECT CAST(SUM(n_bin) AS BIGINT) AS n FROM bins))
+            SELECT bin, n_bin, n_pos, conf, acc, ece
+            FROM withacc CROSS JOIN ece""")
+  )
+
   def all: Seq[QueryDef] = Seq(clusterSummary, scaledStats, anomalyTag,
-    forecastTree, forecastLinreg, forecastConformal, auc, groupOls, linreg,
-    logregGd, bootstrapCi, welchTtest)
+    forecastTree, forecastLinreg, forecastConformal, auc, calibration,
+    groupOls, linreg, logregGd, bootstrapCi, welchTtest)
 }

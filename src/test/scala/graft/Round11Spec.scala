@@ -71,4 +71,151 @@ class Round11Spec extends SparkSpec {
     assert(strengths.head <= 1.0 && strengths.head >= -1.0)
     rows.foreach(r => assert(r.getAs[Double]("seasonal_mean") > 0.0))
   }
+
+  test("q_acf: correlations bounded, pair counts consistent, Ljung-Box sane") {
+    val rows = run("q_acf").collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    // 6 lags per type, every lag present
+    assert(rows.length === types.length * 6)
+    types.foreach { t =>
+      val mine = rows.filter(_.getAs[String]("event_type") == t)
+      assert(mine.map(_.getAs[Long]("lag_k")).sorted.toSeq === (1L to 6L))
+      // n_pairs decreases by exactly 1 per extra lag (dense grid)
+      val byLag = mine.map(r =>
+        r.getAs[Long]("lag_k") -> r.getAs[Long]("n_pairs")).toMap
+      assert((2L to 6L).forall(k => byLag(k) === byLag(k - 1) - 1))
+      // one Q statistic per series, non-negative (sum of squares)
+      val qs = mine.map(_.getAs[Double]("lb_q")).distinct
+      assert(qs.length === 1 && qs.head >= 0.0)
+    }
+    // Cauchy–Schwarz: every autocorrelation sits in [-1, 1]
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0))
+  }
+
+  test("q_forecast_conformal: interval covers held-out hours near target") {
+    val r = run("q_forecast_conformal").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nTest, nCov) =
+      (row.getAs[Long]("n_test"), row.getAs[Long]("n_covered"))
+    assert(row.getAs[Long]("n_fit") > 0 && row.getAs[Long]("n_cal") > 0 &&
+      nTest > 0)
+    assert(row.getAs[Double]("qhat") >= 0.0)
+    // coverage is the exact integer ratio it claims to be
+    assert(math.abs(row.getAs[Double]("coverage") -
+      nCov.toDouble / nTest) < 1e-6)
+    // split-conformal targets 0.9 under exchangeability; an hourly
+    // series is NOT exchangeable, so assert the loose validity band a
+    // drifting-but-stationary-ish series should still clear
+    assert(row.getAs[Double]("coverage") >= 0.6 &&
+      row.getAs[Double]("coverage") <= 1.0)
+  }
+
+  test("q_auc: per-label metrics bounded and internally consistent") {
+    val rows = run("q_auc").collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    // every label audited, each against the same corpus
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") === total)
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+      assert(math.abs(r.getAs[Double]("gini") - (2 * auc - 1)) < 1e-6)
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_pos")).sum === total)
+    // the own-centroid scorer must beat coin-flip ON AVERAGE (per-label
+    // values are noisy at the 50-vector fixture)
+    val meanAuc = rows.map(_.getAs[Double]("auc")).sum / rows.length
+    assert(meanAuc > 0.5, s"mean one-vs-rest AUC $meanAuc <= 0.5")
+  }
+
+  test("q_hybrid_rrf: fusion arithmetic and rank discipline") {
+    val rows = run("q_hybrid_rrf").collect()
+    val probes = rows.map(_.getAs[Long]("probe")).distinct.sorted.toSeq
+    assert(probes === Seq(0L, 17L, 42L))
+    probes.foreach { p =>
+      val mine = rows.filter(_.getAs[Long]("probe") == p)
+        .sortBy(_.getAs[Long]("rrf_rank"))
+      // contiguous fused ranking, nobody retrieves themselves
+      assert(mine.map(_.getAs[Long]("rrf_rank")).toSeq ===
+        (1L to mine.length))
+      assert(mine.forall(_.getAs[Long]("doc_id") != p))
+      // rrf recomputes from the two ranks exactly (missing side = 0)
+      mine.foreach { r =>
+        def side(c: String): Double = r.getAs[java.lang.Long](c) match {
+          case null => 0.0
+          case rk => assert(rk >= 1L && rk <= 20L); 1.0 / (60 + rk)
+        }
+        assert(math.abs(r.getAs[Double]("rrf") -
+          (side("rank_sparse") + side("rank_dense"))) < 1e-6)
+      }
+      // fused score non-increasing down the ranking
+      val fs = mine.map(_.getAs[Double]("rrf"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_mutual_information: information inequalities hold") {
+    val rows = run("q_mutual_information").collect()
+    assert(rows.map(_.getAs[String]("pair")).sorted.toSeq ===
+      Seq("type_dow", "type_hour", "type_vbucket"))
+    rows.foreach { r =>
+      val (mi, ha, hb) = (r.getAs[Double]("mi"), r.getAs[Double]("h_a"),
+        r.getAs[Double]("h_b"))
+      // MI >= 0 and MI <= min(H) up to the 9-dp per-cell rounding
+      assert(mi >= -1e-5, s"negative MI: $r")
+      assert(ha > 0 && hb > 0)
+      assert(mi <= math.min(ha, hb) + 1e-5)
+      val nmi = r.getAs[Double]("nmi")
+      assert(nmi >= -1e-5 && nmi <= 1 + 1e-5)
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("q_mutual_information positive control: MI(X,X) = H(X)") {
+    // the formula must saturate on a perfectly dependent pair
+    def miOf(cells: Seq[((Int, Int), Long)]): (Double, Double) = {
+      val n = cells.map(_._2).sum.toDouble
+      val ra = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val cb = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+      val mi = cells.map { case ((a, b), c) =>
+        c / n * math.log(c * n / (ra(a).toDouble * cb(b)))
+      }.sum
+      val h = ra.values.map(r => -(r / n) * math.log(r / n)).sum
+      (mi, h)
+    }
+    val diag = (0 until 4).map(i => ((i, i), 25L))
+    val (mi, h) = miOf(diag)
+    assert(math.abs(mi - h) < 1e-12 && h > 1.38) // ln 4
+    val indep = for (i <- 0 until 4; j <- 0 until 4) yield ((i, j), 25L)
+    assert(math.abs(miOf(indep)._1) < 1e-12)
+  }
+
+  test("q_calibration: bins partition the corpus; ECE recomputes") {
+    val rows = run("q_calibration").collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_bin")).sum === total)
+    val bins = rows.map(_.getAs[Long]("bin"))
+    assert(bins.distinct.length === bins.length)
+    assert(bins.forall(b => b >= 0 && b <= 9))
+    rows.foreach { r =>
+      val (nb, np) = (r.getAs[Long]("n_bin"), r.getAs[Long]("n_pos"))
+      assert(np >= 0 && np <= nb)
+      assert(math.abs(r.getAs[Double]("acc") - np.toDouble / nb) < 1e-6)
+      // mean confidence lands inside its own bin's score range
+      val conf = r.getAs[Double]("conf")
+      val b = r.getAs[Long]("bin")
+      assert(conf >= b / 10.0 - 1e-6 &&
+        (conf <= (b + 1) / 10.0 + 1e-6 || b == 9))
+    }
+    // one ECE globally, equal to its definition over the bins
+    val eces = rows.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length === 1)
+    val n = rows.map(_.getAs[Long]("n_bin")).sum.toDouble
+    val recomputed = rows.map(r =>
+      math.abs(r.getAs[Double]("acc") - r.getAs[Double]("conf")) *
+        r.getAs[Long]("n_bin") / n).sum
+    assert(math.abs(eces.head - recomputed) < 1e-5)
+  }
 }

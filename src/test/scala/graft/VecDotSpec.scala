@@ -113,6 +113,19 @@ class VecDotSpec extends SparkSpec {
       "SELECT vec_d2(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .collect().head.getDouble(0)
     assert(d2 === 8.0)
+    // shingle_hash: must match the Column-API path exactly, and reject
+    // a non-literal k (it shapes codegen)
+    val viaSql = spark.sql(
+      "SELECT shingle_hash('a b c d', 3) AS h").collect().head.getSeq[Long](0)
+    val viaCol = Seq(Tuple1("a b c d")).toDF("t")
+      .select(org.apache.spark.sql.GraftSql.column(
+        graft.plans.ShingleHash(
+          org.apache.spark.sql.GraftSql.expression(col("t")), 3)).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.length === 2)
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hash('a b c', cast(rand() * 3 as int))").collect()
+    }
     // the extensions class itself must accept an injection pass (the
     // spark.sql.extensions=graft.plans.GraftExtensions cluster path)
     new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
