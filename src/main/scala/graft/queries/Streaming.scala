@@ -342,8 +342,110 @@ object Streaming {
             FROM z
             WHERE std > 0 AND ABS(value4 - mean) > 3.0 * std"""))
 
+  /** Streaming drift monitor — the production deployment of
+    * `q_drift_psi`: the REFERENCE distribution (per-type counts over
+    * the first half of history, by time midpoint) is frozen batch-side;
+    * the STREAM aggregates each day after the cutoff into its own
+    * per-type distribution (watermark-bounded day windows,
+    * [[graft.streaming.Streams.dailyTypeCounts]]); each closed day then
+    * rolls up to one PSI row + monitoring verdict against the frozen
+    * reference. This is the drift alarm a training pipeline keeps
+    * running between snapshot rebuilds.
+    *
+    * The midpoint cutoff is a 2-scalar driver pull (monitor config,
+    * same posture as centroid pulls); the per-day PSI reduction runs
+    * over the k-row (day × ref-type) grid — the corpus is never
+    * re-shuffled past the streaming agg. Exactness: the PSI term text
+    * is IDENTICAL to q_drift_psi's (add-half smoothing over the ref
+    * bin set, DECIMAL(28,18) partials, round 6), so the engines agree
+    * bit-for-bit.
+    */
+  val streamDrift = QueryDef(
+    "q_stream_drift",
+    (s, d) => {
+      import graft.Tables
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val bounds = ev.agg(min(expr("unix_micros(cast(ts as timestamp))")).as("mn"),
+        max(expr("unix_micros(cast(ts as timestamp))")).as("mx")).head
+      val mn = bounds.getAs[Long]("mn"); val mx = bounds.getAs[Long]("mx")
+      val cutoff = mn + (mx - mn) / 2
+      val ref = ev.filter(expr("unix_micros(cast(ts as timestamp))") <= cutoff)
+        .groupBy("event_type").agg(count(lit(1)).as("c_ref"))
+      val cur = Streams.runToTable(
+        Streams.dailyTypeCounts(Streams.readEvents(s, d), cutoff),
+        "stream_drift", "complete", statePartitions = Some(8))
+        .withColumn("day", col("day").cast("timestamp_ntz"))
+      val grid = cur.select("day").distinct().crossJoin(broadcast(ref))
+      val joined = grid.join(cur, Seq("day", "event_type"), "left")
+        .withColumn("c_cur", coalesce(col("c_cur"), lit(0L)))
+      val wd = Window.partitionBy("day")
+      val pr = (col("c_ref").cast("double") + 0.5) /
+        (col("n_ref").cast("double") + lit(0.5) * col("k"))
+      val pc = (col("c_cur").cast("double") + 0.5) /
+        (col("n_cur").cast("double") + lit(0.5) * col("k"))
+      joined
+        .withColumn("n_ref", sum(col("c_ref")).over(wd))
+        .withColumn("n_cur", sum(col("c_cur")).over(wd))
+        .withColumn("k", count(lit(1)).over(wd))
+        .withColumn("term", ((pc - pr) * log(pc / pr)).cast(DecimalType(28, 18)))
+        .groupBy("day")
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          max(col("k")).as("n_bins"),
+          round(sum(col("term")).cast("double"), 6).as("psi"))
+        .withColumn("verdict",
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate_drift")
+            .otherwise("major_drift"))
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+                        FROM events WHERE ts IS NOT NULL),
+            b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                  FROM ev),
+            ref AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_ref
+                    FROM ev CROSS JOIN b
+                    WHERE epoch_us(ts) <= mn + (mx - mn) // 2
+                    GROUP BY 1),
+            cur AS (SELECT date_trunc('day', ts) AS day, event_type,
+                           CAST(COUNT(*) AS BIGINT) AS c_cur
+                    FROM ev CROSS JOIN b
+                    WHERE epoch_us(ts) > mn + (mx - mn) // 2
+                    GROUP BY 1, 2),
+            grid AS (SELECT d.day, r.event_type, r.c_ref
+                     FROM (SELECT DISTINCT day FROM cur) d CROSS JOIN ref r),
+            j AS (SELECT g.day, g.event_type, g.c_ref,
+                         COALESCE(cur.c_cur, CAST(0 AS BIGINT)) AS c_cur
+                  FROM grid g LEFT JOIN cur
+                    ON cur.day = g.day AND cur.event_type = g.event_type),
+            t AS (SELECT *,
+                    CAST(SUM(c_ref) OVER (PARTITION BY day) AS BIGINT) AS n_ref,
+                    CAST(SUM(c_cur) OVER (PARTITION BY day) AS BIGINT) AS n_cur,
+                    CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS k
+                  FROM j),
+            terms AS (SELECT day, n_ref, n_cur, k,
+                    CAST(((CAST(c_cur AS DOUBLE) + 0.5)
+                            / (CAST(n_cur AS DOUBLE) + 0.5 * k)
+                          - (CAST(c_ref AS DOUBLE) + 0.5)
+                            / (CAST(n_ref AS DOUBLE) + 0.5 * k))
+                      * LN(((CAST(c_cur AS DOUBLE) + 0.5)
+                            / (CAST(n_cur AS DOUBLE) + 0.5 * k))
+                         / ((CAST(c_ref AS DOUBLE) + 0.5)
+                            / (CAST(n_ref AS DOUBLE) + 0.5 * k)))
+                      AS DECIMAL(28,18)) AS term
+                  FROM t),
+            agg AS (SELECT day, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+                           MAX(k) AS n_bins,
+                           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+                    FROM terms GROUP BY day)
+            SELECT day, n_ref, n_cur, n_bins, psi,
+                   CASE WHEN psi < 0.1 THEN 'stable'
+                        WHEN psi < 0.25 THEN 'moderate_drift'
+                        ELSE 'major_drift' END AS verdict
+            FROM agg"""))
+
   def all: Seq[QueryDef] =
     Seq(streamHourly, streamSliding, streamEnrich, streamUpsert,
       streamSessionize, streamAttrib, streamAttribOuter, streamDedup,
-      streamSessionWindow, streamTopk, streamAnomaly)
+      streamSessionWindow, streamTopk, streamAnomaly, streamDrift)
 }

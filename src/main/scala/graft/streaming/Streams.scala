@@ -115,6 +115,21 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Daily per-type counts over the portion of the stream AFTER the
+    * reference cutoff (epoch µs) — the streaming half of the PSI drift
+    * monitor (q_stream_drift): each closed day becomes one distribution
+    * snapshot to compare against the frozen reference. State is
+    * (day, type) rows, watermark-bounded like every windowed agg here.
+    */
+  def dailyTypeCounts(events: DataFrame, cutoffUs: Long,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(expr("unix_micros(cast(ts as timestamp))") > cutoffUs)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("c_cur"))
+      .select(col("window.start").as("day"), col("event_type"), col("c_cur"))
+
   /** Stream-static enrichment join: the unbounded stream joins a
     * bounded dimension (re-read per micro-batch, so slowly-changing
     * dims pick up updates), then aggregates per (hour, segment). The
