@@ -1068,6 +1068,100 @@ object Events {
             FROM cr GROUP BY channel ORDER BY channel""")
   )
 
+  /** Kaplan–Meier survival curve over user lifetimes — the right-
+    * censoring-aware answer to "how long do users stay active" that a
+    * plain avg(lifetime) gets WRONG (users still active at the end of
+    * the observation window haven't finished their lifetime; dropping
+    * or truncating them biases the estimate — the product-limit
+    * estimator is the standard fix). Lifetime = whole days between a
+    * user's first and last event; a user whose last event falls in the
+    * final 24 h of the stream is censored (still alive). One row per
+    * EVENT time t: the at-risk count, events, censored-at-t, and the
+    * running survival probability S(t) = Π(1 − d/n).
+    *
+    * Exactness: d/c/n are integers; the product runs as
+    * exp(Σ ln((n−d)/n)) with each ln-of-exact-integer-ratio rounded to
+    * 9 dp and DECIMAL-summed (merge-order-free), one exp at the end
+    * (round 6); a risk set that empties (n = d) would be ln 0, so the
+    * collapse is flagged integer-side and pins S = 0 exactly.
+    *
+    * Scale shape: ONE hash-agg to per-user (first, last) — the only
+    * corpus shuffle; everything after runs on the ≤|distinct lifetimes|
+    * grain (≤ observation days), where the two windows (reverse
+    * cumulative risk, forward cumulative product) are bounded by the
+    * calendar, not the data.
+    */
+  val survival = QueryDef(
+    "q_survival",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val gmax = ev.agg(max(us).as("gm"))
+      val users = ev.groupBy("user_id")
+        .agg(min(us).as("first_us"), max(us).as("last_us"))
+        .crossJoin(broadcast(gmax))
+        .select(
+          floor((col("last_us") - col("first_us")) / dayUs).cast("long").as("t"),
+          (col("last_us") <= col("gm") - dayUs).cast("long").as("churn"))
+      val byT = users.groupBy("t").agg(
+        sum(col("churn")).as("d"),
+        (count(lit(1)) - sum(col("churn"))).as("c"),
+        count(lit(1)).as("n_at"))
+      val wDesc = Window.orderBy(desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("n_at")).over(wDesc))
+        .filter(col("d") > 0)
+        .withColumn("term",
+          when(col("n_risk") > col("d"),
+            round(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")), 9))
+            .otherwise(0.0).cast(DecimalType(28, 18)))
+        .withColumn("collapsed",
+          max((col("n_risk") === col("d")).cast("long")).over(wAsc))
+        .withColumn("survival",
+          when(col("collapsed") === 1, 0.0)
+            .otherwise(round(exp(sum(col("term")).over(wAsc).cast("double")), 6)))
+        .select(col("t"), col("n_risk"), col("d").as("n_events"),
+          col("c").as("n_censored"), col("survival"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                        FROM events WHERE ts IS NOT NULL),
+            gm AS (SELECT MAX(us) AS gm FROM ev),
+            users AS (
+              SELECT CAST(FLOOR((MAX(us) - MIN(us)) / 86400000000)
+                          AS BIGINT) AS t,
+                     CASE WHEN MAX(us) <= (SELECT gm FROM gm) - 86400000000
+                          THEN 1 ELSE 0 END AS churn
+              FROM ev GROUP BY user_id),
+            byt AS (SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+                           CAST(COUNT(*) - SUM(churn) AS BIGINT) AS c,
+                           CAST(COUNT(*) AS BIGINT) AS n_at
+                    FROM users GROUP BY t),
+            risk AS (SELECT *,
+                       CAST(SUM(n_at) OVER (ORDER BY t DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+                     FROM byt),
+            steps AS (
+              SELECT t, d, c, n_risk,
+                     CAST(CASE WHEN n_risk > d
+                          THEN ROUND(LN(CAST(n_risk - d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE)), 9)
+                          ELSE 0.0 END AS DECIMAL(28,18)) AS term,
+                     MAX(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS collapsed
+              FROM risk WHERE d > 0)
+            SELECT t, n_risk, d AS n_events, c AS n_censored,
+                   CASE WHEN collapsed = 1 THEN 0.0
+                        ELSE ROUND(EXP(CAST(SUM(term)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE)), 6) END AS survival
+            FROM steps""")
+  )
+
   /** Mutual information between categorical feature pairs — the
     * model-free dependence screen a feature-selection / leakage audit
     * runs before training ([[hourlyCorr]] sees only LINEAR relations
@@ -1187,5 +1281,5 @@ object Events {
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
-    abTest, pathMining, attributionCredit, mutualInformation)
+    abTest, pathMining, attributionCredit, mutualInformation, survival)
 }
