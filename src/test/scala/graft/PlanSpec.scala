@@ -373,4 +373,63 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_auc / q_calibration: native cosine in codegen; no global window on the corpus") {
+    for (q <- Seq("q_auc", "q_calibration")) {
+      val p = plan(q)
+      // the scoring Project (vec_dot cosine) must sit inside a
+      // WholeStageCodegen stage, not an interpreted fallback
+      val line = p.linesIterator.find(_.contains("vec_dot")).get
+      assert(line.substring(0, line.indexOf("Project")).contains("*("), line)
+    }
+    // every rank/tie-count window in the AUC plan is keyed by clabel —
+    // the ×10 label fan-out is the only sort, hash-partitioned, never global
+    val p = plan("q_auc")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("clabel")),
+      specs.mkString("\n"))
+  }
+
+  test("q_ndcg: probe batch broadcast; ranking windows keyed by probe") {
+    val p = plan("q_ndcg")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // corpus × probe batch
+    val rn = p.linesIterator
+      .filter(_.contains("row_number() windowspecdefinition")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("probe")), rn.mkString("\n"))
+  }
+
+  test("q_hybrid_rrf: fusion joins top-k lists only; query terms ride broadcasts") {
+    val p = plan("q_hybrid_rrf")
+    // the one FULL OUTER join merges the two rank-filtered (≤ 20 ×
+    // probes rows) lists; the corpus-side tf filter and the probe
+    // vectors arrive as broadcasts
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_acf: lag windows keyed by event_type over the bounded hourly grain") {
+    val p = plan("q_acf")
+    val lags = p.linesIterator.filter(_.contains("lag(x")).toSeq
+    assert(lags.nonEmpty && lags.forall(_.contains("event_type")),
+      lags.mkString("\n"))
+  }
+
+  test("q_survival: ONE corpus shuffle (by user); the rest on the lifetime grain") {
+    val df = SparkEntry.queries("q_survival")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val keys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.contains("user_id"), p)
+    // every other exchange is on t (≤ observation-days rows) or a
+    // single-partition rollup of that grain
+    assert(keys.forall(k => k == "user_id" || k == "t"), keys.mkString(","))
+  }
+
+  test("q_mutual_information: contingency aggs are map-side-combined") {
+    val p = plan("q_mutual_information")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final per stage
+    assert(!p.contains("SortMergeJoin"), p) // marginals join the cell grain small
+  }
 }
