@@ -1191,16 +1191,20 @@ object Events {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val ev = Tables.events(s, d).filter(col("ts").isNotNull)
-      def pairDf(name: String, a: Column, b: Column): DataFrame =
-        ev.select(a.cast("string").as("a"), b.cast("string").as("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-          .withColumn("pair", lit(name))
-      val cells = pairDf("type_hour", col("event_type"),
-          hour(col("ts")))
-        .unionByName(pairDf("type_dow", col("event_type"),
-          dayofweek(col("ts"))))
-        .unionByName(pairDf("type_vbucket", col("event_type"),
-          least(floor(col("value") / 50), lit(9)).cast("long")))
+      // ONE corpus scan: the three feature pairs ride a 3-way explode
+      // into a single contingency hash-agg (the q_drift_psi shape) —
+      // three separate scans would read the fact table three times
+      def f(name: String, a: Column, b: Column): Column =
+        struct(lit(name).as("pair"), a.cast("string").as("a"),
+          b.cast("string").as("b"))
+      val cells = ev.select(explode(array(
+          f("type_hour", col("event_type"), hour(col("ts"))),
+          f("type_dow", col("event_type"), dayofweek(col("ts"))),
+          f("type_vbucket", col("event_type"),
+            least(floor(col("value") / 50), lit(9)).cast("long")))).as("e"))
+        .select(col("e.pair").as("pair"), col("e.a").as("a"),
+          col("e.b").as("b"))
+        .groupBy("pair", "a", "b").agg(count(lit(1)).as("c"))
       val ra = cells.groupBy("pair", "a").agg(sum(col("c")).as("ra"))
       val cb = cells.groupBy("pair", "b").agg(sum(col("c")).as("cb"))
       val n = cells.groupBy("pair").agg(sum(col("c")).as("n"))

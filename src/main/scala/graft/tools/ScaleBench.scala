@@ -53,7 +53,10 @@ object ScaleBench {
     "streaming" -> Seq("q_stream_hourly"),
     // round 10: snapshot reconciliation + layout audit + bloom-filtered
     // join — the full-outer diff is the row-volume-bound member
-    "layout_cdc" -> Seq("q_snapshot_diff", "q_zorder_layout", "q_bloom_semijoin"))
+    "layout_cdc" -> Seq("q_snapshot_diff", "q_zorder_layout", "q_bloom_semijoin"),
+    // round 11: evaluation family — ×|labels| window fan-out (auc),
+    // contingency hash-aggs (mi), per-user lifetime reduction (survival)
+    "evaluation" -> Seq("q_auc", "q_mutual_information", "q_survival"))
 
   private def loadavg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
