@@ -237,6 +237,16 @@ object DashboardServer {
   val DashboardQueries: Seq[String] = Seq(
     "q_dash_metrics", "q_dash_sensors", "q_dash_alerts",
     "q_dash_patterns", "q_dash_sensor_types", "q_dash_districts")
+
+  /** Round-11 monitoring surface: the pipeline-health queries an
+    * operator keeps on a second page — data drift, scorer quality,
+    * calibration, freshness, and the release card. Serve with
+    * `new DashboardServer(spark, dir, MonitoringQueries)` (they share
+    * the TTL/single-flight machinery; nothing else changes).
+    */
+  val MonitoringQueries: Seq[String] = Seq(
+    "q_drift_psi", "q_auc", "q_calibration", "q_freshness",
+    "q_dataset_card")
 }
 
 /** Standalone entry point:

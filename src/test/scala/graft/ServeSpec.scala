@@ -145,6 +145,23 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("monitoring preset serves the pipeline-health queries") {
+    val srv = new DashboardServer(spark, sf0001,
+      queryNames = DashboardServer.MonitoringQueries)
+    val port = srv.start()
+    try {
+      // drift verdicts and per-label AUC come back as the same JSON
+      // contract the dashboard routes use
+      val drift = get(port, "/api/q_drift_psi")
+      assert(drift.statusCode() == 200)
+      assert(drift.body().contains("\"psi\"") &&
+        drift.body().contains("\"verdict\""), drift.body())
+      val auc = get(port, "/api/q_auc")
+      assert(auc.statusCode() == 200 && auc.body().contains("\"auc\""),
+        auc.body())
+    } finally srv.stop()
+  }
+
   test("rejects unknown query names at construction") {
     intercept[IllegalArgumentException] {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
