@@ -117,5 +117,88 @@ object Temporal {
     }
   )
 
-  def all: Seq[QueryDef] = Seq(asofJoin, rangeJoin, zorderKey)
+  /** Point-in-time-correct feature join against an SCD2 dimension —
+    * the feature-store op that keeps training data honest: each order
+    * (training example) must see the customer segment that was valid
+    * ON ITS ORDER DATE, not today's row. The classic bug — joining the
+    * CURRENT dim version — silently teaches the model tomorrow's
+    * features; the output carries both the PIT value and the
+    * current-version value with a `leaky` flag, so the query doubles
+    * as the leakage audit (count leaky rows = how much training data a
+    * naive join would corrupt).
+    *
+    * Dim versions: the q_scd2_merge scenario with the flip INSIDE the
+    * fact's date range (custkey % 100 = 0 upgraded effective
+    * 1998-01-01, orders span 1995–2001) — so both failure directions
+    * exist: pre-1998 orders of upgraded customers are leaky under a
+    * current-join, post-1998 ones are not.
+    *
+    * Scale shape: an EQUI-join on the surrogate key with the validity
+    * interval as a residual predicate — per-key multiplicity is the
+    * version count (≤ 2 here, bounded by dim churn, NOT by fact
+    * volume), so this is a plain hash join, never a banded or theta
+    * join; the dim is broadcastable after version explosion exactly
+    * when the base dim was.
+    */
+  val pitFeatures = QueryDef(
+    "q_pit_features",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val flip = pmod(col("c_custkey"), lit(100)) === 0
+      val dim =
+        cust.filter(!flip)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            lit("1990-01-01").cast("date").as("valid_from"),
+            lit(null).cast("date").as("valid_to"))
+        .unionByName(cust.filter(flip)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            lit("1990-01-01").cast("date").as("valid_from"),
+            lit("1998-01-01").cast("date").as("valid_to")))
+        .unionByName(cust.filter(flip)
+          .select(col("c_custkey"), lit("UPGRADED").as("segment"),
+            lit("1998-01-01").cast("date").as("valid_from"),
+            lit(null).cast("date").as("valid_to")))
+      val current = dim.filter(col("valid_to").isNull)
+        .select(col("c_custkey").as("cur_custkey"),
+          col("segment").as("current_segment"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"))
+      o.join(broadcast(dim), col("o_custkey") === col("c_custkey") &&
+          col("order_date") >= col("valid_from") &&
+          (col("valid_to").isNull || col("order_date") < col("valid_to")))
+        .join(broadcast(current), col("o_custkey") === col("cur_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+          col("segment").as("pit_segment"), col("current_segment"),
+          (col("segment") =!= col("current_segment")).cast("long").as("leaky"))
+    },
+    Some("""WITH dim AS (
+              SELECT c_custkey, c_mktsegment AS segment,
+                     CAST('1990-01-01' AS DATE) AS valid_from,
+                     CAST(NULL AS DATE) AS valid_to
+              FROM customer WHERE c_custkey % 100 <> 0
+              UNION ALL
+              SELECT c_custkey, c_mktsegment,
+                     CAST('1990-01-01' AS DATE), CAST('1998-01-01' AS DATE)
+              FROM customer WHERE c_custkey % 100 = 0
+              UNION ALL
+              SELECT c_custkey, 'UPGRADED',
+                     CAST('1998-01-01' AS DATE), CAST(NULL AS DATE)
+              FROM customer WHERE c_custkey % 100 = 0),
+            cur AS (SELECT c_custkey, segment AS current_segment
+                    FROM dim WHERE valid_to IS NULL)
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.o_orderdate AS DATE) AS order_date,
+                   d.segment AS pit_segment, c.current_segment,
+                   CAST(CASE WHEN d.segment <> c.current_segment
+                        THEN 1 ELSE 0 END AS BIGINT) AS leaky
+            FROM orders o
+            JOIN dim d ON o.o_custkey = d.c_custkey
+              AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+            JOIN cur c ON o.o_custkey = c.c_custkey""")
+  )
+
+  def all: Seq[QueryDef] = Seq(asofJoin, rangeJoin, zorderKey, pitFeatures)
 }
