@@ -274,4 +274,52 @@ class PropertySpec extends SparkSpec {
       assert(cs.map(_._2).max - cs.map(_._2).min <= 1, s"bin $bin sk span")
     }
   }
+
+  test("ACF integer formula: periodic signals peak at their period, noise reads flat") {
+    // the q_acf kernel as pure integer arithmetic (same closed form)
+    def acf(xs: Seq[Long], k: Int): Double = {
+      val n = xs.length.toLong; val s = xs.sum
+      val sxy = xs.dropRight(k).zip(xs.drop(k)).map { case (a, b) => a * b }.sum
+      val head = xs.dropRight(k).sum; val tail = xs.drop(k).sum
+      val sxx = xs.map(x => x * x).sum
+      (n * n * sxy - n * s * (head + tail) + (n - k) * s * s).toDouble /
+        (n * n * sxx - n * s * s)
+    }
+    val alternating = Seq.tabulate(200)(i => (i % 2).toLong * 10)
+    assert(acf(alternating, 1) < -0.95 && acf(alternating, 2) > 0.95)
+    val period3 = Seq.tabulate(300)(i => Seq(1L, 5L, 9L)(i % 3))
+    assert(acf(period3, 3) > 0.95 && acf(period3, 1) < 0)
+    // hash-noise: every small lag stays near zero
+    val noise = Seq.tabulate(500)(i =>
+      (graft.functions.PortableHash.hash32(s"acf-$i", 0, 0) % 100).toLong)
+    (1 to 6).foreach(k => assert(math.abs(acf(noise, k)) < 0.15, s"lag $k"))
+  }
+
+  test("tie-corrected AUC: separation=1, anti-separation=0, all-ties exactly 0.5") {
+    // the q_auc rank-sum kernel as pure integer arithmetic
+    def auc(scored: Seq[(Double, Int)]): Double = {
+      val sorted = scored.sortBy(_._1)
+      val n = sorted.length
+      // rank_min per tie group + group size, as the window pair computes
+      val byScore = sorted.zipWithIndex.groupBy(_._1._1)
+      val s2 = byScore.values.flatMap { grp =>
+        val rmin = grp.map(_._2).min + 1L; val cnt = grp.length.toLong
+        grp.collect { case ((_, 1), _) => 2 * rmin + cnt - 1 }
+      }.sum
+      val nPos = scored.count(_._2 == 1).toLong
+      val nNeg = n - nPos
+      (s2 - nPos * (nPos + 1)).toDouble / (2 * nPos * nNeg)
+    }
+    val sep = (1 to 50).map(i => (i / 100.0, 0)) ++
+      (1 to 50).map(i => (1 + i / 100.0, 1))
+    assert(auc(sep) == 1.0 && auc(sep.map { case (s, y) => (-s, y) }) == 0.0)
+    val ties = (1 to 40).map(_ => (0.7, 0)) ++ (1 to 25).map(_ => (0.7, 1))
+    assert(auc(ties) == 0.5) // exact, not approximate — the tie correction
+    val noisy = (0 until 400).map { i =>
+      val y = (graft.functions.PortableHash.hash32(s"y-$i", 0, 0) % 2).toInt
+      val sc = (graft.functions.PortableHash.hash32(s"s-$i", 0, 0) % 1000) / 1000.0
+      (sc, y)
+    }
+    assert(math.abs(auc(noisy) - 0.5) < 0.1) // independent score ≈ coin flip
+  }
 }
