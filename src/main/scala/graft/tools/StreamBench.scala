@@ -142,10 +142,19 @@ object StreamBench {
         watermarkDelay = "5 minutes"),
       "append", seconds)
 
+    // drift-monitor day windows (q_stream_drift's stateful half):
+    // state is (open day × type) rows — the accelerated clock closes
+    // days continuously, so a climbing ceiling = broken eviction
+    val drift = drive("drift",
+      Streams.dailyTypeCounts(events, cutoffUs = 0L,
+        watermarkDelay = "10 minutes"),
+      "append", seconds)
+
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
     val out = Seq(
-      "hourly_agg" -> hourly, "sessionize" -> sess, "attribution" -> attrib)
+      "hourly_agg" -> hourly, "sessionize" -> sess, "attribution" -> attrib,
+      "drift_days" -> drift)
       .map { case (n, st) =>
         s""""$n":${json(st, tailFlat(st.map(_.stateRows)))}"""
       }
