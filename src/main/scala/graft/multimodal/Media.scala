@@ -12,15 +12,17 @@ import java.util.zip.{Adler32, CRC32}
   * `binary` columns with typed metadata, processed in partition-sized
   * batches (the Scala analog of `mapInPandas`).
   *
-  * The IMAGE modality is decoded for real: fixture payloads are valid
-  * PNG files (hand-rolled deterministic encoder, [[pngBytes]]) and
-  * [[decode]] runs them through the JDK's actual PNG codec
-  * (`javax.imageio.ImageIO`), so width/height in the output are what
-  * the codec read from the bitstream, not arithmetic. Audio/video
-  * payloads remain clearly-marked deterministic stubs ([[decodeStub]])
-  * — this environment ships no WAV/MP4 codec; the signature (bytes in,
-  * typed metadata out) is the production one and a real codec drops
-  * into the same per-partition loop.
+  * TWO modalities are decoded for real: fixture IMAGE payloads are
+  * valid PNG files (hand-rolled deterministic encoder, [[pngBytes]])
+  * run through the JDK's actual PNG codec (`javax.imageio.ImageIO`),
+  * and fixture AUDIO payloads are valid 16-bit PCM WAV files
+  * ([[wavBytes]]) run through the JDK's actual WAV codec
+  * (`javax.sound.sampled.AudioSystem`) — sample rate and PCM frame
+  * count in the output are what the codecs read from the bitstreams,
+  * not arithmetic. VIDEO payloads remain a clearly-marked
+  * deterministic stub ([[decodeStub]]) — the JDK ships no MP4 demuxer;
+  * the signature (bytes in, typed metadata out) is the production one
+  * and a real codec drops into the same per-partition loop.
   *
   * Scale note: payloads stay in executors end-to-end (no collect); a
   * 100 TB media corpus maps to the same plan with the binary column
@@ -97,6 +99,46 @@ object Media {
     out.toByteArray
   }
 
+  /** Fixture audio parameters per doc: sample rate over 5 standard-ish
+    * rates, PCM frame count over 97 lengths — both closed forms the
+    * SQL oracle states (WAV byte length = 44 + 2·n for 16-bit mono).
+    */
+  def audSr(docId: Long): Int = (8000 + (docId % 5) * 2000).toInt
+  def audN(docId: Long): Int = (400 + (docId % 97) * 8).toInt
+
+  /** Deterministic 16-bit PCM mono WAV encoder: the canonical 44-byte
+    * RIFF/WAVE/fmt/data header + little-endian samples, each a
+    * deterministic function of (i, seed) so a spec can verify the real
+    * decoder returns the exact constructed signal.
+    */
+  def wavBytes(n: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val out = new Array[Byte](44 + 2 * n)
+    def le32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.getBytes(StandardCharsets.US_ASCII).copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, 36L + 2 * n); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16) // PCM fmt chunk
+    out(20) = 1; out(21) = 0 // audio format: PCM
+    out(22) = 1; out(23) = 0 // channels: mono
+    le32(24, sampleRate.toLong)
+    le32(28, sampleRate.toLong * 2) // byte rate
+    out(32) = 2; out(33) = 0 // block align
+    out(34) = 16; out(35) = 0 // bits per sample
+    tag(36, "data"); le32(40, 2L * n)
+    var i = 0
+    while (i < n) {
+      val s = (((i * 131 + seed * 17) % 65536) - 32768).toShort
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(45 + 2 * i) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   private val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false),
@@ -105,10 +147,12 @@ object Media {
   /** documents → opaque binary payload + mime, the ingest shape a
     * media table would have. Deterministic: image docs (doc_id % 3 ==
     * 0) carry a real [[pngBytes]] PNG with [[imgW]]×[[imgH]] fixture
-    * dims; audio/video docs carry the UTF-8 text bytes (stub payloads
-    * for the stub decoders). Payload synthesis happens per partition
-    * in executors — the fixture corpus is built distributed, exactly
-    * where real payloads would be read from parquet.
+    * dims; audio docs (doc_id % 3 == 1) carry a real [[wavBytes]] PCM
+    * WAV with [[audSr]]/[[audN]] fixture parameters; video docs carry
+    * the UTF-8 text bytes (stub payload for the stub decoder). Payload
+    * synthesis happens per partition in executors — the fixture corpus
+    * is built distributed, exactly where real payloads would be read
+    * from parquet.
     */
   def asMedia(documents: DataFrame): DataFrame = {
     val enc = Encoders.row(mediaSchema)
@@ -119,8 +163,7 @@ object Media {
           if (id % 3 == 0)
             Row(id, pngBytes(imgW(id), imgH(id), id), "image/png")
           else if (id % 3 == 1)
-            Row(id, r.getString(1).getBytes(StandardCharsets.UTF_8),
-              "audio/wav")
+            Row(id, wavBytes(audN(id), audSr(id), id), "audio/wav")
           else
             Row(id, r.getString(1).getBytes(StandardCharsets.UTF_8),
               "video/mp4")
@@ -137,10 +180,11 @@ object Media {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false)))
 
-  /** STUB DECODER for the codec-less modalities (audio/video) — a
-    * deterministic fake standing in for a real WAV/MP4 codec. A real
+  /** STUB DECODER for the codec-less modality (video) — a
+    * deterministic fake standing in for a real MP4 demuxer. A real
     * implementation decodes `content` here; the signature (bytes in,
     * typed metadata out) is the production one.
     */
@@ -150,13 +194,16 @@ object Media {
     val width  = 64 + (n % 577)
     val height = 64 + ((n * 7) % 577)
     val frames = if (mime.startsWith("video")) 1 + n % 240 else 1
-    Row(docId, mime, n, width, height, frames)
+    Row(docId, mime, n, width, height, frames, 0)
   }
 
   /** Decode all payloads partition-batch-wise (mapPartitions keeps the
     * per-batch setup cost — codec init, model load — amortized exactly
     * like mapInPandas batches). PNG payloads go through the REAL JDK
-    * codec; audio/video through [[decodeStub]].
+    * image codec (width/height from the bitstream, n_frames = 1,
+    * sample_rate = 0); WAV payloads through the REAL JDK audio codec
+    * (n_frames = PCM frames, sample_rate from the fmt chunk, no
+    * spatial dims); video through [[decodeStub]].
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = Encoders.row(decodedSchema)
@@ -170,7 +217,15 @@ object Media {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(content))
             require(img != null, s"doc $id: not a decodable PNG")
-            Row(id, mime, content.length, img.getWidth, img.getHeight, 1)
+            Row(id, mime, content.length, img.getWidth, img.getHeight, 1, 0)
+          } else if (mime == "audio/wav") {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(content))
+            try {
+              val fmt = in.getFormat
+              Row(id, mime, content.length, 0, 0, in.getFrameLength.toInt,
+                fmt.getSampleRate.toInt)
+            } finally in.close()
           } else decodeStub(id, mime, content)
         }
       }(enc)
@@ -188,10 +243,12 @@ object Media {
 
   /** Resize plan: target box 224x224 preserving aspect ratio — the
     * arithmetic a preprocess stage computes before handing batches to
-    * the (stubbed) resizer.
+    * the (stubbed) resizer. Spatial modalities only (audio rows carry
+    * no dims).
     */
   def resizePlan(decoded: DataFrame, box: Int = 224): DataFrame =
     decoded
+      .filter(col("width") > 0)
       .withColumn("scale",
         least(lit(box) / col("width"), lit(box) / col("height")))
       .select(

@@ -17,10 +17,12 @@ object Multimodal {
     (s, d) => Media.decode(Media.asMedia(Tables.documents(s, d))),
     // image rows (doc_id % 3 = 0): the oracle states the FIXTURE — the
     // constructed PNG's dims (imgW/imgH formulas) and its closed-form
-    // stored-deflate byte length 68 + h*(1+3w); the engine side reports
-    // what javax.imageio actually decoded, so a green row proves the
-    // real codec read back the constructed bitstream. Audio/video rows
-    // keep the documented stub arithmetic.
+    // stored-deflate byte length 68 + h*(1+3w); audio rows (% 3 = 1)
+    // state the WAV fixture — closed-form byte length 44 + 2·n, PCM
+    // frame count audN and sample rate audSr. The engine side reports
+    // what javax.imageio / javax.sound.sampled ACTUALLY decoded, so a
+    // green row proves the real codecs read back the constructed
+    // bitstreams. Video rows keep the documented stub arithmetic.
     Some("""SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
@@ -28,17 +30,26 @@ object Multimodal {
                    CAST(CASE WHEN doc_id % 3 = 0
                              THEN 68 + (8 + (doc_id * 3) % 16)
                                   * (1 + 3 * (8 + doc_id % 16))
+                             WHEN doc_id % 3 = 1
+                             THEN 44 + 2 * (400 + (doc_id % 97) * 8)
                              ELSE octet_length(encode(text)) END AS INT)
                      AS n_bytes,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+                             WHEN doc_id % 3 = 1 THEN 0
                              ELSE 64 + octet_length(encode(text)) % 577 END
                      AS INT) AS width,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
+                             WHEN doc_id % 3 = 1 THEN 0
                              ELSE 64 + (octet_length(encode(text)) * 7) % 577
                         END AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2
                              THEN 1 + octet_length(encode(text)) % 240
-                             ELSE 1 END AS INT) AS n_frames
+                             WHEN doc_id % 3 = 1
+                             THEN 400 + (doc_id % 97) * 8
+                             ELSE 1 END AS INT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 3 = 1
+                             THEN 8000 + (doc_id % 5) * 2000
+                             ELSE 0 END AS INT) AS sample_rate
             FROM documents"""))
 
   /** Frame sampling: explode every 10th frame index per video. */
@@ -68,7 +79,7 @@ object Multimodal {
                      CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
                                ELSE 64 + (octet_length(encode(text)) * 7) % 577
                           END AS INT) AS height
-              FROM documents)
+              FROM documents WHERE doc_id % 3 <> 1)
             SELECT doc_id, width, height,
                    CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS INT)
                      AS out_w,

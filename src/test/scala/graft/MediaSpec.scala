@@ -21,8 +21,37 @@ class MediaSpec extends SparkSpec {
     // fixture dims for doc 0: 8×8; stored-deflate length 68 + h*(1+3w)
     assert(r0.getInt(3) === 8 && r0.getInt(4) === 8)
     assert(r0.getInt(2) === 68 + 8 * (1 + 3 * 8))
-    // only videos get multiple frames
-    assert(d1.filter(_.getString(1) != "video/mp4").forall(_.getInt(5) === 1))
+    val r1 = d1(1) // doc 1: audio — a REAL WAV, really decoded
+    assert(r1.getString(1) === "audio/wav")
+    assert(r1.getInt(2) === 44 + 2 * Media.audN(1L)) // closed-form bytes
+    assert(r1.getInt(3) === 0 && r1.getInt(4) === 0) // no spatial dims
+    assert(r1.getInt(5) === Media.audN(1L)) // PCM frames from the codec
+    assert(r1.getInt(6) === Media.audSr(1L)) // sample rate from fmt chunk
+    // images decode to exactly one frame; only audio/video carry more
+    assert(d1.filter(_.getString(1) == "image/png").forall(_.getInt(5) === 1))
+  }
+
+  test("wavBytes is a valid WAV: AudioSystem decodes the exact constructed signal") {
+    for (id <- Seq(1L, 4L, 7L, 100L, 301L)) {
+      val (n, sr) = (Media.audN(id), Media.audSr(id))
+      val bytes = Media.wavBytes(n, sr, id)
+      assert(bytes.length === 44 + 2 * n) // the closed form the oracle states
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt === sr && fmt.getChannels === 1)
+      assert(fmt.getSampleSizeInBits === 16)
+      assert(in.getFrameLength.toInt === n)
+      // sample-exact roundtrip: the codec must hand back the
+      // generator's little-endian PCM values
+      val pcm = in.readAllBytes()
+      assert(pcm.length === 2 * n)
+      for (i <- 0 until n) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+        assert(s === (((i * 131 + id * 17) % 65536) - 32768).toShort,
+          s"doc $id sample $i")
+      }
+    }
   }
 
   test("pngBytes is a valid PNG: ImageIO decodes the exact constructed bitmap") {
