@@ -241,6 +241,55 @@ object Media {
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))
 
+  /** Audio feature extraction over the REAL decoded PCM — the
+    * feature step an audio corpus pipeline runs after decode (VAD
+    * gates, loudness normalization, silence filtering all start from
+    * these): RMS energy, zero-crossing count, and peak amplitude, each
+    * computed from the samples `javax.sound.sampled` actually hands
+    * back, per partition batch. Integer sums stay exact (Σs² of 16-bit
+    * samples fits a long at any clip length that fits memory), so the
+    * oracle can replay the fixture signal closed-form and match the
+    * one final sqrt bit-for-bit.
+    */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("n_zero_cross", IntegerType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioFeatureSchema)
+    media.filter(col("mime") === "audio/wav")
+      .select("doc_id", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          try {
+            val sr = in.getFormat.getSampleRate.toInt
+            val pcm = in.readAllBytes()
+            val n = pcm.length / 2
+            var i = 0; var sumSq = 0L; var zc = 0; var peak = 0
+            var prev = 0
+            while (i < n) {
+              val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+              sumSq += s.toLong * s
+              if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+              if (math.abs(s) > peak) peak = math.abs(s)
+              prev = s
+              i += 1
+            }
+            val rms = BigDecimal(math.sqrt(sumSq.toDouble / n))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Row(id, n, sr, rms, zc, peak)
+          } finally in.close()
+        }
+      }(enc)
+  }
+
   /** Resize plan: target box 224x224 preserving aspect ratio — the
     * arithmetic a preprocess stage computes before handing batches to
     * the (stubbed) resizer. Spatial modalities only (audio rows carry

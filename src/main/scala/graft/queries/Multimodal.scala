@@ -160,5 +160,40 @@ object Multimodal {
           ORDER BY doc_a, doc_b"""
     })
 
-  def all: Seq[QueryDef] = Seq(decode, frames, resize, mmPhash)
+  /** Audio feature extraction from the REAL decoded PCM
+    * ([[Media.audioFeatures]]): RMS energy, zero crossings, peak. The
+    * oracle replays the deterministic fixture signal closed-form
+    * (s_i = (i·131 + doc_id·17) mod 65536 − 32768 over audN samples),
+    * so a green row proves the JDK codec handed back the exact
+    * constructed PCM AND the features computed over it — the
+    * decode→feature chain a VAD / loudness-normalization stage runs.
+    * Scale shape: payload-local per-partition work, one k-row output
+    * per clip; nothing shuffles but the final rows.
+    */
+  val audioFeatures = QueryDef(
+    "q_mm_audio_features",
+    (s, d) => Media.audioFeatures(Media.asMedia(Tables.documents(s, d))),
+    Some("""WITH aud AS (
+              SELECT doc_id,
+                     CAST(400 + (doc_id % 97) * 8 AS BIGINT) AS n,
+                     CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate
+              FROM documents WHERE doc_id % 3 = 1),
+            idx AS (SELECT doc_id, n, sample_rate,
+                           unnest(generate_series(0, n - 1)) AS i
+                    FROM aud),
+            sv AS (SELECT doc_id, n, sample_rate, i,
+                          (i * 131 + doc_id * 17) % 65536 - 32768 AS s
+                   FROM idx),
+            f AS (SELECT *, LAG(s) OVER (PARTITION BY doc_id ORDER BY i)
+                              AS prev
+                  FROM sv)
+            SELECT doc_id, CAST(n AS INT) AS n_samples, sample_rate,
+                   ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / n), 6) AS rms,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL
+                                  AND ((s >= 0) <> (prev >= 0))
+                            THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
+                   CAST(MAX(ABS(s)) AS INT) AS peak
+            FROM f GROUP BY doc_id, n, sample_rate"""))
+
+  def all: Seq[QueryDef] = Seq(decode, frames, resize, mmPhash, audioFeatures)
 }
