@@ -222,17 +222,36 @@ object Commit {
     v
   }
 
-  /** Write + sync the manifest file, then atomically swap the pointer.
-    * Everything before the final rename is invisible to readers.
+  /** Two writers raced to the same version number: the second one's
+    * exclusive manifest create failed. The losing commit wrote only
+    * unreferenced garbage (its version dir) — readers never saw it;
+    * the caller retries the whole publish, which will claim the next
+    * free version (the Delta/Iceberg optimistic-concurrency contract).
     */
-  private def commitManifest(spark: SparkSession, root: String, v: Long,
+  final class ConcurrentCommitException(v: Long, cause: Throwable)
+    extends RuntimeException(
+      s"version $v was claimed by a concurrent writer; retry the publish",
+      cause)
+
+  /** Write + sync the manifest file, then atomically swap the pointer.
+    * Everything before the final rename is invisible to readers. The
+    * manifest create is EXCLUSIVE (no overwrite): the manifest file IS
+    * the version claim, so two racing writers can never both commit
+    * the same version — the loser gets [[ConcurrentCommitException]]
+    * while its data dir stays unreferenced garbage for [[vacuum]].
+    */
+  private[graft] def commitManifest(spark: SparkSession, root: String, v: Long,
       parent: Long, entries: Seq[Entry]): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
     val body = (v.toString +: s"#parent=$parent" +:
       entries.map(e => s"${e.key}\t${e.dir}")).mkString("\n")
     val mf = new Path(root, name)
-    val out = f.create(mf, true)
+    val out =
+      try f.create(mf, false)
+      catch {
+        case e: java.io.IOException => throw new ConcurrentCommitException(v, e)
+      }
     try {
       out.write(body.getBytes(StandardCharsets.UTF_8))
       out.hflush(); out.hsync()

@@ -136,6 +136,29 @@ class CommitSpec extends SparkSpec {
     assert(now === Set(1L -> 9.0, 2L -> 2.0))
   }
 
+  test("a racing writer on the same version loses loudly, readers unharmed") {
+    val root = tmp("commit-race")
+    Commit.publishBuckets(statusDf(1L -> 1.0), root) // v=1 committed
+    // two writers scanned nextVersion concurrently and both resolved
+    // v=2: the first claims manifest-2 (exclusive create) and swaps
+    // the pointer; the second's claim of the SAME version must fail
+    // the create, never overwrite
+    Commit.commitManifest(spark, root, 2L, 1L,
+      Seq(Commit.Entry(1, "v=1/bucket=1")))
+    val pointerAfterWinner = Files.readString(Paths.get(root, "_POINTER"))
+    val died = intercept[Commit.ConcurrentCommitException] {
+      Commit.commitManifest(spark, root, 2L, 1L,
+        Seq(Commit.Entry(1, "v=1/bucket=1")))
+    }
+    assert(died.getMessage.contains("version 2"))
+    // the winner's pointer and manifest body are untouched
+    assert(Files.readString(Paths.get(root, "_POINTER")) === pointerAfterWinner)
+    assert(Commit.current(spark, root).get._1 === 2L)
+    // the loser's standard retry re-scans and claims the next version
+    val v = Commit.publishBuckets(statusDf(2L -> 2.0), root)
+    assert(v === 3)
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = Files.createTempDirectory("commit-landing").toString

@@ -280,4 +280,24 @@ class Round11Spec extends SparkSpec {
       assert(r.getAs[String]("verdict") === "stable", r.toString)
     }
   }
+
+  test("q_pit_features: leaky rows are exactly the pre-flip orders of flipped keys") {
+    val rows = run("q_pit_features").collect()
+    val total = Tables.orders(spark, sf0001).count()
+    assert(rows.length === total) // every order gets exactly one PIT row
+    val flip = java.time.LocalDate.parse("1998-01-01")
+    rows.foreach { r =>
+      val flipped = r.getAs[Long]("o_custkey") % 100 == 0
+      val pre = r.getAs[java.sql.Date]("order_date").toLocalDate.isBefore(flip)
+      val expectLeaky = flipped && pre
+      assert(r.getAs[Long]("leaky") === (if (expectLeaky) 1L else 0L), r.toString)
+      // PIT semantics: the pre-flip version for pre-flip orders of
+      // flipped keys, UPGRADED after; everyone else sees one version
+      if (flipped && !pre)
+        assert(r.getAs[String]("pit_segment") === "UPGRADED")
+      if (!flipped)
+        assert(r.getAs[String]("pit_segment") ===
+          r.getAs[String]("current_segment"))
+    }
+  }
 }
