@@ -1711,6 +1711,101 @@ object Text {
     }
   )
 
+  /** The end-to-end corpus-cleaning funnel in ONE call — the summary
+    * every pretraining-data run reports (how many documents/tokens
+    * survive each gate), composed from the engine's own proven stages:
+    *
+    *  1. raw           — the whole corpus;
+    *  2. length_gate   — ≥ 5 tokens (the q_filter_cascade length rule);
+    *  3. exact_dedup   — min-doc_id survivor per md5 fingerprint
+    *                     (q_dedup_exact);
+    *  4. decontaminate — hold out the valid/eval md5 bands AND drop
+    *                     train docs sharing any 8-gram with the eval
+    *                     band (q_decontaminate's broadcast-gram check,
+    *                     64-bit hashed grams engine-side, real text
+    *                     grams oracle-side — a green row certifies the
+    *                     hash path found EXACTLY the true overlaps);
+    *  5. budget_sample — independent md5 coin at 50% (q_mix_sample's
+    *                     all-integer keep rule).
+    *
+    * Scale shape: one corpus projection feeds every stage; the dedup
+    * window is keyed by fingerprint; the eval-gram set broadcasts
+    * (size-based); the five stage rollups are map-side-combined
+    * count/sum aggs. Nothing materializes but 5 summary rows.
+    */
+  val corpusFunnel = QueryDef(
+    "q_corpus_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        Sampling.bucketSpark.as("bucket"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.shingleHashes(col("text"), K).as("sh"))
+      val s2 = base.filter(col("n_tokens") >= 5)
+      val s3 = s2.withColumn("rk",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1).drop("rk")
+      val evalG = base.filter(col("bucket") >= 90)
+        .select(explode(col("sh")).as("gh")).distinct()
+      val contaminated = s3.filter(col("bucket") < 80)
+        .select(col("doc_id"), explode(col("sh")).as("gh"))
+        .join(evalG, Seq("gh")).select("doc_id").distinct()
+      val s4 = s3.filter(col("bucket") < 80)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val coin = expr(s"${PortableHash.laneSpark(
+        "md5(concat(cast(doc_id as string), '#funnel'))", 0)} % 100")
+      val s5 = s4.filter(coin < 50)
+      def st(i: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      st(1, "raw", base)
+        .unionByName(st(2, "length_gate", s2))
+        .unionByName(st(3, "exact_dedup", s3))
+        .unionByName(st(4, "decontaminate", s4))
+        .unionByName(st(5, "budget_sample", s5))
+    },
+    Some {
+      val coin = PortableHash.laneDuck(
+        "md5(CAST(doc_id AS VARCHAR) || '#funnel')", 0)
+      s"""WITH base AS (
+            SELECT doc_id, ${Sampling.bucketDuck} AS bucket,
+                   ${TS.fingerprint("text")} AS fp,
+                   CAST(${TS.tokenCount("text")} AS BIGINT) AS n_tokens,
+                   ${TS.shingles("text", 8)} AS sh
+            FROM documents),
+          s2 AS (SELECT * FROM base WHERE n_tokens >= 5),
+          s3 AS (SELECT * FROM s2
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                            ORDER BY doc_id) = 1),
+          ev AS (SELECT DISTINCT unnest(sh) AS g FROM base WHERE bucket >= 90),
+          cont AS (SELECT DISTINCT t.doc_id
+                   FROM (SELECT doc_id, unnest(sh) AS g
+                         FROM s3 WHERE bucket < 80) t
+                   JOIN ev USING (g)),
+          s4 AS (SELECT * FROM s3
+                 WHERE bucket < 80
+                   AND doc_id NOT IN (SELECT doc_id FROM cont)),
+          s5 AS (SELECT * FROM s4 WHERE $coin % 100 < 50)
+          SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+                 COUNT(*) AS n_docs,
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+          FROM base
+          UNION ALL SELECT 2, 'length_gate', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+          UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+          UNION ALL SELECT 4, 'decontaminate', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+          UNION ALL SELECT 5, 'budget_sample', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s5"""
+    }
+  )
+
   def all: Seq[QueryDef] =
     Seq(textStats, textQuality, langId, fingerprintQ, tokenTopK, chunkDocs,
       tokenBpe, decontaminate, repetition, charEntropy, ccnetBuckets,
@@ -1718,5 +1813,5 @@ object Text {
       bm25Topk, filterCascade, scalarArray, heavyHitters, lmScore, dsirWeights,
       langConfusion,
       bpeMerges, boilerplate, sourceOverlap, qualityFilter, collocations,
-      datasetCard, hybridRrf)
+      datasetCard, hybridRrf, corpusFunnel)
 }
