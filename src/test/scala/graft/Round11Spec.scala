@@ -281,6 +281,23 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q_corpus_funnel: stages are monotone and in declared order") {
+    val rows = run("q_corpus_funnel").collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "length_gate", "exact_dedup", "decontaminate",
+        "budget_sample"))
+    // every gate can only shrink the corpus, in docs AND tokens
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, docs.toSeq)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, toks.toSeq)
+    // raw matches the source table; the held-out bands guarantee a
+    // strict drop at the decontamination stage
+    assert(docs.head === Tables.documents(spark, sf0001).count())
+    assert(docs(3) < docs(2))
+    assert(docs.last > 0)
+  }
+
   test("q_pit_features: leaky rows are exactly the pre-flip orders of flipped keys") {
     val rows = run("q_pit_features").collect()
     val total = Tables.orders(spark, sf0001).count()
