@@ -283,6 +283,70 @@ object Sampling {
             FROM c CROSS JOIN t""")
   )
 
+  /** Temperature-based mixture reweighting (α = 0.5) — the
+    * multilingual/multi-domain sampling standard (XLM-R §3.1, mT5):
+    * raw proportions p_i = n_i/N are flattened to q_i ∝ p_i^α so
+    * low-resource sources are upsampled without letting any single
+    * head domain dominate. Per source: the raw share, the tempered
+    * share, the resulting boost factor, and the token allocation under
+    * a 30% total budget — the table a mixture builder feeds into
+    * [[mixSample]]-style rate gates or [[weightedSample]]-style
+    * exact-size draws.
+    *
+    * Exactness: n_i are exact token counts; p^α reduces to
+    * √n_i / Σ√n_j (N^α cancels), so the only transcendental is ONE
+    * sqrt per source, rounded to 9 dp with the rounded values
+    * DECIMAL-summed (merge-order-free); shares round to 6, the boost
+    * ratio of the two ROUNDED shares to 4. Scale shape: one map-side-
+    * combined corpus agg to |sources| rows; everything after is k-row
+    * broadcast math.
+    */
+  val mixTemperature = QueryDef(
+    "q_mix_temperature",
+    (s, d) => {
+      import graft.functions.{TextFunctions => TF}
+      import org.apache.spark.sql.types.DecimalType
+      val src = Tables.documents(s, d)
+        .select(col("source"), TF.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("sq", round(sqrt(col("n_tokens").cast("double")), 9))
+      val tot = src.agg(sum(col("n_tokens")).as("nn"),
+        sum(col("sq").cast(DecimalType(28, 12))).cast("double").as("sqsum"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("nn").cast("double"), 6)
+            .as("p_raw"),
+          round(col("sq") / col("sqsum"), 6).as("q_temp"))
+        .withColumn("boost", round(col("q_temp") / col("p_raw"), 4))
+        .crossJoin(broadcast(tot.select(expr("(nn * 3) div 10").as("budget"))))
+        .withColumn("target_tokens",
+          round(col("q_temp") * col("budget").cast("double"), 0).cast("long"))
+        .drop("budget")
+    },
+    Some(s"""WITH src AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(${graft.functions.TextSql.tokenCount("text")})
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            sq AS (SELECT *, ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 9) AS sq
+                   FROM src),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nn,
+                           CAST(SUM(CAST(sq AS DECIMAL(28,12))) AS DOUBLE)
+                             AS sqsum
+                    FROM sq)
+            SELECT source, n_docs, n_tokens,
+                   ROUND(CAST(n_tokens AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                     AS p_raw,
+                   ROUND(sq / sqsum, 6) AS q_temp,
+                   ROUND(ROUND(sq / sqsum, 6)
+                         / ROUND(CAST(n_tokens AS DOUBLE)
+                                 / CAST(nn AS DOUBLE), 6), 4) AS boost,
+                   CAST(ROUND(ROUND(sq / sqsum, 6)
+                              * CAST((nn * 3) // 10 AS DOUBLE), 0) AS BIGINT)
+                     AS target_tokens
+            FROM sq CROSS JOIN tot"""))
+
   def all: Seq[QueryDef] = Seq(sampleSplit, sampleStratified, mixSample,
-    domainCaps, weightedSample, labelBalance)
+    domainCaps, weightedSample, labelBalance, mixTemperature)
 }
