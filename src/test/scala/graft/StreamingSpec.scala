@@ -313,4 +313,28 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "last_value").as[(Long, Double)].collect().toSet
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
+
+  test("statusUpsert: re-delivering the same micro-batch is content-idempotent") {
+    // foreachBatch's at-least-once contract: after a sink failure the
+    // SAME epoch replays. The max_by(last_ts) merge makes the re-apply
+    // a no-op on content — the retry commits a NEW version whose rows
+    // equal the previous snapshot exactly
+    import spark.implicits._
+    val path =
+      java.nio.file.Files.createTempDirectory("status_idem").toString + "/status"
+    val batch = Seq(
+      (1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L),
+      (1L, ts(200), 3.0, "flow", 3L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    Streams.statusUpsert(batch, path)
+    def snap() = Streams.readStatus(spark, path).get
+      .select("user_id", "last_ts", "last_value", "last_type")
+      .collect().map(_.toSeq).toSet
+    val first = snap()
+    Streams.statusUpsert(batch, path) // the replayed epoch
+    assert(snap() === first, "retry changed the maintained table")
+    // the retry is a fresh committed version (never an in-place
+    // overwrite), so time travel still sees both
+    assert(sources.Commit.history(spark, path).length === 2)
+  }
 }
