@@ -1068,6 +1068,79 @@ object Events {
             FROM cr GROUP BY channel ORDER BY channel""")
   )
 
+  /** Power analysis for the two-proportion experiment — the planning
+    * half of [[abTest]] (that query READS an experiment; this one
+    * SIZES the next one): for the measured baseline purchase share
+    * (purchase events / all events, ~0.2 here — a proportion safely
+    * inside (0,1), unlike ever-purchased-per-user which saturates)
+    * and a grid of minimal detectable effects, the required
+    * observations per arm at 80% and 90% power, α = 0.05 two-sided —
+    * the standard normal-approximation formula
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / Δ².
+    *
+    * Exactness: the baseline is an exact integer ratio (rounded 6
+    * BEFORE entering the formula, so both engines start from the
+    * identical double); z quantiles are shared literals; the two
+    * sqrts round to 9 dp and the final n is one CEIL — every op
+    * sequence is textually identical across engines. Scale shape: ONE
+    * distinct-ish agg to (n_users, n_converted), then a 10-row grid
+    * cross join — the corpus reduces before any math.
+    */
+  val powerAnalysis = QueryDef(
+    "q_power_analysis",
+    (s, d) => {
+      val za = 1.959964 // z_{0.025}
+      val ev = Tables.events(s, d)
+      val base = ev
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("event_type") === "purchase").cast("long"))
+            .as("n_purchases"))
+        .withColumn("p1", round(col("n_purchases").cast("double") /
+          col("n_events").cast("double"), 6))
+      import s.implicits._
+      val grid = s.range(1, 6)
+        .select((col("id").cast("double") / 100).as("mde"))
+        .crossJoin(Seq((0.8, 0.841621), (0.9, 1.281552)).toDF("power", "zb"))
+      def nArm(p1: Column, mde: Column, zb: Column): Column = {
+        val p2 = p1 + mde
+        val pbar = (p1 + p2) / 2
+        val a = round(sqrt(lit(2) * pbar * (lit(1) - pbar)), 9)
+        val b = round(sqrt(p1 * (lit(1) - p1) + p2 * (lit(1) - p2)), 9)
+        ceil((lit(za) * a + zb * b) * (lit(za) * a + zb * b) /
+          (mde * mde)).cast("long")
+      }
+      base.crossJoin(broadcast(grid))
+        .select(col("n_events"), col("n_purchases"), col("p1").as("baseline"),
+          col("mde"), col("power"),
+          nArm(col("p1"), col("mde"), col("zb")).as("n_per_arm"))
+    },
+    Some("""WITH base AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+              FROM events),
+            bp AS (SELECT *, ROUND(CAST(n_purchases AS DOUBLE)
+                                   / CAST(n_events AS DOUBLE), 6) AS p1
+                   FROM base),
+            grid AS (SELECT CAST(g.i AS DOUBLE) / 100 AS mde, pw.power, pw.zb
+                     FROM generate_series(1, 5) AS g(i)
+                     CROSS JOIN (VALUES (CAST(0.8 AS DOUBLE),
+                                         CAST(0.841621 AS DOUBLE)),
+                                        (CAST(0.9 AS DOUBLE),
+                                         CAST(1.281552 AS DOUBLE)))
+                       pw(power, zb))
+            SELECT n_events, n_purchases, p1 AS baseline, mde, power,
+                   CAST(CEIL((1.959964 * ROUND(SQRT(2 * ((p1 + p1 + mde) / 2)
+                            * (1 - (p1 + p1 + mde) / 2)), 9)
+                          + zb * ROUND(SQRT(p1 * (1 - p1)
+                            + (p1 + mde) * (1 - (p1 + mde))), 9))
+                         * (1.959964 * ROUND(SQRT(2 * ((p1 + p1 + mde) / 2)
+                            * (1 - (p1 + p1 + mde) / 2)), 9)
+                          + zb * ROUND(SQRT(p1 * (1 - p1)
+                            + (p1 + mde) * (1 - (p1 + mde))), 9))
+                         / (mde * mde)) AS BIGINT) AS n_per_arm
+            FROM bp CROSS JOIN grid"""))
+
   /** Kaplan–Meier survival curve over user lifetimes — the right-
     * censoring-aware answer to "how long do users stay active" that a
     * plain avg(lifetime) gets WRONG (users still active at the end of
@@ -1285,5 +1358,6 @@ object Events {
     dedupLatest, rankTop3, hourlyAgg, percentiles, quantileSketch,
     winsorize, madOutliers, seasonalAdjust, cohortRetention, ntileDeciles, funnel, sessionize, intervalOverlap, freshness,
     dashMetrics, dashAlerts, hourlyCorr, corrMatrix, jsonExtract, pivotHourType,
-    abTest, pathMining, attributionCredit, mutualInformation, survival)
+    abTest, pathMining, attributionCredit, mutualInformation, survival,
+    powerAnalysis)
 }
