@@ -29,6 +29,7 @@ object QueryRegistry {
       queries.Streaming.all ++
       queries.TimeSeries.all ++
       queries.Dashboard.all ++
+      queries.SqlDash.all ++
       queries.Temporal.all ++
       queries.Sampling.all ++
       queries.Privacy.all ++

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sql.SqlGateway
+
+/** The six dashboard queries AS SQL TEXT through the engine's front
+  * door ([[SqlGateway]]) — the reference's actual product surface
+  * re-run `spark.sql`-verbatim (ref: src/app.py:26-196; each text below
+  * keeps the reference query's clause structure — the joins collapse
+  * because the landing schema already carries the dimension attributes
+  * the reference normalizes out: user_id ~ sensor, event_type ~
+  * sensor_type, props.k/100 ~ quality_score, event_type='error' ~
+  * anomaly_flag, and `CURRENT_DATE - INTERVAL '7 days'` becomes the
+  * deterministic `MAX(ts) - INTERVAL 7 DAY`).
+  *
+  * Each twin is gated against the SAME DuckDB oracle as its DataFrame
+  * builder (q_dash_*), so a green row here is a bit-for-bit proof that
+  * the SQL text and the DataFrame plan compute the identical result —
+  * the "SQL front door and query library agree" contract. Exactness
+  * uses the same DECIMAL(18,4)-sum recipe in the Spark dialect
+  * ([[graft.util.Sql]] documents why double sums can't cross engines).
+  *
+  * Scale: these compile to the same Catalyst plans as any DataFrame —
+  * aggregation over events with map-side partials; the scalar
+  * `MAX(ts)` subquery is one 1-row broadcast, never a driver loop.
+  */
+object SqlDash {
+
+  /** Spark-dialect twin of [[graft.util.Sql.AVGD]]/[[graft.util.Sql.SUMD]]
+    * (identical text modulo nothing — both engines parse it).
+    */
+  private def SUMD(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  private def AVGD(x: String) = s"(${SUMD(x)} / COUNT($x))"
+
+  private def q(name: String, sql: String, oracle: String): QueryDef =
+    QueryDef(name, (s, d) => {
+      SqlGateway.registerAll(s, d)
+      SqlGateway.runSql(s, sql, maxRows = 0)
+    }, Some(oracle))
+
+  /** /api/metrics (ref app.py:26-73): the four summary KPIs in one
+    * pass instead of the reference's four round trips.
+    */
+  val sqlDashMetrics = q(
+    "q_sql_dash_metrics",
+    """SELECT COUNT(*) AS n_recent,
+              COUNT(DISTINCT user_id) AS n_users,
+              ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+                    / COUNT(*), 6) AS error_rate_pct,
+              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+       FROM events
+       WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY""",
+    Events.dashMetrics.oracle.get)
+
+  /** /api/sensors (ref app.py:103-133): per-sensor reliability + CASE
+    * grade over the trailing 7 days.
+    */
+  val sqlDashSensors = q(
+    "q_sql_dash_sensors",
+    s"""WITH e AS (SELECT user_id, event_type, ts,
+                     CAST(get_json_object(props, '$$.k') AS DOUBLE) / 100.0 AS q
+                   FROM events)
+        SELECT user_id,
+               COUNT(*) AS n_readings,
+               ROUND(${AVGD("q")}, 6) AS avg_quality,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+               ROUND(${AVGD("q")} *
+                 (1.0 - CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                        / COUNT(*)), 6) AS reliability,
+               CASE WHEN ${AVGD("q")} > 0.7 THEN 'Excellent'
+                    WHEN ${AVGD("q")} > 0.55 THEN 'Good'
+                    WHEN ${AVGD("q")} > 0.4 THEN 'Fair'
+                    ELSE 'Poor' END AS grade
+        FROM e
+        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+        GROUP BY user_id""",
+    Dashboard.dashSensors.oracle.get)
+
+  /** /api/alerts (ref app.py:178-229): HAVING-filtered per-sensor
+    * error rates with the severity CASE folded in.
+    */
+  val sqlDashAlerts = q(
+    "q_sql_dash_alerts",
+    """SELECT user_id, n, n_errors, error_rate_pct,
+              CASE WHEN error_rate_pct > 40.0 THEN 'critical'
+                   WHEN error_rate_pct > 32.0 THEN 'high'
+                   ELSE 'medium' END AS severity
+       FROM (SELECT user_id, COUNT(*) AS n,
+                    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                    ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+                          / COUNT(*), 6) AS error_rate_pct
+             FROM events GROUP BY user_id)
+       WHERE error_rate_pct > 25.0""",
+    Events.dashAlerts.oracle.get)
+
+  /** /api/patterns (ref app.py:135-157): hour-of-day profile of one
+    * type — EXTRACT(HOUR …) exactly as the reference writes it.
+    */
+  val sqlDashPatterns = q(
+    "q_sql_dash_patterns",
+    s"""SELECT EXTRACT(HOUR FROM ts) AS hod,
+               COUNT(*) AS n,
+               ROUND(${AVGD("value")}, 6) AS avg_value
+        FROM events WHERE event_type = 'view' GROUP BY 1""",
+    Dashboard.dashPatterns.oracle.get)
+
+  /** /api/sensor-types (ref app.py:159-176): distinct sensors per type. */
+  val sqlDashSensorTypes = q(
+    "q_sql_dash_sensor_types",
+    s"""SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_sensors,
+               COUNT(*) AS n_readings,
+               ROUND(${AVGD("value")}, 6) AS avg_value
+        FROM events GROUP BY event_type""",
+    Dashboard.dashSensorTypes.oracle.get)
+
+  /** /api/districts (ref app.py:75-101): the 2-dim star rollup, served
+    * from the registered `star_fact` view (the reference's
+    * fact-join-dims collapses to one view scan).
+    */
+  val sqlDashDistricts = q(
+    "q_sql_dash_districts",
+    s"""SELECT segment,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT customer_key) AS n_customers,
+               ROUND(${AVGD("total_price")}, 4) AS avg_price,
+               ROUND(${SUMD("total_price")}, 4) AS total_volume,
+               COUNT(DISTINCT priority_key) AS n_priorities
+        FROM star_fact GROUP BY segment""",
+    Dashboard.dashDistricts.oracle.get)
+
+  def all: Seq[QueryDef] = Seq(
+    sqlDashMetrics, sqlDashSensors, sqlDashAlerts,
+    sqlDashPatterns, sqlDashSensorTypes, sqlDashDistricts)
+}

@@ -35,7 +35,8 @@ final class DashboardServer(
     dataDir: String,
     queryNames: Seq[String] = DashboardServer.DashboardQueries,
     ttlMillis: Long = 30000L,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    sqlMaxRows: Int = 1000) {
 
   require(queryNames.forall(SparkEntry.queries.contains),
     s"unknown queries: ${queryNames.filterNot(SparkEntry.queries.contains)}")
@@ -198,6 +199,46 @@ final class DashboardServer(
         if (ex.getRequestURI.getPath == "/")
           respond(ex, 200, pageHtml, "text/html; charset=utf-8")
         else respond(ex, 404, """{"error":"not found"}""")
+    })
+    // Ad-hoc read-only SQL over the registered surface (SURVEY §3.3 —
+    // the reference's product queries are SQL text; this is the
+    // /api/sql front door). GET ?q=<urlencoded sql> or POST with the
+    // SQL text as the request body. The guard lives in SqlGateway
+    // (parse-level: single read-only statement, registered views only)
+    // and results are capped at `sqlMaxRows` — this route serves PAGES
+    // of ad-hoc answers, not extracts; programmatic bulk access goes
+    // through the library. Denied statements are a 403 with the
+    // reason; parse errors a 400. No TTL cache: ad-hoc texts are
+    // unbounded in variety, so caching would only grow without hits
+    // (the six fixed dashboard routes keep theirs).
+    s.createContext("/api/sql", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val sql = ex.getRequestMethod match {
+          case "POST" =>
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          case _ =>
+            Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+              .collectFirst {
+                case kv if kv.startsWith("q=") =>
+                  java.net.URLDecoder.decode(kv.drop(2), "UTF-8")
+              }.getOrElse("")
+        }
+        if (sql.trim.isEmpty)
+          respond(ex, 400, """{"error":"empty query; GET ?q=<sql> or POST the SQL text"}""")
+        else
+          try {
+            graft.sql.SqlGateway.registerAll(spark, dataDir)
+            respond(ex, 200, toJson(
+              graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows)))
+          } catch {
+            case e: graft.sql.SqlGateway.SqlDeniedException =>
+              respond(ex, 403, s"""{"error":"denied","reason":"${
+                e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")
+                  .replace("\n", " ").take(500)}"}""")
+            case e: Exception =>
+              respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+      }
     })
     s.createContext("/api/", new HttpHandler {
       def handle(ex: HttpExchange): Unit = {

@@ -1,0 +1,128 @@
+package graft.sql
+
+import graft.Tables
+import graft.plans.GraftExtensions
+import graft.warehouse.GoldStage
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, UnresolvedWith}
+
+/** The engine's SQL front door — the missing piece between "a library
+  * of named queries" and "an analytics engine": the reference's product
+  * query surface IS ad-hoc SQL text over its warehouse schema
+  * (ref: src/app.py:26-196 issues SQL per dashboard route; views in
+  * sql/real_data_schema.sql:181-258), and SURVEY §3.3 planned the same
+  * texts running through `spark.sql` over registered views.
+  *
+  * [[registerAll]] publishes the queryable surface under stable names:
+  * the ten raw landing tables (via [[Tables.registerViews]]), the gold
+  * rollups (`gold_events_hourly` / `gold_events_recent` /
+  * `gold_star_segment` — the tag-suffixed warehouse artifacts behind
+  * session-stable aliases), the orders star fact (`star_fact`), and the
+  * engine's native SQL functions (`vec_dot`, `vec_d2`, `shingle_hash`
+  * via [[GraftExtensions.register]]). A user of the reference can point
+  * the same SELECT at the same logical tables.
+  *
+  * [[runSql]] is the GUARDED entry point the HTTP route serves: it
+  * admits exactly one read-only statement over the registered surface.
+  * The guard runs on the PARSED plan (never on string heuristics —
+  * comments/casing/newlines can't smuggle anything past a syntax tree):
+  *
+  *  1. no commands — any `Command` node (DDL, DML, SET, CACHE, …)
+  *     anywhere in the tree, including subqueries, is rejected;
+  *  2. no out-of-surface relations — every table reference must be a
+  *     single-part name that is either a registered view or a CTE the
+  *     statement itself defines. This also closes the path-read hole
+  *     (`parquet.`/etc/anything``) a naive "SELECT-only" filter leaves
+  *     open: multipart identifiers are rejected outright;
+  *  3. bounded result — the plan is wrapped in `LIMIT maxRows` so an
+  *     ad-hoc `SELECT * FROM lineitem` returns a page, not the table.
+  *     The limit composes with Spark's own pushdown (a global limit
+  *     over a scan plans as CollectLimit — no full materialization).
+  *
+  * Scale: the front door adds NO execution machinery — text → Catalyst
+  * → the same optimized plans the DataFrame builders produce (the
+  * q_sql_dash_* gate twins prove bit-equality). On a cluster the same
+  * object sits behind Spark Connect / Thrift with this guard unchanged.
+  */
+object SqlGateway {
+
+  /** Stable view names this gateway exposes beyond the raw tables. */
+  val GoldViews: Seq[String] =
+    Seq("gold_events_hourly", "gold_events_recent", "gold_star_segment")
+  val StarViews: Seq[String] = Seq("star_fact")
+
+  /** Every relation name [[runSql]] admits (lowercase). */
+  def allowedTables: Set[String] =
+    (Tables.names ++ GoldViews ++ StarViews).map(_.toLowerCase).toSet
+
+  /** Memoized per (session, dir), like [[Tables.registerViews]]: gold
+    * accessors stat source files to resolve the artifact tag, and the
+    * star fact re-derives its dims — cheap, but not free per request.
+    */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registered.synchronized {
+      if (registered.put(spark, dir) != dir) {
+        Tables.registerViews(spark, dir)
+        GoldStage.hourly(spark, dir).createOrReplaceTempView("gold_events_hourly")
+        GoldStage.recent(spark, dir).createOrReplaceTempView("gold_events_recent")
+        GoldStage.starSegment(spark, dir).createOrReplaceTempView("gold_star_segment")
+        graft.queries.Warehouse.starFact.fn(spark, dir)
+          .createOrReplaceTempView("star_fact")
+        GraftExtensions.register(spark)
+      }
+    }
+
+  final class SqlDeniedException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def deny(msg: String): Nothing = throw new SqlDeniedException(msg)
+
+  /** Reject anything but a single read-only statement over the
+    * registered surface. Runs on the parser output, BEFORE analysis —
+    * nothing is resolved (and nothing can execute) until the statement
+    * has passed.
+    */
+  private[graft] def validate(plan: LogicalPlan): Unit = {
+    // CTE names the statement itself defines are legal relation targets
+    val ctes = scala.collection.mutable.Set.empty[String]
+    plan.collectWithSubqueries {
+      case w: UnresolvedWith =>
+        w.cteRelations.foreach { case (name, _, _) => ctes += name.toLowerCase }
+    }
+    plan.collectWithSubqueries {
+      case c: Command =>
+        deny(s"read-only gateway: statement kind '${c.nodeName}' is not allowed")
+      // DML parses as plain logical nodes (not Command) in Spark 4 —
+      // INSERT/DELETE/UPDATE/MERGE must be denied by type, not superclass.
+      case w @ (_: InsertIntoStatement | _: DeleteFromTable | _: UpdateTable |
+                _: MergeIntoTable) =>
+        deny(s"read-only gateway: statement kind '${w.nodeName}' is not allowed")
+      case r: UnresolvedRelation =>
+        val id = r.multipartIdentifier
+        val ok = id.size == 1 &&
+          (allowedTables(id.head.toLowerCase) || ctes(id.head.toLowerCase))
+        if (!ok) deny(s"unknown or out-of-surface table: ${id.mkString(".")} " +
+          s"(allowed: ${allowedTables.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** Parse + guard + run one read-only statement; the result is capped
+    * at `maxRows` (non-positive = uncapped, for trusted in-process
+    * callers like the gate twins).
+    */
+  def runSql(spark: SparkSession, sql: String, maxRows: Int = 1000): DataFrame = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          deny(s"parse error: ${e.getMessage}")
+      }
+    validate(plan)
+    val df = spark.sql(sql)
+    if (maxRows > 0) df.limit(maxRows) else df
+  }
+}

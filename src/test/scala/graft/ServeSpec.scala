@@ -162,6 +162,58 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/api/sql: guarded read-only front door — SELECT works, DDL/DML/" +
+      "out-of-surface tables are denied, results are row-capped") {
+    val srv = new DashboardServer(spark, sf0001,
+      queryNames = Seq("q_dash_metrics"), sqlMaxRows = 7)
+    val port = srv.start()
+    def sqlGet(q: String): HttpResponse[String] =
+      get(port, "/api/sql?q=" + java.net.URLEncoder.encode(q, "UTF-8"))
+    def sqlPost(q: String): HttpResponse[String] =
+      HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/sql"))
+          .POST(HttpRequest.BodyPublishers.ofString(q)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // happy path: ad-hoc aggregation over a registered view, GET + POST
+      val r = sqlGet("SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1")
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"event_type\"") && r.body().contains("\"n\""),
+        r.body())
+      val rp = sqlPost("SELECT COUNT(*) AS n FROM orders")
+      assert(rp.statusCode() == 200 && rp.body().contains("\"n\""), rp.body())
+      // engine-native SQL functions are registered on the surface
+      val rv = sqlGet(
+        "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      assert(rv.statusCode() == 200 && rv.body().contains("11.0"), rv.body())
+      // the cap: an unbounded SELECT comes back as a page, not a table
+      val rl = sqlGet("SELECT event_id FROM events")
+      assert(rl.statusCode() == 200)
+      assert(rl.body().count(_ == '{') == 7, s"cap not applied: ${rl.body().take(200)}")
+      // DDL, DML, SET: 403 denied (Command nodes), nothing executes
+      for (bad <- Seq(
+          "DROP TABLE events",
+          "CREATE TABLE t AS SELECT 1",
+          "INSERT INTO events SELECT * FROM events",
+          "SET spark.sql.shuffle.partitions=1",
+          "CACHE TABLE events"))
+        assert(sqlGet(bad).statusCode() == 403, s"$bad -> ${sqlGet(bad).body()}")
+      // path-read escape hatch and unregistered tables: denied
+      val rpath = sqlGet("SELECT * FROM parquet.`/etc/hostname`")
+      assert(rpath.statusCode() == 403, rpath.body())
+      val runk = sqlGet("SELECT * FROM not_a_table")
+      assert(runk.statusCode() == 403 && runk.body().contains("out-of-surface"),
+        runk.body())
+      // CTE names the statement defines are legal relation targets
+      val rcte = sqlGet(
+        "WITH t AS (SELECT user_id FROM events) SELECT COUNT(*) AS n FROM t")
+      assert(rcte.statusCode() == 200, rcte.body())
+      // garbage: 4xx with a reason, not a 500
+      assert(sqlGet("SELEKT 1").statusCode() == 403)
+      assert(sqlGet("").statusCode() == 400)
+    } finally srv.stop()
+  }
+
   test("rejects unknown query names at construction") {
     intercept[IllegalArgumentException] {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
