@@ -281,48 +281,48 @@ object Relational {
     * budget but a few-MB Bloom sketch of it does not (~10% of orders
     * here). Native twin of [[bloomJoin]]: that query emulates the
     * sketch portably so the oracle can check the pruning itself; this
-    * one uses the production machinery end-to-end. `df.stat.bloomFilter` aggregates the keys into one bounded
-    * driver-side sketch (1.2 MB at 1M keys / 1% fpp — a scalar pull in
-    * the centroid-broadcast sense, NOT a data collect); the fact scan
-    * is then prefiltered by the native codegen'd
-    * `BloomFilterMightContain` (the same catalyst expression runtime
-    * filtering injects — both sides use sketch.BloomFilter.putLong /
-    * mightContainLong, so the pairing is exact), and the residual exact
-    * semi join removes the ≤1% false positives.
+    * one uses the production machinery end-to-end, in the exact shape
+    * `InjectRuntimeFilter` rewrites plans into: a `BloomFilterAggregate`
+    * over the build side's keys as a SCALAR SUBQUERY feeding the native
+    * codegen'd `BloomFilterMightContain` on the fact scan (both sides
+    * hash through `XxHash64`, so the pairing is exact), and the
+    * residual exact semi join removes the ≤fpp false positives.
     *
     * Scale shape: the prefilter is map-only and cuts the fact side's
     * shuffle to ~selectivity + fpp before the join; at 100 TB that is
     * the difference between shuffling the whole fact table and ~10% of
-    * it. The sketch is sized from the build side's count — one cheap
-    * count job over the filtered dimension, NOT a hardcoded capacity.
-    *
-    * Caveat (by design): the count + bloom aggregation run EAGERLY at
-    * DataFrame-construction time — a caller that only builds the plan
-    * (PlanDump, plan specs) still pays those two jobs, and the
-    * serialized sketch (~1.2 MB at 1M keys) rides the plan as a binary
-    * Literal, so `executedPlan.toString` carries it. That is exactly
-    * how Spark's own runtime filtering materializes the sketch
-    * (aggregate → literal in the rewritten plan); plan-only tooling
-    * that must stay cheap should skip this query.
+    * it. The subquery form keeps plan CONSTRUCTION free: nothing
+    * executes until the query runs (plan tooling — PlanDump, PlanSpec —
+    * pays zero jobs), and the sketch never rides the plan as a binary
+    * literal; `executedPlan.toString` shows the ~200-byte subquery plan
+    * instead of a megabyte of bloom bits. Sketch capacity comes from
+    * the engine's own runtime-filter sizing default
+    * (`spark.sql.optimizer.runtime.bloomFilter.expectedNumItems`),
+    * the same knob that governs the injected filters this query makes
+    * explicit.
     */
   val bloomSemijoin = QueryDef(
     "q_bloom_semijoin",
     (s, d) => {
       import org.apache.spark.sql.GraftSql
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      val hi = Tables.orders(s, d)
+      import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, ScalarSubquery, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      def hiSide = Tables.orders(s, d)
         .filter(col("o_totalprice") > 450000.0)
         .select(col("o_orderkey").cast("long").as("o_orderkey"))
-      val nKeys = math.max(hi.count(), 1024L)
-      val bloom = hi.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-      val bytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        bos.toByteArray
+      // fresh instantiation for the subquery so its attribute ids never
+      // collide with the semi join's build side
+      val sub = {
+        val plan = hiSide.queryExecution.analyzed
+        val agg = Alias(new BloomFilterAggregate(new XxHash64(Seq(plan.output.head)))
+          .toAggregateExpression(), "orderkey_bloom")()
+        ScalarSubquery(Aggregate(Nil, Seq(agg), plan))
       }
       val mightContain = GraftSql.column(
-        BloomFilterMightContain(Literal(bytes),
-          GraftSql.expression(col("l_orderkey").cast("long"))))
+        BloomFilterMightContain(sub,
+          new XxHash64(Seq(GraftSql.expression(col("l_orderkey").cast("long"))))))
+      val hi = hiSide
       Tables.lineitem(s, d)
         .filter(mightContain)
         .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -24,9 +24,32 @@ class Round10Spec extends SparkSpec {
     assert(got === exact)
   }
 
-  test("q_bloom_semijoin: might_contain prefilter reaches the fact scan side") {
-    val plan = run("q_bloom_semijoin").queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), plan)
+  test("q_bloom_semijoin: might_contain prefilter reaches the fact scan side; " +
+      "plan construction runs zero jobs and dumps small") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // baseline: opening the query's three table handles costs N
+      // parquet schema-inference jobs on its own
+      Tables.orders(spark, sf0001); Tables.orders(spark, sf0001)
+      Tables.lineitem(spark, sf0001)
+      org.apache.spark.GraftListener.drain(spark.sparkContext, 10000)
+      val tableOpenJobs = jobs.getAndSet(0)
+      val plan = run("q_bloom_semijoin").queryExecution.executedPlan.toString
+      org.apache.spark.GraftListener.drain(spark.sparkContext, 10000)
+      assert(plan.contains("might_contain"), plan)
+      // the sketch is a scalar SUBQUERY, not an eager build: building +
+      // planning the query runs nothing beyond the table opens (the old
+      // form paid a count job + a bloom-aggregate job here)
+      assert(jobs.get() <= tableOpenJobs,
+        s"plan construction ran ${jobs.get()} jobs vs $tableOpenJobs table-open jobs")
+      // …and the dump carries the subquery plan, not megabytes of bloom bits
+      assert(plan.length < 10000, s"plan dump is ${plan.length} chars")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("bloom prefilter passes the true matches and prunes most non-matches") {
