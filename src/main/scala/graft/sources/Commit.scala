@@ -44,8 +44,9 @@ import java.nio.charset.StandardCharsets
   * Layout:
   * {{{
   *   <root>/_POINTER            one line: current manifest file name
-  *   <root>/manifest-<v>.txt    line 1 = version; "#parent=<v>"; then
-  *                              "<bucket>\t<dir>" entries
+  *   <root>/manifest-<v>.txt    line 1 = version; "#parent=<v>",
+  *                              "#schema=<StructType JSON>", "#rows=<n>";
+  *                              then "<bucket>\t<dir>" entries
   *   <root>/v=<v>/bucket=<b>/…  parquet data (or v=<v>/… for whole dirs)
   * }}}
   *
@@ -68,12 +69,19 @@ object Commit {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Parsed manifest: version, parent version (0 = none / pre-lineage
-    * manifest), entries. Lines starting with '#' are metadata — the
-    * only one today is `#parent=<v>`, the committed-lineage link that
-    * time travel walks; manifests written before the link existed
-    * parse with parent 0.
+    * manifest), the snapshot's schema + row count, entries. Lines
+    * starting with '#' are metadata: `#parent=<v>` (committed lineage,
+    * what time travel walks), `#schema=<StructType JSON>` (the snapshot
+    * OWNS its schema — reads select/cast through it, so a maintained
+    * table can evolve additively and old versions time-travel with the
+    * columns they had, not whatever parquet footer merging improvises),
+    * and `#rows=<n>` (rows written INTO this version — audit lineage,
+    * not snapshot size). Manifests written before a line existed parse
+    * with it absent and keep their old behavior.
     */
-  private final case class Manifest(v: Long, parent: Long, entries: Seq[Entry])
+  private final case class Manifest(v: Long, parent: Long,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      rows: Option[Long], entries: Seq[Entry])
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -81,11 +89,19 @@ object Commit {
     val parent = lines.tail.collectFirst {
       case l if l.startsWith("#parent=") => l.stripPrefix("#parent=").toLong
     }.getOrElse(0L)
+    val schema = lines.tail.collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val rows = lines.tail.collectFirst {
+      case l if l.startsWith("#rows=") => l.stripPrefix("#rows=").toLong
+    }
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(k, dir) = l.split("\t", 2)
       Entry(k.toInt, dir)
     }
-    Manifest(v, parent, entries)
+    Manifest(v, parent, schema, rows, entries)
   }
 
   private def manifestAt(spark: SparkSession, root: String,
@@ -136,7 +152,7 @@ object Commit {
       bucketCol: String = "bucket"): Option[DataFrame] =
     if (!history(spark, root).contains(v)) None
     else manifestAt(spark, root, v).map(m =>
-      assemble(spark, root, m.entries, bucketCol))
+      applySchema(assemble(spark, root, m.entries, bucketCol), m.schema))
 
   /** Read the current snapshot. Bucketed entries come back with the
     * bucket id as an int column named `bucketCol`; whole-dir entries
@@ -148,9 +164,30 @@ object Commit {
     * commit.
     */
   def read(spark: SparkSession, root: String,
-      bucketCol: String = "bucket"): Option[DataFrame] =
-    current(spark, root).map { case (_, entries) =>
-      assemble(spark, root, entries, bucketCol)
+      bucketCol: String = "bucket"): Option[DataFrame] = {
+    val f = fs(spark, root)
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val m = parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim)))
+      Some(applySchema(assemble(spark, root, m.entries, bucketCol), m.schema))
+    }
+  }
+
+  /** Project the assembled scan through the manifest's committed
+    * schema: exactly its columns, in its order, cast to its types — a
+    * carried bucket written before an additive column existed reads as
+    * null for it (the standard additive-evolution contract), and a
+    * column dropped later never leaks back into an old snapshot.
+    * Pre-schema manifests read as the files merge (legacy behavior).
+    */
+  private def applySchema(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.fold(df) { st =>
+      df.select(st.fields.toSeq.map { fld =>
+        (if (df.columns.contains(fld.name)) col(fld.name)
+         else lit(null)).cast(fld.dataType).as(fld.name)
+      }: _*)
     }
 
   private def assemble(spark: SparkSession, root: String,
@@ -165,7 +202,10 @@ object Commit {
             .parquet(es.map(e => s"$root/${e.dir}"): _*)
             .withColumn(bucketCol, col(bucketCol).cast("int"))
         }
-    parts.reduce(_ unionByName _)
+    // allowMissingColumns: version dirs written before an additive
+    // column appeared union with it null; the manifest schema then
+    // fixes column order/types in applySchema
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def readSmall(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
@@ -217,8 +257,16 @@ object Commit {
       if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
       else current(spark, root).map(_._2).getOrElse(Nil)
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
+    // The snapshot's schema/row-count come from the files just written
+    // (partition discovery included — so the bucket column's read-side
+    // type is what gets recorded): one footer read + one count job over
+    // ONLY the new version's data, never the carried buckets.
+    val snap =
+      try Some(spark.read.parquet(s"$root/$vdir"))
+      catch { case scala.util.control.NonFatal(_) => None }
     commitManifest(spark, root, v, parent,
-      (carried ++ fresh).sortBy(_.key))
+      (carried ++ fresh).sortBy(_.key),
+      snap.map(_.schema), snap.map(_.count()))
     v
   }
 
@@ -241,11 +289,15 @@ object Commit {
     * while its data dir stays unreferenced garbage for [[vacuum]].
     */
   private[graft] def commitManifest(spark: SparkSession, root: String, v: Long,
-      parent: Long, entries: Seq[Entry]): Unit = {
+      parent: Long, entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      rows: Option[Long] = None): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
-    val body = (v.toString +: s"#parent=$parent" +:
-      entries.map(e => s"${e.key}\t${e.dir}")).mkString("\n")
+    val meta = Seq(s"#parent=$parent") ++
+      schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n")
+    val body = (v.toString +: meta ++: entries.map(e => s"${e.key}\t${e.dir}"))
+      .mkString("\n")
     val mf = new Path(root, name)
     val out =
       try f.create(mf, false)

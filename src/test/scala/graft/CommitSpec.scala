@@ -159,6 +159,43 @@ class CommitSpec extends SparkSpec {
     assert(v === 3)
   }
 
+  test("manifests own their schema: additive evolution reads forward, " +
+      "time travel keeps the old columns") {
+    val root = tmp("commit-schema")
+    // v1: the original five-column table, buckets for users 1 and 2
+    val v1df = Seq((1L, 1.0, "a", 10), (2L, 2.0, "b", 20))
+      .toDF("user_id", "v", "note", "score")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+    Commit.publishBuckets(v1df, root)
+    // v2: an ADDED column, rewriting only user 1's bucket — user 2's
+    // bucket is carried forward from v1 files that lack the column
+    val v2df = Seq((1L, 5.0, "a2", 11, "fresh"))
+      .toDF("user_id", "v", "note", "score", "extra")
+      .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+    Commit.publishBuckets(v2df, root)
+
+    // read: the CURRENT schema — six columns, carried rows null-filled
+    val now = Commit.read(spark, root).get
+    assert(now.columns.contains("extra"), now.columns.mkString(","))
+    val rows = now.select("user_id", "v", "extra")
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(rows === Set((1L, 5.0, Some("fresh")), (2L, 2.0, None)),
+      "carried bucket missing or added column not null-filled")
+
+    // readAt(v1): EXACTLY the five v1 columns — the added column never
+    // leaks into the old snapshot
+    val at1 = Commit.readAt(spark, root, 1L).get
+    assert(!at1.columns.contains("extra"), at1.columns.mkString(","))
+    assert(at1.columns.toSet ===
+      Set("user_id", "v", "note", "score", "bucket"))
+    assert(at1.select("user_id", "v").as[(Long, Double)].collect().toSet ===
+      Set(1L -> 1.0, 2L -> 2.0))
+
+    // the manifest records the snapshot schema and rows written
+    val m2 = Files.readString(Paths.get(root, "manifest-2.txt"))
+    assert(m2.contains("#schema=") && m2.contains("#rows=1"), m2.take(200))
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = Files.createTempDirectory("commit-landing").toString
