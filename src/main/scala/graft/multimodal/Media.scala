@@ -12,17 +12,17 @@ import java.util.zip.{Adler32, CRC32}
   * `binary` columns with typed metadata, processed in partition-sized
   * batches (the Scala analog of `mapInPandas`).
   *
-  * TWO modalities are decoded for real: fixture IMAGE payloads are
-  * valid PNG files (hand-rolled deterministic encoder, [[pngBytes]])
-  * run through the JDK's actual PNG codec (`javax.imageio.ImageIO`),
-  * and fixture AUDIO payloads are valid 16-bit PCM WAV files
-  * ([[wavBytes]]) run through the JDK's actual WAV codec
-  * (`javax.sound.sampled.AudioSystem`) — sample rate and PCM frame
-  * count in the output are what the codecs read from the bitstreams,
-  * not arithmetic. VIDEO payloads remain a clearly-marked
-  * deterministic stub ([[decodeStub]]) — the JDK ships no MP4 demuxer;
-  * the signature (bytes in, typed metadata out) is the production one
-  * and a real codec drops into the same per-partition loop.
+  * ALL THREE modalities are decoded for real: fixture IMAGE payloads
+  * are valid PNG files (hand-rolled deterministic encoder,
+  * [[pngBytes]]) run through the JDK's actual PNG codec
+  * (`javax.imageio.ImageIO`); fixture AUDIO payloads are valid 16-bit
+  * PCM WAV files ([[wavBytes]]) run through the JDK's actual WAV codec
+  * (`javax.sound.sampled.AudioSystem`); fixture VIDEO payloads are
+  * MJPEG-in-AVI containers ([[aviBytes]], muxed by [[Avi]]) — the
+  * RIFF walk demuxes real JPEG frames and `ImageIO`'s actual JPEG
+  * decoder reads the spatial dims. Width/height/frame-count/sample-
+  * rate in the decode output are what the codecs read from the
+  * bitstreams, not arithmetic.
   *
   * Scale note: payloads stay in executors end-to-end (no collect); a
   * 100 TB media corpus maps to the same plan with the binary column
@@ -139,6 +139,59 @@ object Media {
     out
   }
 
+  /** Fixture video parameters per doc — closed forms the SQL oracle
+    * states. Dims are multiples of 8 (JPEG MCU-aligned); frame counts
+    * stay single-digit-ish so the fixture corpus encodes fast.
+    */
+  def vidW(docId: Long): Int = (16 + (docId % 8) * 8).toInt
+  def vidH(docId: Long): Int = (16 + ((docId * 5) % 8) * 8).toInt
+  def vidF(docId: Long): Int = (3 + docId % 8).toInt
+
+  /** Closed-form fixture AVI byte length: JPEG frame sizes are content-
+    * dependent, so [[Avi.mux]] JUNK-pads the container to this exact
+    * total — fixed RIFF headers fit in the 256, and `w*h*3 + 1024` is
+    * a safe per-frame cap (a flat-color JPEG is a few hundred bytes of
+    * tables + DC-only entropy data; mux REQUIRES the cap holds).
+    */
+  def vidBytes(docId: Long): Int =
+    256 + vidF(docId) * (vidW(docId) * vidH(docId) * 3 + 1032)
+
+  /** Deterministic MJPEG AVI: [[vidF]] flat-color JPEG frames (color a
+    * closed function of (frame, seed); flat frames decode DC-only, so
+    * the lossy round trip recovers the constructed color to within a
+    * quantization step — what MediaSpec verifies), muxed to the
+    * [[vidBytes]] closed-form size.
+    */
+  def aviBytes(docId: Long): Array[Byte] = {
+    val (w, h, nF) = (vidW(docId), vidH(docId), vidF(docId))
+    val frames = (0 until nF).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = (frameColor(docId, f, 0) << 16) |
+        (frameColor(docId, f, 1) << 8) | frameColor(docId, f, 2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jpeg = bos.toByteArray
+      require(jpeg.length <= w * h * 3 + 1022,
+        s"fixture JPEG exceeded its size cap: ${jpeg.length}")
+      jpeg
+    }
+    Avi.mux(frames, w, h, fps = 10, totalSize = vidBytes(docId))
+  }
+
+  /** Per-(frame, channel) fixture color — what each flat frame is
+    * filled with, and what the spec expects back from the JPEG round
+    * trip. Kept in 28..227 so quantization never clips at 0/255.
+    */
+  def frameColor(docId: Long, frame: Int, channel: Int): Int =
+    (28 + (docId * 31 + frame * 37 + channel * 59) % 200).toInt
+
   private val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false),
@@ -149,10 +202,10 @@ object Media {
     * 0) carry a real [[pngBytes]] PNG with [[imgW]]×[[imgH]] fixture
     * dims; audio docs (doc_id % 3 == 1) carry a real [[wavBytes]] PCM
     * WAV with [[audSr]]/[[audN]] fixture parameters; video docs carry
-    * the UTF-8 text bytes (stub payload for the stub decoder). Payload
-    * synthesis happens per partition in executors — the fixture corpus
-    * is built distributed, exactly where real payloads would be read
-    * from parquet.
+    * a real [[aviBytes]] MJPEG AVI with [[vidW]]×[[vidH]]×[[vidF]]
+    * fixture parameters. Payload synthesis happens per partition in
+    * executors — the fixture corpus is built distributed, exactly
+    * where real payloads would be read from parquet.
     */
   def asMedia(documents: DataFrame): DataFrame = {
     val enc = Encoders.row(mediaSchema)
@@ -165,8 +218,7 @@ object Media {
           else if (id % 3 == 1)
             Row(id, wavBytes(audN(id), audSr(id), id), "audio/wav")
           else
-            Row(id, r.getString(1).getBytes(StandardCharsets.UTF_8),
-              "video/mp4")
+            Row(id, aviBytes(id), "video/avi")
         }
       }(enc)
   }
@@ -183,27 +235,15 @@ object Media {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false)))
 
-  /** STUB DECODER for the codec-less modality (video) — a
-    * deterministic fake standing in for a real MP4 demuxer. A real
-    * implementation decodes `content` here; the signature (bytes in,
-    * typed metadata out) is the production one.
-    */
-  def decodeStub(docId: Long, mime: String, content: Array[Byte]): Row = {
-    val n = content.length
-    // fake dims: derived from payload length only — reproducible in SQL
-    val width  = 64 + (n % 577)
-    val height = 64 + ((n * 7) % 577)
-    val frames = if (mime.startsWith("video")) 1 + n % 240 else 1
-    Row(docId, mime, n, width, height, frames, 0)
-  }
-
   /** Decode all payloads partition-batch-wise (mapPartitions keeps the
     * per-batch setup cost — codec init, model load — amortized exactly
     * like mapInPandas batches). PNG payloads go through the REAL JDK
     * image codec (width/height from the bitstream, n_frames = 1,
     * sample_rate = 0); WAV payloads through the REAL JDK audio codec
     * (n_frames = PCM frames, sample_rate from the fmt chunk, no
-    * spatial dims); video through [[decodeStub]].
+    * spatial dims); AVI payloads through the [[Avi]] RIFF demux
+    * (n_frames = '00dc' chunks found) with the first frame's spatial
+    * dims from the REAL JDK JPEG decoder. No stub decoders remain.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = Encoders.row(decodedSchema)
@@ -226,7 +266,15 @@ object Media {
               Row(id, mime, content.length, 0, 0, in.getFrameLength.toInt,
                 fmt.getSampleRate.toInt)
             } finally in.close()
-          } else decodeStub(id, mime, content)
+          } else if (mime == "video/avi") {
+            val frames = Avi.demux(content)
+            require(frames.nonEmpty, s"doc $id: AVI with no video frames")
+            val first = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames.head))
+            require(first != null, s"doc $id: frame 0 is not a decodable JPEG")
+            Row(id, mime, content.length, first.getWidth, first.getHeight,
+              frames.length, 0)
+          } else sys.error(s"doc $id: unknown media mime $mime")
         }
       }(enc)
   }
@@ -236,7 +284,7 @@ object Media {
     * so it stays inside whole-stage codegen.
     */
   def sampleFrames(decoded: DataFrame, step: Int = 10): DataFrame =
-    decoded.filter(col("mime") === "video/mp4")
+    decoded.filter(col("mime") === "video/avi")
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))

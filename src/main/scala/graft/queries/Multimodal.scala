@@ -3,11 +3,12 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.multimodal.Media
 
-/** Multimodal (binary-column) operator surface. The decode step is a
-  * deterministic stub (no codecs in this environment — see
-  * [[graft.multimodal.Media]]), which makes the full plumbing
-  * oracle-checkable: the fake metadata is pure arithmetic over the
-  * UTF-8 byte length, reproducible in DuckDB SQL.
+/** Multimodal (binary-column) operator surface. All three modalities
+  * decode through REAL codecs (PNG via javax.imageio, WAV PCM via
+  * javax.sound.sampled, MJPEG-AVI via the [[graft.multimodal.Avi]]
+  * RIFF demux + the JDK JPEG decoder); the oracles state the fixture
+  * CONSTRUCTIONS in closed form, so a green row proves the codecs
+  * read back exactly what was encoded.
   */
 object Multimodal {
 
@@ -15,35 +16,39 @@ object Multimodal {
   val decode = QueryDef(
     "q_mm_decode",
     (s, d) => Media.decode(Media.asMedia(Tables.documents(s, d))),
-    // image rows (doc_id % 3 = 0): the oracle states the FIXTURE — the
-    // constructed PNG's dims (imgW/imgH formulas) and its closed-form
-    // stored-deflate byte length 68 + h*(1+3w); audio rows (% 3 = 1)
-    // state the WAV fixture — closed-form byte length 44 + 2·n, PCM
-    // frame count audN and sample rate audSr. The engine side reports
-    // what javax.imageio / javax.sound.sampled ACTUALLY decoded, so a
-    // green row proves the real codecs read back the constructed
-    // bitstreams. Video rows keep the documented stub arithmetic.
+    // The oracle states the FIXTURES in closed form. Image rows
+    // (doc_id % 3 = 0): constructed PNG dims (imgW/imgH) and the
+    // stored-deflate byte length 68 + h*(1+3w). Audio rows (% 3 = 1):
+    // WAV byte length 44 + 2·n, PCM frame count audN, sample rate
+    // audSr. Video rows (% 3 = 2): the MJPEG AVI's JUNK-padded
+    // closed-form container size (Media.vidBytes), vidW×vidH frame
+    // dims and vidF frame count. The engine side reports what the
+    // codecs ACTUALLY decoded (AVI: demuxed chunk count + first
+    // frame's JPEG-decoded dims), so a green row proves the real
+    // codecs read back the constructed bitstreams.
     Some("""SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                        ELSE 'video/mp4' END AS mime,
+                        ELSE 'video/avi' END AS mime,
                    CAST(CASE WHEN doc_id % 3 = 0
                              THEN 68 + (8 + (doc_id * 3) % 16)
                                   * (1 + 3 * (8 + doc_id % 16))
                              WHEN doc_id % 3 = 1
                              THEN 44 + 2 * (400 + (doc_id % 97) * 8)
-                             ELSE octet_length(encode(text)) END AS INT)
-                     AS n_bytes,
+                             ELSE 256 + (3 + doc_id % 8) *
+                                  ((16 + (doc_id % 8) * 8) *
+                                   (16 + ((doc_id * 5) % 8) * 8) * 3 + 1032)
+                        END AS INT) AS n_bytes,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
                              WHEN doc_id % 3 = 1 THEN 0
-                             ELSE 64 + octet_length(encode(text)) % 577 END
+                             ELSE 16 + (doc_id % 8) * 8 END
                      AS INT) AS width,
                    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
                              WHEN doc_id % 3 = 1 THEN 0
-                             ELSE 64 + (octet_length(encode(text)) * 7) % 577
+                             ELSE 16 + ((doc_id * 5) % 8) * 8
                         END AS INT) AS height,
                    CAST(CASE WHEN doc_id % 3 = 2
-                             THEN 1 + octet_length(encode(text)) % 240
+                             THEN 3 + doc_id % 8
                              WHEN doc_id % 3 = 1
                              THEN 400 + (doc_id % 97) * 8
                              ELSE 1 END AS INT) AS n_frames,
@@ -52,17 +57,19 @@ object Multimodal {
                              ELSE 0 END AS INT) AS sample_rate
             FROM documents"""))
 
-  /** Frame sampling: explode every 10th frame index per video. */
+  /** Frame sampling: explode every 2nd frame index per video (the
+    * codec-read frame count drives the sequence).
+    */
   val frames = QueryDef(
     "q_mm_frames",
     (s, d) => Media.sampleFrames(
-      Media.decode(Media.asMedia(Tables.documents(s, d))), step = 10),
+      Media.decode(Media.asMedia(Tables.documents(s, d))), step = 2),
     Some("""WITH dec AS (
               SELECT doc_id,
-                     CAST(1 + octet_length(encode(text)) % 240 AS INT) AS n_frames
+                     CAST(3 + doc_id % 8 AS INT) AS n_frames
               FROM documents WHERE doc_id % 3 = 2)
             SELECT doc_id, n_frames,
-                   CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INT)
+                   CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT)
                      AS frame_idx
             FROM dec"""))
 
@@ -74,10 +81,10 @@ object Multimodal {
     Some("""WITH dec AS (
               SELECT doc_id,
                      CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
-                               ELSE 64 + octet_length(encode(text)) % 577 END
+                               ELSE 16 + (doc_id % 8) * 8 END
                        AS INT) AS width,
                      CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + (doc_id * 3) % 16
-                               ELSE 64 + (octet_length(encode(text)) * 7) % 577
+                               ELSE 16 + ((doc_id * 5) % 8) * 8
                           END AS INT) AS height
               FROM documents WHERE doc_id % 3 <> 1)
             SELECT doc_id, width, height,

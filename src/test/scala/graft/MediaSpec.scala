@@ -75,6 +75,36 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("aviBytes is a valid MJPEG AVI: demux + JPEG decode recover the constructed frames") {
+    for (id <- Seq(2L, 5L, 11L, 23L, 100L)) {
+      val bytes = Media.aviBytes(id)
+      // closed-form container length the oracle states (JUNK padded)
+      assert(bytes.length === Media.vidBytes(id))
+      val frames = graft.multimodal.Avi.demux(bytes)
+      assert(frames.length === Media.vidF(id), s"doc $id frame count")
+      for ((f, idx) <- frames.zipWithIndex) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f))
+        assert(img != null, s"doc $id frame $idx: codec rejected the JPEG")
+        assert(img.getWidth === Media.vidW(id) &&
+          img.getHeight === Media.vidH(id))
+        // flat-color frames survive the lossy round trip to within a
+        // quantization step — and because the color is a function of
+        // the FRAME INDEX, this also proves the demux preserved order
+        val (w, h) = (Media.vidW(id), Media.vidH(id))
+        for ((x, y) <- Seq((0, 0), (w / 2, h / 2), (w - 1, h - 1))) {
+          val rgb = img.getRGB(x, y)
+          for ((c, shift) <- Seq((0, 16), (1, 8), (2, 0))) {
+            val got = (rgb >> shift) & 0xff
+            val want = Media.frameColor(id, idx, c)
+            assert(math.abs(got - want) <= 8,
+              s"doc $id frame $idx ($x,$y) ch$c: got $got want $want")
+          }
+        }
+      }
+    }
+  }
+
   test("sampleFrames explodes every step-th frame of videos only") {
     val frames = Media.sampleFrames(Media.decode(Media.asMedia(docs)), step = 10)
     val byDoc = frames.groupBy("doc_id").agg(
