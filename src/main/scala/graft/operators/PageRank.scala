@@ -35,11 +35,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object PageRank {
 
+  /** `cacheEdges = false` when `edges` is already a persisted layout
+    * whose scan supplies the join's distribution — e.g.
+    * [[graft.warehouse.GraphStage.prEdges]], bucketed+sorted by src:
+    * caching would pin executor memory to save a scan that costs no
+    * shuffle, and every iteration's src-join plans zero exchanges and
+    * zero sorts on the edge side straight from the bucket metadata.
+    */
   def ranks(edges: DataFrame, iters: Int = 2, damping: Double = 0.85,
-      teleport: Double = 0.15): DataFrame = {
+      teleport: Double = 0.15, cacheEdges: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"))
-      .cache() // rescanned every iteration; at scale: a persisted table
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (cacheEdges) e0.cache() else e0
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .cache() // joined into every round + counted for N
     val n = deg.count().toDouble
@@ -66,7 +73,7 @@ object PageRank {
       // materialize, then release the iteration caches — a long-lived
       // session (the 136-query bench suite) must not keep them pinned
       .localCheckpoint(true)
-    e.unpersist()
+    if (cacheEdges) { e.unpersist(); () }
     deg.unpersist()
     out
   }

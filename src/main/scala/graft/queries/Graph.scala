@@ -39,15 +39,16 @@ object Graph {
     (s, d) => {
       // long node ids end-to-end (customer 2k, supplier 2k+1): the
       // iteration shuffles never carry strings; the 'c…'/'s…' label is
-      // rendered on the 20-row result only. The distinct co-purchase
-      // projection comes from the staged warehouse artifact
-      // ([[graft.warehouse.GraphStage]]) — the id mapping is injective,
-      // so the edge set is identical to an inline distinct()
-      val e0 = graft.warehouse.GraphStage.raw(s, d)
-        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
-      val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-      val r2 = graft.operators.PageRank.ranks(edges, iters = 2)
+      // rendered on the 20-row result only. The symmetrized edge list
+      // is the staged BUCKETED artifact
+      // ([[graft.warehouse.GraphStage.prEdges]], bucketed+sorted by
+      // src) — every iteration's rank join plans zero exchanges and
+      // zero sorts on the edge side, so per-round shuffle is
+      // vertex-scale (ranks + pre-aggregated contributions), never the
+      // edge list
+      val edges = graft.warehouse.GraphStage.prEdges(s, d)
+      val r2 = graft.operators.PageRank.ranks(edges, iters = 2,
+        cacheEdges = false)
       r2.orderBy(desc("r"), asc("node")).limit(20)
         .select(
           when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))

@@ -42,6 +42,7 @@ object GraphStage {
   private val SrcTables = Seq("orders", "lineitem")
 
   private def rawName(t: String) = s"g_copurchase_$t"
+  private def prName(t: String)  = s"g_pagerank_edges_$t"
   private def eName(t: String)   = s"g_copurchase_capped_$t"
   private def simName(t: String) = s"g_supplier_sim_$t"
   private def undName(t: String) = s"g_supplier_knn_$t"
@@ -50,6 +51,17 @@ object GraphStage {
   /** Distinct (ck, sk) co-purchase projection — bucketed by ck. */
   def raw(s: SparkSession, d: String): DataFrame =
     { val t = ensure(s, d); s.table(rawName(t)) }
+
+  /** The SYMMETRIZED long-id PageRank edge list (src, dst) — customer
+    * 2k, supplier 2k+1 — bucketed AND sorted by src. The iteration's
+    * rank join requires HashClusteredDistribution(src) + sort: this
+    * layout satisfies both from the scan, so no power-iteration round
+    * ever exchanges or re-sorts the edge list — per-iteration shuffle
+    * drops to vertex-scale (ranks out, pre-aggregated contributions
+    * back), the GraphX edge-partition posture in plain SQL machinery.
+    */
+  def prEdges(s: SparkSession, d: String): DataFrame =
+    { val t = ensure(s, d); s.table(prName(t)) }
 
   /** [[Graph.capDegree]](raw, K=128) — bucketed by ck. */
   def e(s: SparkSession, d: String): DataFrame =
@@ -91,8 +103,8 @@ object GraphStage {
     * shuffle serves layout and computation.
     */
   private def doBuild(s: SparkSession, d: String, t: String): Unit = {
-    Seq(rawName(t), eName(t), simName(t), undName(t), knnDirName(t))
-      .foreach(Staging.freshTarget(s, _))
+    Seq(rawName(t), prName(t), eName(t), simName(t), undName(t),
+      knnDirName(t)).foreach(Staging.freshTarget(s, _))
     // snapshot-sized width: the pair self-join (Σ min(deg,128)² rows)
     // and the kNN window both run at this parallelism — see
     // Staging.bucketsFor for why a pinned count goes super-linear
@@ -105,6 +117,16 @@ object GraphStage {
       .repartition(b, col("ck"))
       .dropDuplicates("ck", "sk")
     Sources.writeBucketed(raw0, rawName(t), "ck", b)
+
+    // symmetrized pagerank edges, bucketed+sorted by src (see
+    // [[prEdges]]): written once here so every power iteration reads a
+    // shuffle-free, sort-free edge side
+    val ids = s.table(rawName(t))
+      .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+    val sym = ids.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ids.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(b, col("src"))
+    Sources.writeBucketed(sym, prName(t), "src", b)
 
     // capped variant: the bucketed scan's HashPartitioning(ck) feeds the
     // cap window's partitionBy(ck) with no exchange
