@@ -150,6 +150,80 @@ object StreamBench {
         watermarkDelay = "10 minutes"),
       "append", seconds)
 
+    // Crash-recovery segment (the availability number next to the
+    // throughput numbers): an upsert pipeline crashes mid-run AFTER a
+    // publish but BEFORE its checkpoint commit, backlog accumulates
+    // while it is down, then a restart from the checkpoint replays the
+    // uncommitted epoch (content-idempotent on the Commit-published
+    // table) and drains the backlog — time-to-caught-up is the wall
+    // time of that restart run.
+    val recovery = {
+      val dir = java.nio.file.Files.createTempDirectory("sb_recover").toString
+      val landing = s"$dir/in"
+      val ckpt = s"$dir/ckpt"
+      val status = s"$dir/status"
+      val batchRows = 100000L
+      def land(from: Long, n: Long): Unit =
+        spark.range(from, from + n)
+          .select(expr("timestamp_seconds(1700000000L + id)").as("ts"),
+            (col("id") % users).as("user_id"),
+            lit("flow").as("event_type"),
+            col("id").as("event_id"),
+            (col("id") % 100).cast("double").as("value"))
+          .repartition(4)
+          .write.mode("append").parquet(landing)
+      @volatile var armed = true
+      def run(crash: Boolean): Unit = {
+        val q = spark.readStream
+          .schema("ts timestamp, user_id long, event_type string, " +
+            "event_id long, value double")
+          .option("maxFilesPerTrigger", "2") // several epochs per run
+          .parquet(landing)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            Streams.statusUpsert(b, status)
+            if (crash && armed) {
+              armed = false
+              throw new RuntimeException("injected crash after publish")
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      land(0L, batchRows)
+      val crashed = try { run(crash = true); false }
+        catch { case scala.util.control.NonFatal(_) => true }
+      land(batchRows, batchRows) // backlog while the pipeline is down
+      val t0 = System.nanoTime()
+      run(crash = false)
+      val caughtUpSec = (System.nanoTime() - t0) / 1e9
+      // converged = the maintained table equals the batch twin over
+      // everything landed (exact anti-join count, not a row count)
+      val twin = spark.read.parquet(landing)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"),
+          col("event_type"))).as("s"))
+        .select(col("user_id"), col("s.ts").as("last_ts"),
+          col("s.value").as("last_value"), col("s.event_type").as("last_type"))
+      val mismatches = Streams.readStatus(spark, status).get
+        .select("user_id", "last_ts", "last_value", "last_type")
+        .exceptAll(twin).count() +
+        twin.exceptAll(Streams.readStatus(spark, status).get
+          .select("user_id", "last_ts", "last_value", "last_type")).count()
+      val versionsBefore = graft.sources.Commit.history(spark, status).length
+      graft.sources.Commit.vacuum(spark, status, retain = 1)
+      val versionsAfter = graft.sources.Commit.history(spark, status).length
+      f""""recovery":{"crashed_mid_run":$crashed,""" +
+        f""""backlog_rows":${2 * batchRows},""" +
+        f""""time_to_caught_up_sec":$caughtUpSec%.2f,""" +
+        f""""recovery_rows_per_sec":${2 * batchRows / caughtUpSec}%.0f,""" +
+        f""""converged":${mismatches == 0},""" +
+        f""""versions_before_vacuum":$versionsBefore,""" +
+        f""""versions_after_vacuum":$versionsAfter}"""
+    }
+
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
     val out = Seq(
@@ -159,8 +233,8 @@ object StreamBench {
         s""""$n":${json(st, tailFlat(st.map(_.stateRows)))}"""
       }
       .mkString("{", ",",
-        s""","events_per_sec_offered":$eventsPerSec,"accel":$accel,""" +
-          s""""users":$users,"seconds":$seconds}""")
+        s""",$recovery,"events_per_sec_offered":$eventsPerSec,""" +
+          s""""accel":$accel,"users":$users,"seconds":$seconds}""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out)
     println(s"STREAM_BENCH -> $outPath")
     println(out)

@@ -314,6 +314,86 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
 
+  test("upsert stream killed mid-trigger: restart from checkpoint converges " +
+      "to the batch twin; vacuum bounds the replay's version garbage") {
+    // End-to-end at-least-once recovery: the crash is injected AFTER
+    // statusUpsert publishes but BEFORE the epoch's checkpoint commit —
+    // the worst window, where the restart MUST replay an epoch whose
+    // side effect already landed. Content-idempotent merge + Commit
+    // versioning make the replay safe; this proves it through the real
+    // machinery (file source, checkpoint, StreamingQueryException).
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("upsert_restart").toString
+    val landing = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    val path = s"$dir/status"
+    def land(rows: Seq[(Long, Timestamp, Double, String, Long)]): Unit =
+      rows.toDF("user_id", "ts", "value", "event_type", "event_id")
+        .write.mode("append").parquet(landing)
+    land(Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L)))
+    @volatile var crashArmed = true
+    def run(crash: Boolean): Unit = {
+      val q = spark.readStream
+        .schema("user_id long, ts timestamp, value double, " +
+          "event_type string, event_id long")
+        .parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Streams.statusUpsert(batch, path)
+          if (crash && crashArmed) {
+            crashArmed = false
+            throw new RuntimeException("injected crash after publish, " +
+              "before checkpoint commit")
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      val died = intercept[Exception] { run(crash = true) }
+      assert(died.getMessage.contains("injected") ||
+        Option(died.getCause).exists(_.getMessage.contains("injected")))
+      // the crashed epoch's publish is already visible (at-least-once)
+      assert(Streams.readStatus(spark, path).nonEmpty)
+      // backlog accumulates while the pipeline is down
+      land(Seq((1L, ts(500), 9.0, "flow", 3L), (3L, ts(60), 5.0, "ph", 4L)))
+      // restart from the SAME checkpoint: the uncommitted epoch replays
+      // (same content — a no-op on the table), then the backlog drains
+      run(crash = false)
+      val got = Streams.readStatus(spark, path).get
+        .select("user_id", "last_ts", "last_value", "last_type")
+        .as[(Long, Timestamp, Double, String)].collect().toSet
+      val twin = spark.read.parquet(landing)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("ts"), col("value"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("s"))
+        .select(col("user_id"), col("s.ts"), col("s.value"),
+          col("s.event_type"))
+        .as[(Long, Timestamp, Double, String)].collect().toSet
+      assert(got === twin, "restarted stream did not converge to the batch twin")
+      // the replayed epoch committed extra versions — bounded, and
+      // vacuum reclaims everything beyond the retained snapshot
+      val versions = sources.Commit.history(spark, path)
+      assert(versions.length >= 2, s"expected replay versions, got $versions")
+      sources.Commit.vacuum(spark, path, retain = 1)
+      assert(sources.Commit.history(spark, path).length === 1)
+      // nothing unreferenced survives on disk: every v=* dir left is
+      // referenced by the single retained manifest
+      val live = sources.Commit.current(spark, path).get._2
+        .map(_.dir.takeWhile(_ != '/')).toSet
+      val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .iterator()
+      val vDirs = Iterator.continually(onDisk).takeWhile(_.hasNext)
+        .map(_.next().getFileName.toString).filter(_.startsWith("v=")).toSet
+      assert(vDirs === live, s"garbage versions survived vacuum: ${vDirs -- live}")
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   test("statusUpsert: re-delivering the same micro-batch is content-idempotent") {
     // foreachBatch's at-least-once contract: after a sink failure the
     // SAME epoch replays. The max_by(last_ts) merge makes the re-apply
