@@ -120,13 +120,23 @@ object GraphStage {
 
     // symmetrized pagerank edges, bucketed+sorted by src (see
     // [[prEdges]]): written once here so every power iteration reads a
-    // shuffle-free, sort-free edge side
+    // shuffle-free, sort-free edge side. A bucketed scan's partition
+    // count IS its bucket count, and every iteration runs at it — so
+    // floor it at the session's parallelism (a size-only count would
+    // give 8 buckets at sf0.1 and idle half the cores in every round;
+    // at cluster SF the byte-sized count dominates the floor anyway).
+    val bPr = {
+      val floor = Integer.highestOneBit(
+        math.max(s.sparkContext.defaultParallelism, 1))
+      math.max(b, if (floor < s.sparkContext.defaultParallelism) floor * 2
+        else floor)
+    }
     val ids = s.table(rawName(t))
       .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
     val sym = ids.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(ids.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(b, col("src"))
-    Sources.writeBucketed(sym, prName(t), "src", b)
+      .repartition(bPr, col("src"))
+    Sources.writeBucketed(sym, prName(t), "src", bPr)
 
     // capped variant: the bucketed scan's HashPartitioning(ck) feeds the
     // cap window's partitionBy(ck) with no exchange

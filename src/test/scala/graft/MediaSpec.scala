@@ -110,7 +110,7 @@ class MediaSpec extends SparkSpec {
     val byDoc = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n"), max("frame_idx").as("mx"))
       .as[(Long, Long, Int)].collect().map { case (k, n, _) => k -> n }.toMap
-    // docs 2 and 5 are mime video/mp4 (doc_id % 3 == 2)
+    // docs 2 and 5 are mime video/avi (doc_id % 3 == 2)
     assert(byDoc.keySet === Set(2L, 5L))
     val nf = Media.decode(Media.asMedia(docs))
       .filter(col("doc_id") === 2L).collect()(0).getInt(5)
