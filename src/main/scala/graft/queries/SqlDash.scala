@@ -129,7 +129,54 @@ object SqlDash {
         FROM star_fact GROUP BY segment""",
     Dashboard.dashDistricts.oracle.get)
 
+  /** An AD-HOC analytics text through the same front door — proof the
+    * gateway is a general SQL surface, not six special-cased strings:
+    * a 5-table star join + exact revenue + a ranking window, the shape
+    * a reference user types into an ad-hoc console. Runs guarded and
+    * uncapped exactly as `/api/sql` would serve it; the DuckDB oracle
+    * is the SAME text (the exact-sum recipe and the window are
+    * engine-portable), so the gate proves text-level portability, not
+    * just result agreement.
+    *
+    * Scale: identical Catalyst plan to the DataFrame builders —
+    * lineitem⋈orders shuffles on the fact keys, customer joins
+    * size-based, nation/region broadcast by stats; the rank window
+    * runs on the ≤|regions|×4 aggregate, never the fact.
+    */
+  val sqlAdhocRegion = q(
+    "q_sql_adhoc_region",
+    s"""WITH rev AS (
+          SELECT r_name AS region, QUARTER(o_orderdate) AS qtr,
+                 ${SUMD2("l_extendedprice", "1.0 - l_discount")} AS revenue,
+                 COUNT(DISTINCT o_orderkey) AS n_orders
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT region, qtr, ROUND(revenue, 4) AS revenue, n_orders,
+               RANK() OVER (PARTITION BY region ORDER BY revenue DESC) AS rev_rank
+        FROM rev""",
+    s"""WITH rev AS (
+          SELECT r_name AS region, QUARTER(o_orderdate) AS qtr,
+                 ${SUMD2("l_extendedprice", "1.0 - l_discount")} AS revenue,
+                 COUNT(DISTINCT o_orderkey) AS n_orders
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT region, qtr, ROUND(revenue, 4) AS revenue, n_orders,
+               RANK() OVER (PARTITION BY region ORDER BY revenue DESC) AS rev_rank
+        FROM rev""")
+
+  private def SUMD2(x: String, y: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($y AS DECIMAL(18,4))) AS DOUBLE)"
+
   def all: Seq[QueryDef] = Seq(
     sqlDashMetrics, sqlDashSensors, sqlDashAlerts,
-    sqlDashPatterns, sqlDashSensorTypes, sqlDashDistricts)
+    sqlDashPatterns, sqlDashSensorTypes, sqlDashDistricts,
+    sqlAdhocRegion)
 }

@@ -223,12 +223,28 @@ final class DashboardServer(
                   java.net.URLDecoder.decode(kv.drop(2), "UTF-8")
               }.getOrElse("")
         }
+        // ?explain=1 (GET or POST) returns the formatted physical plan
+        // instead of rows — introspection without execution
+        val explain = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").exists(kv => kv == "explain=1" || kv == "explain=true")
         if (sql.trim.isEmpty)
           respond(ex, 400, """{"error":"empty query; GET ?q=<sql> or POST the SQL text"}""")
         else
           try {
             graft.sql.SqlGateway.registerAll(spark, dataDir)
-            respond(ex, 200, toJson(
+            if (explain) {
+              val plan = graft.sql.SqlGateway.explainSql(spark, sql)
+              val esc = plan.flatMap {
+                case '"' => "\\\""
+                case '\\' => "\\\\"
+                case '\n' => "\\n"
+                case '\r' => "\\r"
+                case '\t' => "\\t"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"
+                case c => c.toString
+              }
+              respond(ex, 200, s"""{"plan":"$esc"}""")
+            } else respond(ex, 200, toJson(
               graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows)))
           } catch {
             case e: graft.sql.SqlGateway.SqlDeniedException =>

@@ -125,4 +125,17 @@ object SqlGateway {
     val df = spark.sql(sql)
     if (maxRows > 0) df.limit(maxRows) else df
   }
+
+  /** Parse + guard + EXPLAIN one read-only statement — the formatted
+    * physical plan (scans with ReadSchema/PushedFilters, exchanges,
+    * codegen stages), NEVER executed. The introspection half of an
+    * engine's front door: a user tuning an ad-hoc text sees whether
+    * their filter reached the parquet reader the same way the
+    * engine's own plan audits do. The same guard applies — `EXPLAIN`
+    * as SQL text would parse as a Command and be denied; this is the
+    * sanctioned path.
+    */
+  def explainSql(spark: SparkSession, sql: String): String =
+    runSql(spark, sql, maxRows = 0).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }

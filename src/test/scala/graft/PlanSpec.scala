@@ -87,6 +87,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("registry-wide scan census: no full-width scan of a wide table") {
+    // Quantified column pruning (tools/ScanAudit commits the census as
+    // SCAN_AUDIT.json): a scan that reads every column of a wide table
+    // multiplies IO by the table's width at 100 TB. Whitelist: the
+    // minhash signature artifact — its 21 band columns ARE the
+    // payload, reading all of them is the query. AQE off: the wrapper
+    // node hides the scan tree until execution, and AQE never changes
+    // scan schemas.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !name.startsWith("q_stream")) {
+        val offenders = graft.tools.ScanAudit.scans(
+          fn(spark, sf0001).queryExecution.executedPlan)
+          .map(graft.tools.ScanAudit.info)
+          .filter(s => s.readCols == s.tableCols && s.tableCols > 8 &&
+            !s.table.startsWith("dd_minhash_sig"))
+        assert(offenders.isEmpty, s"$name reads full width: $offenders")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_asof_join: one shuffle over the union, no pair join") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
     df.collect()

@@ -210,6 +210,19 @@ class ServeSpec extends SparkSpec {
       // garbage: 4xx with a reason, not a 500
       assert(sqlGet("SELEKT 1").statusCode() == 403)
       assert(sqlGet("").statusCode() == 400)
+      // ?explain=1: formatted physical plan, not rows — and the guard
+      // still applies (a denied text explains nothing)
+      val rex = get(port, "/api/sql?explain=1&q=" + java.net.URLEncoder.encode(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem " +
+          "WHERE l_quantity < 10 GROUP BY 1", "UTF-8"))
+      assert(rex.statusCode() == 200, rex.body())
+      assert(rex.body().startsWith("""{"plan":""") &&
+        rex.body().contains("PushedFilters") &&
+        rex.body().contains("HashAggregate"), rex.body().take(400))
+      assert(!rex.body().contains("\"rows\""), rex.body().take(200))
+      val rexDenied = get(port, "/api/sql?explain=1&q=" +
+        java.net.URLEncoder.encode("DROP TABLE events", "UTF-8"))
+      assert(rexDenied.statusCode() == 403, rexDenied.body())
     } finally srv.stop()
   }
 
