@@ -119,6 +119,11 @@ object Avi {
       while (off + 8 <= to) {
         val id = cc(bytes, off)
         val size = rdLe32(bytes, off + 4)
+        // corrupt input guard: a negative le32 size (or one past the
+        // buffer) would stall or reverse the walk — an executor task
+        // spinning forever on one bad byte string. Fail loudly instead.
+        require(size >= 0 && off + 8L + size <= to,
+          s"corrupt AVI: chunk '$id' at $off claims $size bytes (bound $to)")
         if (id == "LIST" && size >= 4) {
           val typ = cc(bytes, off + 8)
           if (typ == "movi" || typ == "rec ")

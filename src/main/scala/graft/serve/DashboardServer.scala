@@ -57,17 +57,22 @@ final class DashboardServer(
     * numerics and booleans bare; null is null. The dashboard payload is
     * small by construction, so a StringBuilder is fine.
     */
+  /** JSON string-body escape. Truncate BEFORE calling this — cutting
+    * the escaped form can split a two-char escape and emit invalid
+    * JSON.
+    */
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def toJson(df: DataFrame): String = {
     val cols = df.schema.fieldNames
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val sb = new StringBuilder("[")
     var firstRow = true
     for (row <- df.collect()) {
@@ -234,23 +239,15 @@ final class DashboardServer(
             graft.sql.SqlGateway.registerAll(spark, dataDir)
             if (explain) {
               val plan = graft.sql.SqlGateway.explainSql(spark, sql)
-              val esc = plan.flatMap {
-                case '"' => "\\\""
-                case '\\' => "\\\\"
-                case '\n' => "\\n"
-                case '\r' => "\\r"
-                case '\t' => "\\t"
-                case c if c < ' ' => f"\\u${c.toInt}%04x"
-                case c => c.toString
-              }
-              respond(ex, 200, s"""{"plan":"$esc"}""")
+              respond(ex, 200, s"""{"plan":"${esc(plan)}"}""")
             } else respond(ex, 200, toJson(
               graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows)))
           } catch {
             case e: graft.sql.SqlGateway.SqlDeniedException =>
+              // truncate BEFORE escaping: cutting the escaped form can
+              // split a two-char escape and emit invalid JSON
               respond(ex, 403, s"""{"error":"denied","reason":"${
-                e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")
-                  .replace("\n", " ").take(500)}"}""")
+                esc(String.valueOf(e.getMessage).take(500))}"}""")
             case e: Exception =>
               respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }

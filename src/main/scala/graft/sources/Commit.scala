@@ -115,14 +115,17 @@ object Commit {
     * nothing has ever been committed (a partially-written first
     * version without a pointer swap reads as None — correct).
     */
-  def current(spark: SparkSession, root: String): Option[(Long, Seq[Entry])] = {
+  def current(spark: SparkSession, root: String): Option[(Long, Seq[Entry])] =
+    currentManifest(spark, root).map(m => (m.v, m.entries))
+
+  /** The manifest the pointer currently resolves to — the single
+    * pointer-follow both [[current]] and [[read]] share.
+    */
+  private def currentManifest(spark: SparkSession, root: String): Option[Manifest] = {
     val f = fs(spark, root)
     val ptr = new Path(root, Pointer)
     if (!f.exists(ptr)) None
-    else {
-      val m = parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim)))
-      Some((m.v, m.entries))
-    }
+    else Some(parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim))))
   }
 
   /** COMMITTED versions still reconstructable on disk, newest first:
@@ -152,7 +155,8 @@ object Commit {
       bucketCol: String = "bucket"): Option[DataFrame] =
     if (!history(spark, root).contains(v)) None
     else manifestAt(spark, root, v).map(m =>
-      applySchema(assemble(spark, root, m.entries, bucketCol), m.schema))
+      applySchema(assemble(spark, root, m.entries, bucketCol), m.schema,
+        bucketCol))
 
   /** Read the current snapshot. Bucketed entries come back with the
     * bucket id as an int column named `bucketCol`; whole-dir entries
@@ -164,15 +168,10 @@ object Commit {
     * commit.
     */
   def read(spark: SparkSession, root: String,
-      bucketCol: String = "bucket"): Option[DataFrame] = {
-    val f = fs(spark, root)
-    val ptr = new Path(root, Pointer)
-    if (!f.exists(ptr)) None
-    else {
-      val m = parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim)))
-      Some(applySchema(assemble(spark, root, m.entries, bucketCol), m.schema))
-    }
-  }
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    currentManifest(spark, root).map(m =>
+      applySchema(assemble(spark, root, m.entries, bucketCol), m.schema,
+        bucketCol))
 
   /** Project the assembled scan through the manifest's committed
     * schema: exactly its columns, in its order, cast to its types — a
@@ -182,11 +181,17 @@ object Commit {
     * Pre-schema manifests read as the files merge (legacy behavior).
     */
   private def applySchema(df: DataFrame,
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bucketCol: String): DataFrame =
     schema.fold(df) { st =>
       df.select(st.fields.toSeq.map { fld =>
-        (if (df.columns.contains(fld.name)) col(fld.name)
-         else lit(null)).cast(fld.dataType).as(fld.name)
+        // the manifest records the partition column under its on-disk
+        // name ("bucket" — the dir layout is fixed); a caller-renamed
+        // bucketCol must keep resolving to it, or the rename silently
+        // null-fills the column
+        val name = if (fld.name == "bucket") bucketCol else fld.name
+        (if (df.columns.contains(name)) col(name)
+         else lit(null)).cast(fld.dataType).as(name)
       }: _*)
     }
 
@@ -198,9 +203,13 @@ object Commit {
     val parts =
       whole.map(e => spark.read.parquet(s"$root/${e.dir}")) ++
         byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
+          // partition discovery names the column by the dir layout
+          // ("bucket=<b>"); cast first, then rename to the caller's
+          // bucketCol (no-op for the default)
           spark.read.option("basePath", s"$root/$vdir")
             .parquet(es.map(e => s"$root/${e.dir}"): _*)
-            .withColumn(bucketCol, col(bucketCol).cast("int"))
+            .withColumn("bucket", col("bucket").cast("int"))
+            .withColumnRenamed("bucket", bucketCol)
         }
     // allowMissingColumns: version dirs written before an additive
     // column appeared union with it null; the manifest schema then
@@ -257,18 +266,42 @@ object Commit {
       if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
       else current(spark, root).map(_._2).getOrElse(Nil)
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
-    // The snapshot's schema/row-count come from the files just written
+    // The snapshot's schema comes from the files just written
     // (partition discovery included — so the bucket column's read-side
-    // type is what gets recorded): one footer read + one count job over
-    // ONLY the new version's data, never the carried buckets.
+    // type is what gets recorded); the row count comes from the same
+    // files' FOOTERS, summed driver-side — publish is on the streaming
+    // commit critical path (one call per micro-batch), and a Spark
+    // count job there would re-scan the fresh version every epoch for
+    // audit metadata.
     val snap =
       try Some(spark.read.parquet(s"$root/$vdir"))
       catch { case scala.util.control.NonFatal(_) => None }
     commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
-      snap.map(_.schema), snap.map(_.count()))
+      snap.map(_.schema), footerRows(spark, s"$root/$vdir"))
     v
   }
+
+  /** Rows written into a version dir, from parquet footer metadata
+    * only (no Spark job, no column IO). None on any read problem —
+    * `#rows=` is audit lineage, never worth failing a commit over.
+    */
+  private def footerRows(spark: SparkSession, dir: String): Option[Long] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val it = new Path(dir).getFileSystem(conf)
+        .listFiles(new Path(dir), true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          try n += rd.getRecordCount finally rd.close()
+        }
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Two writers raced to the same version number: the second one's
     * exclusive manifest create failed. The losing commit wrote only

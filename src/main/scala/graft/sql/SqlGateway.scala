@@ -4,7 +4,8 @@ import graft.Tables
 import graft.plans.GraftExtensions
 import graft.warehouse.GoldStage
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{ExpressionWithUnresolvedIdentifier, PlanWithUnresolvedIdentifier, UnresolvedExecuteImmediate, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.CallMethodViaReflection
 import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UpdateTable, UnresolvedWith}
 
 /** The engine's SQL front door — the missing piece between "a library
@@ -65,7 +66,7 @@ object SqlGateway {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     registered.synchronized {
-      if (registered.put(spark, dir) != dir) {
+      if (registered.get(spark) != dir) {
         Tables.registerViews(spark, dir)
         GoldStage.hourly(spark, dir).createOrReplaceTempView("gold_events_hourly")
         GoldStage.recent(spark, dir).createOrReplaceTempView("gold_events_recent")
@@ -73,6 +74,10 @@ object SqlGateway {
         graft.queries.Warehouse.starFact.fn(spark, dir)
           .createOrReplaceTempView("star_fact")
         GraftExtensions.register(spark)
+        // memoize only a COMPLETED registration: marking first would
+        // turn one transient failure into permanent
+        // TABLE_OR_VIEW_NOT_FOUND for every later request
+        registered.put(spark, dir)
       }
     }
 
@@ -101,6 +106,15 @@ object SqlGateway {
       case w @ (_: InsertIntoStatement | _: DeleteFromTable | _: UpdateTable |
                 _: MergeIntoTable) =>
         deny(s"read-only gateway: statement kind '${w.nodeName}' is not allowed")
+      // deferred-construction escapes: these two build their statement /
+      // relation during ANALYSIS, after this guard has run — EXECUTE
+      // IMMEDIATE would re-parse an embedded string (smuggling DDL or a
+      // parquet.`path` read), IDENTIFIER() would conjure a relation
+      // from a string. Deny the deferral itself.
+      case _: UnresolvedExecuteImmediate =>
+        deny("read-only gateway: EXECUTE IMMEDIATE is not allowed")
+      case _: PlanWithUnresolvedIdentifier =>
+        deny("read-only gateway: IDENTIFIER() relations are not allowed")
       case r: UnresolvedRelation =>
         val id = r.multipartIdentifier
         val ok = id.size == 1 &&
@@ -108,7 +122,28 @@ object SqlGateway {
         if (!ok) deny(s"unknown or out-of-surface table: ${id.mkString(".")} " +
           s"(allowed: ${allowedTables.toSeq.sorted.mkString(", ")})")
     }
+    // Expression-level escapes: IDENTIFIER() in expression position
+    // (it can name a FUNCTION from a string, sidestepping the name
+    // check below) and the JVM reflection builtins, which execute
+    // arbitrary public static methods — System.getenv through a
+    // "read-only" surface. Walked on the parse tree, same as above.
+    plan.collectWithSubqueries { case node =>
+      node.expressions.foreach(_.foreach {
+        case _: ExpressionWithUnresolvedIdentifier =>
+          deny("read-only gateway: IDENTIFIER() expressions are not allowed")
+        case f: UnresolvedFunction
+            if DeniedFunctions(f.nameParts.last.toLowerCase) =>
+          deny(s"read-only gateway: function " +
+            s"'${f.nameParts.mkString(".")}' is not allowed")
+        case _ => ()
+      })
+    }
   }
+
+  /** JVM-reflection builtins (arbitrary static method calls) — never
+    * legitimate on an analytics surface.
+    */
+  private val DeniedFunctions = Set("reflect", "java_method")
 
   /** Parse + guard + run one read-only statement; the result is capped
     * at `maxRows` (non-positive = uncapped, for trusted in-process
@@ -123,6 +158,17 @@ object SqlGateway {
       }
     validate(plan)
     val df = spark.sql(sql)
+    // Belt-and-braces: re-check the ANALYZED tree, where anything the
+    // parse-level name check could miss (a reflection builtin reached
+    // through an alias or future parser sugar) appears as its typed
+    // expression. Analysis only — nothing has executed yet.
+    df.queryExecution.analyzed.collectWithSubqueries { case node =>
+      node.expressions.foreach(_.foreach {
+        case _: CallMethodViaReflection =>
+          deny("read-only gateway: reflection functions are not allowed")
+        case _ => ()
+      })
+    }
     if (maxRows > 0) df.limit(maxRows) else df
   }
 

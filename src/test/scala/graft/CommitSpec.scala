@@ -59,6 +59,25 @@ class CommitSpec extends SparkSpec {
     assert(merged === Set(1L -> 9.0, 2L -> 2.0, 3L -> 3.0))
   }
 
+  test("a caller-renamed bucket column resolves against the recorded schema") {
+    // the manifest records the partition column under its on-disk name
+    // ("bucket"); a custom bucketCol must come back renamed and
+    // POPULATED, not silently null-filled by the schema projection
+    val root = tmp("commit-bucketcol")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root)
+    Commit.publishBuckets(statusDf(1L -> 5.0), root) // bucket 2 is carried
+    val df = Commit.read(spark, root, bucketCol = "shard").get
+    assert(df.columns.contains("shard") && !df.columns.contains("bucket"),
+      df.columns.mkString(","))
+    val got = df.select("user_id", "v", "shard")
+      .as[(Long, Double, Int)].collect().toSet
+    assert(got === Set((1L, 5.0, 1), (2L, 2.0, 2)))
+    // time travel honors the rename too
+    val at1 = Commit.readAt(spark, root, 1L, bucketCol = "shard").get
+    assert(at1.columns.contains("shard") &&
+      at1.where(col("shard").isNull).count() === 0, at1.columns.mkString(","))
+  }
+
   test("a manifest without a pointer swap is invisible; versions never rewind") {
     val root = tmp("commit-nopswap")
     Commit.publishBuckets(statusDf(1L -> 1.0), root)

@@ -105,6 +105,26 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("demux fails loudly on a corrupt chunk size instead of spinning") {
+    val bytes = Media.aviBytes(2L).clone()
+    // find the first frame chunk and poison its le32 size to -8: the
+    // unguarded walk would advance by 8 + (-8) + 0 = 0 bytes forever
+    val idx = bytes.sliding(4).indexWhere(w =>
+      new String(w.map(_.toChar)) == "00dc")
+    assert(idx > 0, "fixture has no 00dc chunk")
+    bytes(idx + 4) = 0xF8.toByte; bytes(idx + 5) = 0xFF.toByte
+    bytes(idx + 6) = 0xFF.toByte; bytes(idx + 7) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.multimodal.Avi.demux(bytes)
+    }
+    assert(e.getMessage.contains("corrupt AVI"), e.getMessage)
+    // size past the buffer bound: same loud failure, no zero-padded read
+    val big = Media.aviBytes(2L).clone()
+    big(idx + 4) = 0xFF.toByte; big(idx + 5) = 0xFF.toByte
+    big(idx + 6) = 0xFF.toByte; big(idx + 7) = 0x7E.toByte
+    intercept[IllegalArgumentException] { graft.multimodal.Avi.demux(big) }
+  }
+
   test("sampleFrames explodes every step-th frame of videos only") {
     val frames = Media.sampleFrames(Media.decode(Media.asMedia(docs)), step = 10)
     val byDoc = frames.groupBy("doc_id").agg(

@@ -195,7 +195,16 @@ class ServeSpec extends SparkSpec {
           "CREATE TABLE t AS SELECT 1",
           "INSERT INTO events SELECT * FROM events",
           "SET spark.sql.shuffle.partitions=1",
-          "CACHE TABLE events"))
+          "CACHE TABLE events",
+          // deferred-construction escapes: both build their statement /
+          // relation during analysis, AFTER a parse-level guard has run
+          "EXECUTE IMMEDIATE 'SELECT * FROM parquet.`/etc/hostname`'",
+          "SELECT * FROM IDENTIFIER('parquet.`/etc/hostname`')",
+          "SELECT IDENTIFIER('java_method')('java.lang.System','getenv','HOME') AS x",
+          // JVM reflection builtins: arbitrary static calls through a
+          // "read-only" surface
+          "SELECT java_method('java.lang.System','getenv','HOME') AS x",
+          "SELECT reflect('java.lang.System','getenv','HOME') AS x"))
         assert(sqlGet(bad).statusCode() == 403, s"$bad -> ${sqlGet(bad).body()}")
       // path-read escape hatch and unregistered tables: denied
       val rpath = sqlGet("SELECT * FROM parquet.`/etc/hostname`")
