@@ -36,7 +36,8 @@ final class DashboardServer(
     queryNames: Seq[String] = DashboardServer.DashboardQueries,
     ttlMillis: Long = 30000L,
     clock: () => Long = () => System.currentTimeMillis(),
-    sqlMaxRows: Int = 1000) {
+    sqlMaxRows: Int = 1000,
+    sqlTimeoutMillis: Long = 15000L) {
 
   require(queryNames.forall(SparkEntry.queries.contains),
     s"unknown queries: ${queryNames.filterNot(SparkEntry.queries.contains)}")
@@ -210,8 +211,14 @@ final class DashboardServer(
     // /api/sql front door). GET ?q=<urlencoded sql> or POST with the
     // SQL text as the request body. The guard lives in SqlGateway
     // (parse-level: single read-only statement, registered views only)
-    // and results are capped at `sqlMaxRows` — this route serves PAGES
-    // of ad-hoc answers, not extracts; programmatic bulk access goes
+    // and results are BOUNDED BOTH WAYS — `sqlMaxRows` caps the rows,
+    // `sqlTimeoutMillis` caps the time (the parse guard cannot bound
+    // COST: a legal cross join of registered tables under a blocking
+    // aggregate runs unbounded — only a deadline can stop it). Each
+    // request runs in its own Spark job group on a dedicated pool; on
+    // timeout the group is CANCELLED (executors actually stop burning
+    // cores) and the client gets a 408. This route serves PAGES of
+    // ad-hoc answers, not extracts; programmatic bulk access goes
     // through the library. Denied statements are a 403 with the
     // reason; parse errors a 400. No TTL cache: ad-hoc texts are
     // unbounded in variety, so caching would only grow without hits
@@ -232,25 +239,47 @@ final class DashboardServer(
         // instead of rows — introspection without execution
         val explain = Option(ex.getRequestURI.getRawQuery).getOrElse("")
           .split("&").exists(kv => kv == "explain=1" || kv == "explain=true")
-        if (sql.trim.isEmpty)
+        if (sql.trim.isEmpty) {
           respond(ex, 400, """{"error":"empty query; GET ?q=<sql> or POST the SQL text"}""")
-        else
-          try {
-            graft.sql.SqlGateway.registerAll(spark, dataDir)
-            if (explain) {
-              val plan = graft.sql.SqlGateway.explainSql(spark, sql)
-              respond(ex, 200, s"""{"plan":"${esc(plan)}"}""")
-            } else respond(ex, 200, toJson(
-              graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows)))
-          } catch {
-            case e: graft.sql.SqlGateway.SqlDeniedException =>
-              // truncate BEFORE escaping: cutting the escaped form can
-              // split a two-char escape and emit invalid JSON
-              respond(ex, 403, s"""{"error":"denied","reason":"${
-                esc(String.valueOf(e.getMessage).take(500))}"}""")
-            case e: Exception =>
-              respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          return
+        }
+        val group = "api-sql-" + java.util.UUID.randomUUID().toString
+        val task = sqlPool.get.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            // the job group is THREAD-local: set on the worker thread so
+            // a timeout cancels exactly this request's jobs
+            spark.sparkContext.setJobGroup(group, "api/sql",
+              interruptOnCancel = true)
+            try {
+              graft.sql.SqlGateway.registerAll(spark, dataDir)
+              if (explain)
+                s"""{"plan":"${esc(graft.sql.SqlGateway.explainSql(spark, sql))}"}"""
+              else toJson(graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows))
+            } finally spark.sparkContext.clearJobGroup()
           }
+        })
+        try respond(ex, 200,
+          task.get(sqlTimeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            task.cancel(true)
+            respond(ex, 408,
+              s"""{"error":"timeout","timeout_ms":$sqlTimeoutMillis}""")
+          case e: java.util.concurrent.ExecutionException =>
+            e.getCause match {
+              case d: graft.sql.SqlGateway.SqlDeniedException =>
+                // truncate BEFORE escaping: cutting the escaped form can
+                // split a two-char escape and emit invalid JSON
+                respond(ex, 403, s"""{"error":"denied","reason":"${
+                  esc(String.valueOf(d.getMessage).take(500))}"}""")
+              case c =>
+                respond(ex, 400,
+                  s"""{"error":"${c.getClass.getSimpleName}"}""")
+            }
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+        }
       }
     })
     s.createContext("/api/", new HttpHandler {
@@ -272,6 +301,10 @@ final class DashboardServer(
     // single-flight path is exercised rather than masked by
     // dispatch-thread serialization
     pool = Some(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // ad-hoc SQL runs on its own pool: a slow statement must never
+    // starve the dashboard routes of dispatch threads, and the
+    // timeout's cancel can interrupt these workers freely
+    sqlPool = Some(java.util.concurrent.Executors.newFixedThreadPool(2))
     s.setExecutor(pool.get)
     s.start()
     server = Some(s)
@@ -279,10 +312,12 @@ final class DashboardServer(
   }
 
   private var pool: Option[java.util.concurrent.ExecutorService] = None
+  private var sqlPool: Option[java.util.concurrent.ExecutorService] = None
 
   def stop(): Unit = {
     server.foreach(_.stop(0)); server = None
     pool.foreach(_.shutdown()); pool = None
+    sqlPool.foreach(_.shutdownNow()); sqlPool = None
   }
 }
 

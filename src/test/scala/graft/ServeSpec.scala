@@ -235,6 +235,28 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/api/sql: a runaway statement hits the deadline and its jobs are cancelled") {
+    // the parse guard cannot bound COST — a legal cross join under a
+    // blocking aggregate runs unbounded; only the deadline stops it
+    val srv = new DashboardServer(spark, sf0001,
+      queryNames = Seq("q_dash_metrics"), sqlTimeoutMillis = 1500L)
+    val port = srv.start()
+    try {
+      val t0 = System.nanoTime()
+      val r = get(port, "/api/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM events a, events b, events c, events d", "UTF-8"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(r.statusCode() == 408, r.body())
+      assert(r.body().contains("\"timeout\""), r.body())
+      assert(secs < 15.0, s"deadline did not bound the request: $secs s")
+      // the group cancel actually freed the engine: a normal statement
+      // answers promptly afterwards
+      val ok = get(port, "/api/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM events", "UTF-8"))
+      assert(ok.statusCode() == 200, ok.body())
+    } finally srv.stop()
+  }
+
   test("rejects unknown query names at construction") {
     intercept[IllegalArgumentException] {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
