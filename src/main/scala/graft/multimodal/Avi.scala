@@ -128,7 +128,7 @@ object Avi {
           val typ = cc(bytes, off + 8)
           if (typ == "movi" || typ == "rec ")
             walk(off + 12, off + 8 + size)
-        } else if (id.length == 4 && size >= 0 &&
+        } else if (id.length == 4 &&
             (id.endsWith("dc") || id.endsWith("db")) &&
             id.take(2).forall(_.isDigit)) {
           frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)

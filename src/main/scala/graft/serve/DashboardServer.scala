@@ -243,43 +243,70 @@ final class DashboardServer(
           respond(ex, 400, """{"error":"empty query; GET ?q=<sql> or POST the SQL text"}""")
           return
         }
-        val group = "api-sql-" + java.util.UUID.randomUUID().toString
-        val task = sqlPool.get.submit(new java.util.concurrent.Callable[String] {
-          def call(): String = {
-            // the job group is THREAD-local: set on the worker thread so
-            // a timeout cancels exactly this request's jobs
-            spark.sparkContext.setJobGroup(group, "api/sql",
-              interruptOnCancel = true)
-            try {
-              graft.sql.SqlGateway.registerAll(spark, dataDir)
-              if (explain)
-                s"""{"plan":"${esc(graft.sql.SqlGateway.explainSql(spark, sql))}"}"""
-              else toJson(graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows))
-            } finally spark.sparkContext.clearJobGroup()
-          }
-        })
-        try respond(ex, 200,
-          task.get(sqlTimeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
-        catch {
-          case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelJobGroup(group)
-            task.cancel(true)
-            respond(ex, 408,
-              s"""{"error":"timeout","timeout_ms":$sqlTimeoutMillis}""")
-          case e: java.util.concurrent.ExecutionException =>
-            e.getCause match {
-              case d: graft.sql.SqlGateway.SqlDeniedException =>
-                // truncate BEFORE escaping: cutting the escaped form can
-                // split a two-char escape and emit invalid JSON
-                respond(ex, 403, s"""{"error":"denied","reason":"${
-                  esc(String.valueOf(d.getMessage).take(500))}"}""")
-              case c =>
-                respond(ex, 400,
-                  s"""{"error":"${c.getClass.getSimpleName}"}""")
-            }
-          case e: Exception =>
-            respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+        // admission control: at most `SqlInflight` dispatch threads may
+        // block on ad-hoc SQL (the rest stay free for the dashboard
+        // routes — a pool-wide wait would starve them); excess requests
+        // are rejected FAST with a 429, not queued behind a 15 s wave
+        if (!sqlGate.tryAcquire()) {
+          respond(ex, 429, s"""{"error":"busy","max_inflight":${
+            DashboardServer.SqlInflight}}""")
+          return
         }
+        val group = "api-sql-" + java.util.UUID.randomUUID().toString
+        try {
+          val task = sqlPool.get.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = {
+              // the job group is THREAD-local: set on the worker thread so
+              // a timeout cancels exactly this request's jobs
+              spark.sparkContext.setJobGroup(group, "api/sql",
+                interruptOnCancel = true)
+              try {
+                graft.sql.SqlGateway.registerAll(spark, dataDir)
+                if (explain)
+                  s"""{"plan":"${esc(graft.sql.SqlGateway.explainSql(spark, sql))}"}"""
+                else {
+                  val df = graft.sql.SqlGateway.runSql(spark, sql, sqlMaxRows)
+                  // a deadline interrupt that landed during parse/analyze
+                  // (Catalyst never checks interrupts) aborts HERE, before
+                  // any job is submitted into the already-cancelled group
+                  if (Thread.currentThread().isInterrupted)
+                    throw new InterruptedException("cancelled by deadline")
+                  toJson(df)
+                }
+              } finally spark.sparkContext.clearJobGroup()
+            }
+          })
+          try respond(ex, 200,
+            task.get(sqlTimeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              task.cancel(true)
+              // the cancel races the worker's own submission (planning
+              // does not check interrupts): re-cancel over a grace
+              // window so a job that slipped into the group just after
+              // the first cancel still dies instead of running unbounded
+              for (delaySec <- Seq(1L, 3L, 8L))
+                watchdog.get.schedule(new Runnable {
+                  def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+                }, delaySec, java.util.concurrent.TimeUnit.SECONDS)
+              respond(ex, 408,
+                s"""{"error":"timeout","timeout_ms":$sqlTimeoutMillis}""")
+            case e: java.util.concurrent.ExecutionException =>
+              e.getCause match {
+                case d: graft.sql.SqlGateway.SqlDeniedException =>
+                  // truncate BEFORE escaping: cutting the escaped form can
+                  // split a two-char escape and emit invalid JSON
+                  respond(ex, 403, s"""{"error":"denied","reason":"${
+                    esc(String.valueOf(d.getMessage).take(500))}"}""")
+                case c =>
+                  respond(ex, 400,
+                    s"""{"error":"${c.getClass.getSimpleName}"}""")
+              }
+            case e: Exception =>
+              respond(ex, 400, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          }
+        } finally sqlGate.release()
       }
     })
     s.createContext("/api/", new HttpHandler {
@@ -301,10 +328,12 @@ final class DashboardServer(
     // single-flight path is exercised rather than masked by
     // dispatch-thread serialization
     pool = Some(java.util.concurrent.Executors.newFixedThreadPool(4))
-    // ad-hoc SQL runs on its own pool: a slow statement must never
-    // starve the dashboard routes of dispatch threads, and the
-    // timeout's cancel can interrupt these workers freely
-    sqlPool = Some(java.util.concurrent.Executors.newFixedThreadPool(2))
+    // ad-hoc SQL runs on its own pool (the timeout's cancel can
+    // interrupt these workers freely); dispatch-thread occupancy is
+    // bounded separately by `sqlGate` admission control above
+    sqlPool = Some(java.util.concurrent.Executors.newFixedThreadPool(
+      DashboardServer.SqlInflight))
+    watchdog = Some(java.util.concurrent.Executors.newScheduledThreadPool(1))
     s.setExecutor(pool.get)
     s.start()
     server = Some(s)
@@ -313,16 +342,26 @@ final class DashboardServer(
 
   private var pool: Option[java.util.concurrent.ExecutorService] = None
   private var sqlPool: Option[java.util.concurrent.ExecutorService] = None
+  private var watchdog: Option[java.util.concurrent.ScheduledExecutorService] = None
+  private val sqlGate =
+    new java.util.concurrent.Semaphore(DashboardServer.SqlInflight)
 
   def stop(): Unit = {
     server.foreach(_.stop(0)); server = None
     pool.foreach(_.shutdown()); pool = None
     sqlPool.foreach(_.shutdownNow()); sqlPool = None
+    watchdog.foreach(_.shutdownNow()); watchdog = None
   }
 }
 
 object DashboardServer {
   /** The reference's 6-query dashboard page (app.py routes). */
+  /** Max concurrent ad-hoc SQL requests: admission-controlled so at
+    * most this many of the 4 dispatch threads ever block on SQL — the
+    * dashboard routes always keep free dispatchers. Excess → 429.
+    */
+  val SqlInflight = 2
+
   val DashboardQueries: Seq[String] = Seq(
     "q_dash_metrics", "q_dash_sensors", "q_dash_alerts",
     "q_dash_patterns", "q_dash_sensor_types", "q_dash_districts")

@@ -156,7 +156,7 @@ object Commit {
     if (!history(spark, root).contains(v)) None
     else manifestAt(spark, root, v).map(m =>
       applySchema(assemble(spark, root, m.entries, bucketCol), m.schema,
-        bucketCol))
+        if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"))
 
   /** Read the current snapshot. Bucketed entries come back with the
     * bucket id as an int column named `bucketCol`; whole-dir entries
@@ -171,7 +171,10 @@ object Commit {
       bucketCol: String = "bucket"): Option[DataFrame] =
     currentManifest(spark, root).map(m =>
       applySchema(assemble(spark, root, m.entries, bucketCol), m.schema,
-        bucketCol))
+        // the rename concerns the PARTITION column; a whole-dir
+        // snapshot has none, and a data column that happens to be
+        // named "bucket" must not be touched
+        if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"))
 
   /** Project the assembled scan through the manifest's committed
     * schema: exactly its columns, in its order, cast to its types — a
@@ -205,10 +208,15 @@ object Commit {
         byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
           // partition discovery names the column by the dir layout
           // ("bucket=<b>"); cast first, then rename to the caller's
-          // bucketCol (no-op for the default)
-          spark.read.option("basePath", s"$root/$vdir")
+          // bucketCol (no-op for the default). A bucketCol colliding
+          // with a DATA column would make the rename ambiguous — fail
+          // loudly rather than emit two same-named columns.
+          val scan = spark.read.option("basePath", s"$root/$vdir")
             .parquet(es.map(e => s"$root/${e.dir}"): _*)
-            .withColumn("bucket", col("bucket").cast("int"))
+          require(bucketCol == "bucket" ||
+            !scan.columns.contains(bucketCol),
+            s"bucketCol '$bucketCol' collides with a data column")
+          scan.withColumn("bucket", col("bucket").cast("int"))
             .withColumnRenamed("bucket", bucketCol)
         }
     // allowMissingColumns: version dirs written before an additive

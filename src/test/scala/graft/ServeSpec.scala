@@ -254,6 +254,22 @@ class ServeSpec extends SparkSpec {
       val ok = get(port, "/api/sql?q=" + java.net.URLEncoder.encode(
         "SELECT COUNT(*) AS n FROM events", "UTF-8"))
       assert(ok.statusCode() == 200, ok.body())
+      // admission control: a WAVE of slow statements cannot occupy
+      // every dispatch thread — beyond SqlInflight concurrent SQL
+      // requests the rest 429 fast instead of queueing 15 s deep
+      val slow = "/api/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM events a, events b, events c, events d",
+        "UTF-8")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val futs = (1 to 4).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Int] {
+            def call(): Int = get(port, slow).statusCode()
+          }))
+        val codes = futs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        assert(codes.contains(429), s"no fast-reject in $codes")
+        assert(codes.forall(c => c == 408 || c == 429), codes.toString)
+      } finally pool.shutdownNow()
     } finally srv.stop()
   }
 
