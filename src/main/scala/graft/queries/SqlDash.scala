@@ -175,8 +175,70 @@ object SqlDash {
   private def SUMD2(x: String, y: String) =
     s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($y AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** The reference's four analytic VIEWS (ref: sql/real_data_schema
+    * .sql:181-258), registered by [[SqlGateway]] under the reference's
+    * own names and gated here by `SELECT * FROM v_*` through the front
+    * door — proof the view layer computes what it claims, not just
+    * that it parses. Each oracle restates the view body over the raw
+    * parquet in DuckDB (DuckDB has no access to the Spark views).
+    */
+  val viewSensorStatus = q(
+    "q_view_sensor_status",
+    "SELECT * FROM v_sensor_status",
+    """SELECT user_id AS sensor_id,
+              event_type AS sensor_type,
+              COUNT(*) AS n_readings,
+              MIN(value) AS normal_min_value,
+              MAX(value) AS normal_max_value,
+              MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS effective_date,
+              MAX(CAST(ts AS TIMESTAMP)) >=
+                (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+                  - INTERVAL 7 DAY AS is_current,
+              'events' AS data_source_name
+       FROM events GROUP BY 1, 2""")
+
+  val viewDistrictPerformance = q(
+    "q_view_district_performance",
+    "SELECT * FROM v_district_performance",
+    s"""WITH star_fact AS (${Warehouse.starFact.oracle.get})
+        SELECT segment AS district_name,
+               time_key AS date_key,
+               COUNT(*) AS total_orders,
+               ${AVGD("total_price")} AS avg_order_value,
+               ROUND(${SUMD("total_price")}, 4) AS total_volume,
+               COUNT(DISTINCT customer_key) AS unique_customers
+        FROM star_fact GROUP BY 1, 2""")
+
+  val viewThamesMonitoring = q(
+    "q_view_thames_monitoring",
+    "SELECT * FROM v_thames_monitoring",
+    """SELECT user_id AS station_id,
+              CAST(ts AS TIMESTAMP) AS reading_timestamp,
+              value AS water_level,
+              CASE WHEN value < -1 THEN 'Low'
+                   WHEN value > 5 THEN 'High'
+                   ELSE 'Normal' END AS water_level_status
+       FROM events WHERE event_type = 'view'""")
+
+  val viewDataLineage = q(
+    "q_view_data_lineage",
+    "SELECT * FROM v_data_lineage",
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS batch_day,
+              'events' AS data_source_name,
+              COUNT(*) AS record_count,
+              ROUND((CAST(SUM(CAST(
+                  CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0
+                  AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(json_extract_string(props, '$.k'))), 6) AS avg_quality,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS anomaly_count,
+              MIN(CAST(ts AS TIMESTAMP)) AS first_ingested,
+              MAX(CAST(ts AS TIMESTAMP)) AS last_ingested
+       FROM events GROUP BY 1""")
+
   def all: Seq[QueryDef] = Seq(
     sqlDashMetrics, sqlDashSensors, sqlDashAlerts,
     sqlDashPatterns, sqlDashSensorTypes, sqlDashDistricts,
-    sqlAdhocRegion)
+    sqlAdhocRegion, viewSensorStatus, viewDistrictPerformance,
+    viewThamesMonitoring, viewDataLineage)
 }

@@ -53,9 +53,69 @@ object SqlGateway {
     Seq("gold_events_hourly", "gold_events_recent", "gold_star_segment")
   val StarViews: Seq[String] = Seq("star_fact")
 
+  /** The reference's four ANALYTIC VIEWS (ref: sql/real_data_schema
+    * .sql:181-258) re-expressed over the registered surface with the
+    * same schema translation the dashboard texts use (sensor ~
+    * user_id, sensor_type ~ event_type, quality ~ props.k/100,
+    * anomaly ~ event_type='error', district ~ star segment, the
+    * `water_level` sensor type ~ the 'view' event type). Registered
+    * under the reference's own view NAMES, so a reference user's
+    * `SELECT ... FROM v_*` texts run through `/api/sql` unchanged.
+    * Each is a plain Catalyst view — same optimized plans as the
+    * equivalent DataFrame, no materialization.
+    */
+  val RefViews: Seq[(String, String)] = Seq(
+    // ref:181-199 — the sensor catalog: per (sensor, type) observed
+    // range, first-seen date, and a 7-day currency flag
+    "v_sensor_status" ->
+      """SELECT user_id AS sensor_id,
+                event_type AS sensor_type,
+                COUNT(*) AS n_readings,
+                MIN(value) AS normal_min_value,
+                MAX(value) AS normal_max_value,
+                MIN(CAST(ts AS DATE)) AS effective_date,
+                MAX(ts) >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+                  AS is_current,
+                'events' AS data_source_name
+         FROM events GROUP BY user_id, event_type""",
+    // ref:202-220 — district × day performance rollup over the star
+    "v_district_performance" ->
+      """SELECT segment AS district_name,
+                time_key AS date_key,
+                COUNT(*) AS total_orders,
+                CAST(SUM(CAST(total_price AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(total_price) AS avg_order_value,
+                ROUND(CAST(SUM(CAST(total_price AS DECIMAL(18,4))) AS DOUBLE),
+                  4) AS total_volume,
+                COUNT(DISTINCT customer_key) AS unique_customers
+         FROM star_fact GROUP BY segment, time_key""",
+    // ref:223-242 — level banding over one sensor type's readings
+    "v_thames_monitoring" ->
+      """SELECT user_id AS station_id,
+                ts AS reading_timestamp,
+                value AS water_level,
+                CASE WHEN value < -1 THEN 'Low'
+                     WHEN value > 5 THEN 'High'
+                     ELSE 'Normal' END AS water_level_status
+         FROM events WHERE event_type = 'view'""",
+    // ref:245-258 — per-ingest-batch (daily) lineage and quality
+    "v_data_lineage" ->
+      """SELECT CAST(ts AS DATE) AS batch_day,
+                'events' AS data_source_name,
+                COUNT(*) AS record_count,
+                ROUND((CAST(SUM(CAST(CAST(get_json_object(props, '$.k') AS DOUBLE)
+                    / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(get_json_object(props, '$.k'))), 6) AS avg_quality,
+                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS anomaly_count,
+                MIN(ts) AS first_ingested,
+                MAX(ts) AS last_ingested
+         FROM events GROUP BY CAST(ts AS DATE)""")
+
   /** Every relation name [[runSql]] admits (lowercase). */
   def allowedTables: Set[String] =
-    (Tables.names ++ GoldViews ++ StarViews).map(_.toLowerCase).toSet
+    (Tables.names ++ GoldViews ++ StarViews ++ RefViews.map(_._1))
+      .map(_.toLowerCase).toSet
 
   /** Memoized per (session, dir), like [[Tables.registerViews]]: gold
     * accessors stat source files to resolve the artifact tag, and the
@@ -73,6 +133,11 @@ object SqlGateway {
         GoldStage.starSegment(spark, dir).createOrReplaceTempView("gold_star_segment")
         graft.queries.Warehouse.starFact.fn(spark, dir)
           .createOrReplaceTempView("star_fact")
+        // the reference's analytic views resolve against the tables
+        // registered above — define them last
+        RefViews.foreach { case (name, text) =>
+          spark.sql(text).createOrReplaceTempView(name)
+        }
         GraftExtensions.register(spark)
         // memoize only a COMPLETED registration: marking first would
         // turn one transient failure into permanent

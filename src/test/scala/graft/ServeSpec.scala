@@ -216,6 +216,12 @@ class ServeSpec extends SparkSpec {
       val rcte = sqlGet(
         "WITH t AS (SELECT user_id FROM events) SELECT COUNT(*) AS n FROM t")
       assert(rcte.statusCode() == 200, rcte.body())
+      // the reference's analytic views answer under their own names
+      // (ref: sql/real_data_schema.sql:181-258)
+      for (v <- graft.sql.SqlGateway.RefViews.map(_._1)) {
+        val rv2 = sqlGet(s"SELECT COUNT(*) AS n FROM $v")
+        assert(rv2.statusCode() == 200, s"$v -> ${rv2.body()}")
+      }
       // garbage: 4xx with a reason, not a 500
       assert(sqlGet("SELEKT 1").statusCode() == 403)
       assert(sqlGet("").statusCode() == 400)
