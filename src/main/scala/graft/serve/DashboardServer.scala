@@ -37,7 +37,8 @@ final class DashboardServer(
     ttlMillis: Long = 30000L,
     clock: () => Long = () => System.currentTimeMillis(),
     sqlMaxRows: Int = 1000,
-    sqlTimeoutMillis: Long = 15000L) {
+    sqlTimeoutMillis: Long = 15000L,
+    authToken: Option[String] = None) {
 
   require(queryNames.forall(SparkEntry.queries.contains),
     s"unknown queries: ${queryNames.filterNot(SparkEntry.queries.contains)}")
@@ -194,18 +195,49 @@ final class DashboardServer(
        |</script></body></html>""".stripMargin
   }
 
+  /** Optional bearer-token authentication. `None` (the default) keeps
+    * the server open, matching the reference's unauthenticated Flask
+    * dashboard (single-tenant deployment assumption); `Some(token)`
+    * requires `Authorization: Bearer <token>` on every route except
+    * `/healthz` (liveness probes must not need credentials). The
+    * compare is constant-time so the token cannot be recovered
+    * byte-by-byte through response timing. This is AUTHN for the
+    * single-tenant case; a multi-tenant deployment still needs a real
+    * identity layer in front — the guard composes with (does not
+    * replace) SqlGateway's statement-class checks.
+    */
+  private def authorized(ex: HttpExchange): Boolean = authToken.forall { t =>
+    Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+      h.startsWith("Bearer ") && java.security.MessageDigest.isEqual(
+        h.stripPrefix("Bearer ").getBytes(StandardCharsets.UTF_8),
+        t.getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Wrap a handler with the bearer check (401 + WWW-Authenticate on
+    * failure, before any request work happens).
+    */
+  private def guarded(h: HttpHandler): HttpHandler = new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      if (authorized(ex)) h.handle(ex)
+      else {
+        ex.getResponseHeaders.add("WWW-Authenticate", "Bearer")
+        respond(ex, 401, """{"error":"unauthorized"}""")
+      }
+  }
+
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/healthz", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")
     })
-    s.createContext("/", new HttpHandler {
+    s.createContext("/", guarded(new HttpHandler {
       def handle(ex: HttpExchange): Unit =
         if (ex.getRequestURI.getPath == "/")
           respond(ex, 200, pageHtml, "text/html; charset=utf-8")
         else respond(ex, 404, """{"error":"not found"}""")
-    })
+    }))
     // Ad-hoc read-only SQL over the registered surface (SURVEY §3.3 —
     // the reference's product queries are SQL text; this is the
     // /api/sql front door). GET ?q=<urlencoded sql> or POST with the
@@ -223,7 +255,7 @@ final class DashboardServer(
     // reason; parse errors a 400. No TTL cache: ad-hoc texts are
     // unbounded in variety, so caching would only grow without hits
     // (the six fixed dashboard routes keep theirs).
-    s.createContext("/api/sql", new HttpHandler {
+    s.createContext("/api/sql", guarded(new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val sql = ex.getRequestMethod match {
           case "POST" =>
@@ -308,8 +340,8 @@ final class DashboardServer(
           }
         } finally sqlGate.release()
       }
-    })
-    s.createContext("/api/", new HttpHandler {
+    }))
+    s.createContext("/api/", guarded(new HttpHandler {
       def handle(ex: HttpExchange): Unit = {
         val name = ex.getRequestURI.getPath.stripPrefix("/api/")
         if (!queryNames.contains(name))
@@ -322,7 +354,7 @@ final class DashboardServer(
             respond(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
           }
       }
-    })
+    }))
     // a real (small) pool: dashboard routes are cache hits almost
     // always, but requests must be able to OVERLAP so the
     // single-flight path is exercised rather than masked by

@@ -81,7 +81,8 @@ object Commit {
     */
   private final case class Manifest(v: Long, parent: Long,
       schema: Option[org.apache.spark.sql.types.StructType],
-      rows: Option[Long], entries: Seq[Entry])
+      rows: Option[Long], entries: Seq[Entry],
+      stats: Map[String, Skipping.EntryStats] = Map.empty)
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -97,11 +98,20 @@ object Commit {
     val rows = lines.tail.collectFirst {
       case l if l.startsWith("#rows=") => l.stripPrefix("#rows=").toLong
     }
+    // `#stats=<entry dir>\t<encoded zone map>`: one line per entry
+    // that has footer statistics; a malformed line degrades to "no
+    // stats for that entry" (pruning declines), never to a read error
+    val stats = lines.tail.filter(_.startsWith("#stats=")).flatMap { l =>
+      try {
+        val Array(dir, body) = l.stripPrefix("#stats=").split("\t", 2)
+        Some(dir -> Skipping.decode(body))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(k, dir) = l.split("\t", 2)
       Entry(k.toInt, dir)
     }
-    Manifest(v, parent, schema, rows, entries)
+    Manifest(v, parent, schema, rows, entries, stats)
   }
 
   private def manifestAt(spark: SparkSession, root: String,
@@ -175,6 +185,76 @@ object Commit {
         // snapshot has none, and a data column that happens to be
         // named "bucket" must not be touched
         if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"))
+
+  /** Read the current snapshot with manifest-level data skipping:
+    * entries whose zone maps ([[Skipping]], harvested from parquet
+    * footers at publish time) prove the predicate can match no row
+    * are never scanned — the scan is planned over the surviving
+    * entries only, so at scale a narrow time-range or key-range read
+    * of a large maintained table costs IO proportional to the
+    * MATCHING data, not the table. The bucket partition column prunes
+    * too (each bucketed entry's key is its exact value). The FULL
+    * predicate is still applied to the surviving rows: pruning is an
+    * IO optimization, never a correctness dependency, and a predicate
+    * shape or column the evaluator does not understand simply keeps
+    * every entry. `predicateSql` is one SQL boolean expression over
+    * the snapshot's columns.
+    */
+  def readWhere(spark: SparkSession, root: String, predicateSql: String,
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    currentManifest(spark, root).map { m =>
+      val (kept, _) = splitEntries(spark, m, predicateSql, bucketCol)
+      val bc = if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"
+      val base =
+        if (kept.nonEmpty) applySchema(assemble(spark, root, kept, bc), m.schema, bc)
+        else m.schema match {
+          // fully pruned: an empty relation with the committed schema
+          // (stats-bearing manifests always carry one)
+          case Some(st) =>
+            val renamed = org.apache.spark.sql.types.StructType(
+              st.fields.map(f => if (f.name == "bucket") f.copy(name = bc) else f))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
+          case None =>
+            applySchema(assemble(spark, root, m.entries, bc), m.schema, bc)
+        }
+      base.filter(expr(predicateSql))
+    }
+
+  /** (kept, pruned) under the predicate — the skipping plan, for
+    * audits and specs, without scanning anything.
+    */
+  private[graft] def planWhere(spark: SparkSession, root: String,
+      predicateSql: String, bucketCol: String = "bucket"): (Seq[Entry], Seq[Entry]) =
+    currentManifest(spark, root)
+      .map(splitEntries(spark, _, predicateSql, bucketCol))
+      .getOrElse((Nil, Nil))
+
+  private def splitEntries(spark: SparkSession, m: Manifest,
+      predicateSql: String, bucketCol: String): (Seq[Entry], Seq[Entry]) = {
+    val pred =
+      try Some(spark.sessionState.sqlParser.parseExpression(predicateSql))
+      catch { case scala.util.control.NonFatal(_) => None }
+    pred match {
+      case None => (m.entries, Nil)
+      case Some(p) =>
+        m.entries.partition { e =>
+          // a bucketed entry's key IS the bucket column's value — let
+          // the evaluator prune on it like any other zone map
+          val base = m.stats.get(e.dir)
+          val st =
+            if (e.key < 0) base
+            else {
+              val b = Skipping.ColStat("l", e.key.toString, e.key.toString, 0L)
+              Some(base.fold(Skipping.EntryStats(0L, Map(bucketCol -> b)))(s =>
+                s.copy(cols = s.cols + (bucketCol -> b))))
+            }
+          st.forall(s =>
+            try Skipping.mayMatch(p, s)
+            catch { case scala.util.control.NonFatal(_) => true })
+        }
+    }
+  }
 
   /** Project the assembled scan through the manifest's committed
     * schema: exactly its columns, in its order, cast to its types — a
@@ -276,17 +356,28 @@ object Commit {
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
     // The snapshot's schema comes from the files just written
     // (partition discovery included — so the bucket column's read-side
-    // type is what gets recorded); the row count comes from the same
-    // files' FOOTERS, summed driver-side — publish is on the streaming
-    // commit critical path (one call per micro-batch), and a Spark
-    // count job there would re-scan the fresh version every epoch for
-    // audit metadata.
+    // type is what gets recorded); the row count AND the per-entry
+    // zone maps come from the same files' FOOTERS, read once
+    // driver-side — publish is on the streaming commit critical path
+    // (one call per micro-batch), and a Spark job there would re-scan
+    // the fresh version every epoch for audit metadata.
     val snap =
       try Some(spark.read.parquet(s"$root/$vdir"))
       catch { case scala.util.control.NonFatal(_) => None }
+    val conf = spark.sessionState.newHadoopConf()
+    val freshStats = fresh.flatMap(e =>
+      Skipping.harvest(conf, new Path(s"$root/${e.dir}")).map(e.dir -> _)).toMap
+    // untouched buckets keep the zone maps recorded when THEIR data
+    // was written — immutable data, immutable stats
+    val carriedStats = currentManifest(spark, root)
+      .map(_.stats).getOrElse(Map.empty)
+      .filter { case (dir, _) => carried.exists(_.dir == dir) }
+    val rows =
+      if (freshStats.size == fresh.size) Some(freshStats.values.map(_.rows).sum)
+      else footerRows(spark, s"$root/$vdir")
     commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
-      snap.map(_.schema), footerRows(spark, s"$root/$vdir"))
+      snap.map(_.schema), rows, carriedStats ++ freshStats)
     v
   }
 
@@ -332,11 +423,15 @@ object Commit {
   private[graft] def commitManifest(spark: SparkSession, root: String, v: Long,
       parent: Long, entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      rows: Option[Long] = None): Unit = {
+      rows: Option[Long] = None,
+      stats: Map[String, Skipping.EntryStats] = Map.empty): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
     val meta = Seq(s"#parent=$parent") ++
-      schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n")
+      schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n") ++
+      stats.toSeq.sortBy(_._1).map { case (dir, es) =>
+        s"#stats=$dir\t${Skipping.encode(es)}"
+      }
     val body = (v.toString +: meta ++: entries.map(e => s"${e.key}\t${e.dir}"))
       .mkString("\n")
     val mf = new Path(root, name)

@@ -365,13 +365,20 @@ object Streams {
         struct(col("ts"), col("event_id"))).as("s"))
       .select(col("user_id"), col("s.ts").as("last_ts"),
         col("s.value").as("last_value"), col("s.event_type").as("last_type")))
-    val merged = graft.sources.Commit.read(spark, statusPath) match {
+    // ≤ `buckets` driver values — which partitions this batch touches
+    val touched = incoming.select("bucket").distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    // manifest-level skipping: untouched buckets' version dirs are
+    // pruned by entry key before any scan is planned (readWhere also
+    // re-applies the filter row-side, so the merge stays exact)
+    val existingTouched =
+      if (touched.isEmpty) None
+      else graft.sources.Commit.readWhere(spark, statusPath,
+        s"bucket in (${touched.mkString(",")})")
+    val merged = existingTouched match {
       case None => incoming
       case Some(existing) =>
-        // ≤ `buckets` driver values — which partitions this batch touches
-        val touched = incoming.select("bucket").distinct()
-          .collect().map(r => Int.box(r.getInt(0))).toSeq
-        bucketed(existing.filter(col("bucket").isin(touched: _*))
+        bucketed(existing
           .drop("bucket")
           .unionByName(incoming.drop("bucket"))
           .groupBy("user_id")

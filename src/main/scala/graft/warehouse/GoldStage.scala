@@ -186,14 +186,22 @@ object GoldStage {
       pmod(col("user_id"), lit(buckets)).cast("int"))
     val incoming = hourlyPartials(withQuality(batch))
     val sumType = incoming.schema("v_sum").dataType
-    val merged = graft.sources.Commit.read(spark, path) match {
-      case None => bucketed(incoming)
+    val inc0 = bucketed(incoming)
+    // ≤ `buckets` driver values — which partitions this batch touches
+    val touched = inc0.select("bucket").distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    // manifest-level skipping: untouched buckets' version dirs are
+    // pruned by entry key before any scan is planned (readWhere also
+    // re-applies the filter row-side, so this stays exact)
+    val existingTouched =
+      if (touched.isEmpty) None
+      else graft.sources.Commit.readWhere(spark, path,
+        s"bucket in (${touched.mkString(",")})")
+    val merged = existingTouched match {
+      case None => inc0
       case Some(existing) =>
-        val inc = bucketed(incoming)
-        // ≤ `buckets` driver values — which partitions this batch touches
-        val touched = inc.select("bucket").distinct()
-          .collect().map(r => Int.box(r.getInt(0))).toSeq
-        bucketed(existing.filter(col("bucket").isin(touched: _*))
+        val inc = inc0
+        bucketed(existing
           .drop("bucket")
           .unionByName(inc.drop("bucket"))
           .groupBy("user_id", "event_type", "h")

@@ -284,4 +284,44 @@ class ServeSpec extends SparkSpec {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
     }
   }
+
+  test("bearer auth: token-configured server denies everything but " +
+      "/healthz without the token") {
+    def getAuth(port: Int, path: String, token: Option[String]) = {
+      val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      token.foreach(t => b.header("Authorization", s"Bearer $t"))
+      HttpClient.newHttpClient().send(b.build(),
+        HttpResponse.BodyHandlers.ofString())
+    }
+    val srv = new DashboardServer(spark, sf0001,
+      queryNames = Seq("q_dash_metrics"), authToken = Some("s3cret"))
+    val port = srv.start()
+    try {
+      // liveness stays open — probes carry no credentials
+      assert(getAuth(port, "/healthz", None).statusCode() == 200)
+      // every data route is 401 without (or with a wrong) token,
+      // before any request work happens
+      for (p <- Seq("/", "/api/q_dash_metrics",
+          "/api/sql?q=SELECT%201%20AS%20one")) {
+        val r = getAuth(port, p, None)
+        assert(r.statusCode() == 401, s"$p -> ${r.statusCode()}")
+        assert(r.headers().firstValue("WWW-Authenticate").isPresent)
+        assert(getAuth(port, p, Some("wrong")).statusCode() == 401)
+      }
+      // with the token the same routes answer normally
+      assert(getAuth(port, "/", Some("s3cret")).statusCode() == 200)
+      assert(getAuth(port, "/api/q_dash_metrics", Some("s3cret"))
+        .statusCode() == 200)
+      val sql = getAuth(port, "/api/sql?q=SELECT%201%20AS%20one", Some("s3cret"))
+      assert(sql.statusCode() == 200 && sql.body().contains("\"one\":1"),
+        sql.body())
+      // and a token-LESS server stays open (the reference's
+      // unauthenticated dashboard contract)
+      val open = new DashboardServer(spark, sf0001,
+        queryNames = Seq("q_dash_metrics"))
+      val oport = open.start()
+      try assert(getAuth(oport, "/api/q_dash_metrics", None).statusCode() == 200)
+      finally open.stop()
+    } finally srv.stop()
+  }
 }
