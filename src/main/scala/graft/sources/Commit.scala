@@ -221,6 +221,43 @@ object Commit {
       base.filter(expr(predicateSql))
     }
 
+  /** Change feed at bucket grain: the rows of every entry the current
+    * snapshot does NOT share with committed version `since` — i.e.
+    * the buckets rewritten (or added) by any publish after `since`,
+    * read from their current data dirs. An incremental consumer polls
+    * this instead of re-scanning the snapshot: the IO bound is the
+    * CHANGED buckets, not the table (the Delta CDF / Iceberg
+    * incremental-scan contract at bucket granularity — a rewritten
+    * bucket re-delivers its full bucket content, which
+    * last-writer-wins or merge-keyed consumers fold idempotently;
+    * this protocol does not record row-level deletes).
+    *
+    * Returns None when `since` is not a reconstructable committed
+    * version (never committed, or vacuumed away) — the consumer's
+    * cursor is stale and it must fall back to a full [[read]]. An
+    * up-to-date cursor gets an EMPTY relation with the current
+    * schema, not None.
+    */
+  def changesSince(spark: SparkSession, root: String, since: Long,
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    for {
+      cur <- currentManifest(spark, root)
+      if history(spark, root).contains(since)
+      base <- manifestAt(spark, root, since)
+    } yield {
+      val baseline = base.entries.toSet
+      val changed = cur.entries.filterNot(baseline.contains)
+      val bc = if (cur.entries.exists(_.key >= 0)) bucketCol else "bucket"
+      if (changed.isEmpty) {
+        val st = cur.schema.getOrElse(
+          applySchema(assemble(spark, root, cur.entries, bc), cur.schema, bc).schema)
+        val renamed = org.apache.spark.sql.types.StructType(
+          st.fields.map(f => if (f.name == "bucket") f.copy(name = bc) else f))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
+      } else applySchema(assemble(spark, root, changed, bc), cur.schema, bc)
+    }
+
   /** (kept, pruned) under the predicate — the skipping plan, for
     * audits and specs, without scanning anything.
     */

@@ -215,6 +215,30 @@ class CommitSpec extends SparkSpec {
     assert(m2.contains("#schema=") && m2.contains("#rows=1"), m2.take(200))
   }
 
+  test("changesSince delivers exactly the buckets rewritten after the cursor") {
+    val root = tmp("commit-changes")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0, 3L -> 3.0), root) // v=1
+    Commit.publishBuckets(statusDf(1L -> 5.0), root)                       // v=2: bucket 1
+    Commit.publishBuckets(statusDf(2L -> 7.0), root)                       // v=3: bucket 2
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "v").as[(Long, Double)].collect().toSet
+    // since v1: buckets 1 and 2 changed (their CURRENT content)
+    assert(rows(Commit.changesSince(spark, root, 1L).get) ===
+      Set(1L -> 5.0, 2L -> 7.0))
+    // since v2: only bucket 2
+    assert(rows(Commit.changesSince(spark, root, 2L).get) === Set(2L -> 7.0))
+    // up-to-date cursor: empty relation with the current schema, not None
+    val upToDate = Commit.changesSince(spark, root, 3L).get
+    assert(upToDate.count() === 0)
+    assert(upToDate.columns.toSet === Set("user_id", "v", "bucket"))
+    // a cursor that never committed, or was vacuumed away, is stale
+    assert(Commit.changesSince(spark, root, 99L).isEmpty)
+    Commit.vacuum(spark, root, retain = 2) // v=1 manifest reclaimed
+    assert(Commit.changesSince(spark, root, 1L).isEmpty,
+      "vacuumed cursor must force a full re-read, not silently under-deliver")
+    assert(rows(Commit.changesSince(spark, root, 2L).get) === Set(2L -> 7.0))
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = Files.createTempDirectory("commit-landing").toString
