@@ -530,6 +530,37 @@ object Commit {
       (write: String => Unit): Long =
     publish(spark, root)(write)
 
+  /** Compact the current snapshot's buckets to ONE file each and
+    * publish the result as a new version — the Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files` maintenance op. Why it's needed:
+    * every incremental publish writes its touched buckets with the
+    * writer's parallelism, so a bucket fed by thousands of
+    * micro-batches accumulates that many small files and reads pay
+    * per-file open cost (the classic streaming small-file problem).
+    * Data immutability makes compaction just another publish: the
+    * rewrite lands in a fresh version dir, readers stay on the old
+    * complete snapshot until the pointer swap, and [[vacuum]]
+    * reclaims superseded files after the grace period. Zone maps are
+    * re-harvested from the compacted footers (same bounds, fewer
+    * files). The one-partition-per-bucket repartition is correct at
+    * scale because bucket count, not data volume, bounds parallelism
+    * here — callers with very large buckets raise the bucket count,
+    * not the file count. No-op (None) when the table is missing or
+    * has no bucketed entries (whole-dir snapshots recompact through
+    * [[Sources.compactCommit]]).
+    */
+  def optimizeBuckets(spark: SparkSession, root: String,
+      bucketCol: String = "bucket"): Option[Long] =
+    currentManifest(spark, root)
+      .filter(_.entries.exists(_.key >= 0))
+      .map { m =>
+        val df = applySchema(assemble(spark, root, m.entries, bucketCol),
+          m.schema, bucketCol)
+        // each bucket collapses into exactly one input partition, so
+        // partitionBy writes exactly one file per bucket
+        publishBuckets(df.repartition(col(bucketCol)), root, bucketCol)
+      }
+
   /** Delete versions and manifests outside the retained history —
     * crashed-publish garbage and superseded snapshots. `retain` is the
     * number of committed chain versions (newest first, always

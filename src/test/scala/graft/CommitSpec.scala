@@ -239,6 +239,55 @@ class CommitSpec extends SparkSpec {
     assert(rows(Commit.changesSince(spark, root, 2L).get) === Set(2L -> 7.0))
   }
 
+  test("optimizeBuckets compacts each bucket to one file without changing content") {
+    val root = tmp("commit-optimize")
+    // a fragmented table: each publish writes its buckets with the
+    // writer's parallelism (4 partitions → up to 4 files per bucket)
+    val frag = statusDf((1L to 16L).map(i => i -> i.toDouble): _*).repartition(4)
+    Commit.publishBuckets(frag, root)
+    def filesPerBucket: Map[String, Int] = {
+      val vdirs = Files.list(Paths.get(root)).iterator()
+      Iterator.continually(vdirs).takeWhile(_.hasNext).map(_.next())
+        .filter(_.getFileName.toString.startsWith("v=")).flatMap { v =>
+          val bs = Files.list(v).iterator()
+          Iterator.continually(bs).takeWhile(_.hasNext).map(_.next())
+            .filter(_.getFileName.toString.startsWith("bucket="))
+        }.map { b =>
+          val fs0 = Files.list(b).iterator()
+          val n = Iterator.continually(fs0).takeWhile(_.hasNext).map(_.next())
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          b.getParent.getFileName.toString + "/" +
+            b.getFileName.toString -> n
+        }.toMap
+    }
+    assert(filesPerBucket.exists(_._2 > 1),
+      s"fixture not fragmented: $filesPerBucket")
+    val before = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+
+    val v = Commit.optimizeBuckets(spark, root).get
+    assert(v === 2)
+    // the new version holds exactly one file per bucket
+    val after = filesPerBucket.filter(_._1.startsWith("v=2/"))
+    assert(after.size === 4 && after.values.forall(_ === 1), after.toString)
+    // content identical; the manifest re-harvested zone maps
+    assert(Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet === before)
+    assert(Files.readString(Paths.get(root, "manifest-2.txt"))
+      .linesIterator.count(_.startsWith("#stats=")) === 4)
+    // pre-compaction version still time-travels until vacuumed
+    assert(Commit.readAt(spark, root, 1L).get.count() === 16)
+    Commit.vacuum(spark, root)
+    assert(!Files.exists(Paths.get(root, "v=1")))
+    assert(Commit.read(spark, root).get.count() === 16)
+    // a whole-dir snapshot declines (no bucketed entries)
+    val root2 = tmp("commit-optimize-whole")
+    Commit.publishDir(spark, root2) { vdir =>
+      spark.range(10).write.parquet(vdir)
+    }
+    assert(Commit.optimizeBuckets(spark, root2).isEmpty)
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = Files.createTempDirectory("commit-landing").toString
