@@ -79,10 +79,21 @@ object ShuffleAudit {
       val in = acc.inputRecords.get
       val sw = acc.shuffleWriteRecords.get
       val ratio = if (in > 0) sw.toDouble / in else 0.0
-      f"""  "$q%s": {"input_records": $in%d, "shuffle_write_records": $sw%d, "shuffle_write_bytes": ${acc.shuffleWriteBytes.get}%d, "shuffle_read_bytes": ${acc.shuffleReadBytes.get}%d, "mem_spill_bytes": ${acc.memSpill.get}%d, "disk_spill_bytes": ${acc.diskSpill.get}%d, "shuffle_ratio": $ratio%.4f}"""
+      // a ratio ≫ 1 over a SMALL absolute volume is partial fan-out
+      // (fixed-size model partials per partition, e.g. Gram-matrix
+      // cells), not the corpus crossing the wire — flag it inline so
+      // a reader ranking by ratio alone is not misled: at any corpus
+      // size those bytes stay constant per partition, so BYTES are
+      // the honest scale statistic for such entries
+      val note =
+        if (ratio > 1.0 && acc.shuffleWriteBytes.get < (16L << 20))
+          """, "note": "high ratio over a small absolute volume: model-sized partials (constant per partition); bytes are the honest statistic at scale""""
+        else ""
+      f"""  "$q%s": {"input_records": $in%d, "shuffle_write_records": $sw%d, "shuffle_write_bytes": ${acc.shuffleWriteBytes.get}%d, "shuffle_read_bytes": ${acc.shuffleReadBytes.get}%d, "mem_spill_bytes": ${acc.memSpill.get}%d, "disk_spill_bytes": ${acc.diskSpill.get}%d, "shuffle_ratio": $ratio%.4f$note%s}"""
     }
     val json = "{\n\"sf\": \"" + dir.split('/').last + "\",\n\"queries\": {\n" +
-      rows.mkString(",\n") + "\n}}"
+      rows.mkString(",\n") +
+      "\n},\n\"note\": \"shuffle_ratio = shuffle records written / input records; entries flagged with a per-query note shuffle model-sized partials whose byte volume is constant per partition — rank those by shuffle_write_bytes, not ratio\"}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
