@@ -45,8 +45,8 @@ object SqlDash {
     "q_sql_dash_metrics",
     """SELECT COUNT(*) AS n_recent,
               COUNT(DISTINCT user_id) AS n_users,
-              ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
-                    / COUNT(*), 6) AS error_rate_pct,
+              ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                    * 100.0 / COUNT(*), 6) AS error_rate_pct,
               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
        FROM events
        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY""",
@@ -87,8 +87,8 @@ object SqlDash {
                    ELSE 'medium' END AS severity
        FROM (SELECT user_id, COUNT(*) AS n,
                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
-                    ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
-                          / COUNT(*), 6) AS error_rate_pct
+                    ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                          * 100.0 / COUNT(*), 6) AS error_rate_pct
              FROM events GROUP BY user_id)
        WHERE error_rate_pct > 25.0""",
     Events.dashAlerts.oracle.get)

@@ -17,6 +17,23 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no registered query outputs a DecimalType column") {
+    // The r12 red row (q_sql_dash_alerts): Spark parses a bare `100.0`
+    // literal as decimal, so SUM(..)*100.0/COUNT(*) lands decimal(31,6)
+    // while the DuckDB oracle computes DOUBLE. The driver hashes the
+    // Spark side with type fidelity but normalizes the oracle side
+    // (decimal→float64), so ANY decimal column in gate output is a hash
+    // fail whenever a value has trailing zeros at its scale. DECIMAL is
+    // an internal exactness tool (SUMD partials) — it must always be
+    // CAST back to DOUBLE before the output schema. Schema-only check.
+    import org.apache.spark.sql.types.DecimalType
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val dec = fn(spark, sf0001).schema.fields
+        .filter(_.dataType.isInstanceOf[DecimalType]).map(_.name)
+      assert(dec.isEmpty, s"$name outputs DECIMAL columns: ${dec.mkString(",")}")
+    }
+  }
+
   test("oracle SQL column aliases appear in the Spark result columns") {
     // cheap guard against the alias-mismatch failure mode described in
     // the driver contract: every query with an oracle must at least

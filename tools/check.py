@@ -12,6 +12,77 @@ import sys, json, glob, math
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def akind(t: pa.DataType) -> str:
+    """Arrow-level type KIND, the granularity the driver's hash cares
+    about. Crucially DECIMAL is its own kind — DuckDB's fetchdf silently
+    converts decimal128→float64, which blinded the r12 local gate to the
+    q_sql_dash_alerts decimal(31,6)-vs-double hash failure (values equal,
+    canonical serialization '30.000000' != '30.0')."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + akind(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def arrow_type_problems(spark_schema: pa.Schema, oracle_schema: pa.Schema):
+    """Compare column types at the ARROW level (pre-pandas), so decimal
+    vs double — which the driver's canonical-value hash distinguishes —
+    fails locally too.
+
+    Asymmetry calibrated against driver behavior observed in r12: the
+    driver normalizes the ORACLE side the way DuckDB fetchdf does
+    (decimal→float64, date32→datetime64), but hashes the SPARK side
+    with type fidelity (spark decimal(31,6) vs oracle double was the one
+    r12 red row while oracle decimal(2,1) vs spark double stayed green).
+    Net effect: a decimal column in SPARK gate output is always a FAIL."""
+    problems = []
+
+    def norm_oracle(k):
+        if k.startswith("decimal"):
+            return "float"
+        if k == "date":
+            return "timestamp"
+        return k
+
+    def norm_spark(k):
+        # spark date vs oracle DATE(→timestamp) has always hashed green;
+        # decimals stay strict — that's the proven failure class
+        if k == "date":
+            return "timestamp"
+        return k
+
+    o = {f.name: f.type for f in oracle_schema}
+    for f in spark_schema:
+        if f.name not in o:
+            continue  # column-name mismatch reported elsewhere
+        ks, ko = norm_spark(akind(f.type)), norm_oracle(akind(o[f.name]))
+        if ks != ko:
+            problems.append(
+                f"col {f.name}: ARROW type kind mismatch spark={f.type} "
+                f"({ks}) oracle={o[f.name]} ({ko}) — driver hashes canonical "
+                f"values, so this is a hash FAIL even if values are equal")
+    return problems
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -88,17 +159,22 @@ def main():
             results[name] = ["NO SPARK OUTPUT"]
             continue
         try:
+            # pyarrow read preserves decimal128 — DuckDB fetchdf would
+            # normalize it to float64 and hide driver-visible type drift
+            spark_tbl = pq.read_table(files)
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
         except Exception as e:
             results[name] = [f"spark output read failed: {e}"]
             continue
         try:
+            oracle_res = con.execute(sql).arrow()
             oracle_df = con.execute(sql).fetchdf()
         except Exception as e:
             results[name] = [f"ORACLE SQL failed: {e}"]
             continue
         problems, max_rel = compare(name, spark_df, oracle_df)
+        problems += arrow_type_problems(spark_tbl.schema, oracle_res.schema)
         results[name] = problems
     npass = sum(1 for p in results.values() if not p)
     print(f"=== {npass}/{len(results)} PASS ===")
