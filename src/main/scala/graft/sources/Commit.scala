@@ -82,7 +82,8 @@ object Commit {
   private final case class Manifest(v: Long, parent: Long,
       schema: Option[org.apache.spark.sql.types.StructType],
       rows: Option[Long], entries: Seq[Entry],
-      stats: Map[String, Skipping.EntryStats] = Map.empty)
+      stats: Map[String, Skipping.EntryStats] = Map.empty,
+      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty)
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -107,11 +108,29 @@ object Commit {
         Some(dir -> Skipping.decode(body))
       } catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
+    // `#fstats=<entry dir>\t<file rel path>\t<encoded zone map>`: one
+    // line per FILE of an entry whose per-file boxes are narrower than
+    // the entry box (range-sorted / z-ordered buckets). A parsed file
+    // list is treated as COMPLETE by the pruner (files absent from it
+    // are never scanned), so one malformed line must invalidate the
+    // whole entry's file grain — not silently drop a file from reads.
+    val rawF = lines.tail.filter(_.startsWith("#fstats=")).map { l =>
+      val parts = l.stripPrefix("#fstats=").split("\t", 3)
+      val parsed =
+        if (parts.length != 3) None
+        else try Some(Skipping.decode(parts(2)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      (parts(0), parts.lift(1), parsed)
+    }
+    val badDirs = rawF.collect { case (d, f, p) if f.isEmpty || p.isEmpty => d }.toSet
+    val fileStats = rawF
+      .collect { case (d, Some(f), Some(p)) if !badDirs.contains(d) => (d, f, p) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.toSeq.map(x => (x._2, x._3)) }
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(k, dir) = l.split("\t", 2)
       Entry(k.toInt, dir)
     }
-    Manifest(v, parent, schema, rows, entries, stats)
+    Manifest(v, parent, schema, rows, entries, stats, fileStats)
   }
 
   private def manifestAt(spark: SparkSession, root: String,
@@ -203,10 +222,13 @@ object Commit {
   def readWhere(spark: SparkSession, root: String, predicateSql: String,
       bucketCol: String = "bucket"): Option[DataFrame] =
     currentManifest(spark, root).map { m =>
-      val (kept, _) = splitEntries(spark, m, predicateSql, bucketCol)
+      val (keptSel, _) = splitEntriesFiles(spark, m, predicateSql, bucketCol)
+      val kept = keptSel.map(_._1)
+      val fileSel = keptSel.collect { case (e, Some(fs)) => e.dir -> fs }.toMap
       val bc = if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"
       val base =
-        if (kept.nonEmpty) applySchema(assemble(spark, root, kept, bc), m.schema, bc)
+        if (kept.nonEmpty)
+          applySchema(assemble(spark, root, kept, bc, fileSel), m.schema, bc)
         else m.schema match {
           // fully pruned: an empty relation with the committed schema
           // (stats-bearing manifests always carry one)
@@ -258,38 +280,148 @@ object Commit {
       } else applySchema(assemble(spark, root, changed, bc), cur.schema, bc)
     }
 
-  /** (kept, pruned) under the predicate — the skipping plan, for
-    * audits and specs, without scanning anything.
+  /** Row-level change feed over the bucket-grain [[changesSince]]: the
+    * upserts and deletes that transform committed version `since` into
+    * the current snapshot, for consumers keyed by `keyCols` (the
+    * table's merge key — one row per key per snapshot, the contract
+    * every upsert writer here maintains). Emitted rows carry a
+    * `_change` column: "upsert" rows are the CURRENT row for keys that
+    * are new or whose row changed; "delete" rows are the `since`
+    * version's row for keys that no longer exist. Applying them to a
+    * consumer's copy of `since` (delete, then upsert) reproduces the
+    * current snapshot exactly — the Delta CDF contract, computed by
+    * diffing only the REWRITTEN buckets of the two snapshots, so IO is
+    * proportional to changed buckets × 2, never the table.
+    *
+    * Scale: both diff sides are the changed buckets only; the
+    * comparison is one equi-join on the key columns (hash-partitioned
+    * on the same key both sides). Returns None exactly when
+    * [[changesSince]] does: `since` is not reconstructable and the
+    * consumer must fall back to a full read.
+    */
+  def changesSinceKeyed(spark: SparkSession, root: String, since: Long,
+      keyCols: Seq[String], bucketCol: String = "bucket"): Option[DataFrame] =
+    for {
+      cur <- currentManifest(spark, root)
+      if history(spark, root).contains(since)
+      base <- manifestAt(spark, root, since)
+    } yield {
+      val bc = if (cur.entries.exists(_.key >= 0)) bucketCol else "bucket"
+      val baseline = base.entries.toSet
+      val changed = cur.entries.filterNot(baseline.contains)
+      // buckets present at `since` that were rewritten or dropped: the
+      // delete side must scan their OLD content. A changed whole-dir
+      // entry (key -1) replaces the whole table.
+      val wholeDir = changed.exists(_.key < 0) ||
+        base.entries.exists(_.key < 0) != cur.entries.exists(_.key < 0)
+      val changedKeys = changed.map(_.key).toSet
+      val oldSide = base.entries.filter(e =>
+        wholeDir || changedKeys.contains(e.key) ||
+          !cur.entries.exists(_.key == e.key))
+      def readEntries(m: Manifest, es: Seq[Entry]): DataFrame =
+        if (es.isEmpty) {
+          val st = m.schema.getOrElse(
+            applySchema(assemble(spark, root, m.entries, bc), m.schema, bc).schema)
+          val renamed = org.apache.spark.sql.types.StructType(
+            st.fields.map(f => if (f.name == "bucket") f.copy(name = bc) else f))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
+        } else applySchema(assemble(spark, root, es, bc), m.schema, bc)
+      // compare under the CURRENT schema so a schema evolution between
+      // the snapshots diffs by value, not by column-set accident
+      val curRows = readEntries(cur, if (wholeDir) cur.entries else changed)
+      val oldRows = applySchema(readEntries(base, oldSide), cur.schema, bc)
+      val cols = curRows.columns.toSeq
+      require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+        s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
+      // presence markers: data columns may be legitimately null, so a
+      // full-outer miss is detected by a non-nullable literal, never by
+      // a data column. The key join is null-safe (a null key is a key);
+      // row change is null-safe struct equality over the full row.
+      val c = curRows.withColumn("_m_cur", lit(1))
+      val o = oldRows.select(cols.map(x => col(x).as(s"_o_$x")): _*)
+        .withColumn("_m_old", lit(1))
+      val keyExpr = keyCols.map(k => col(k) <=> col(s"_o_$k")).reduce(_ && _)
+      val joined = c.join(o, keyExpr, "full_outer")
+      val rowEq = struct(cols.map(col): _*) <=>
+        struct(cols.map(x => col(s"_o_$x")): _*)
+      val upserts = joined
+        .filter(col("_m_cur").isNotNull && (col("_m_old").isNull || !rowEq))
+        .select(cols.map(col) :+ lit("upsert").as("_change"): _*)
+      val deletes = joined.filter(col("_m_cur").isNull)
+        .select(cols.map(x => col(s"_o_$x").as(x)) :+
+          lit("delete").as("_change"): _*)
+      upserts.unionByName(deletes)
+    }
+
+  /** (kept, pruned) under the predicate — the skipping plan at ENTRY
+    * grain, for audits and specs, without scanning anything. An entry
+    * all of whose files are individually pruned counts as pruned even
+    * when its folded entry box intersects the predicate (two files
+    * [0,10] and [20,30] fold to [0,30], which "contains" 15).
     */
   private[graft] def planWhere(spark: SparkSession, root: String,
-      predicateSql: String, bucketCol: String = "bucket"): (Seq[Entry], Seq[Entry]) =
+      predicateSql: String, bucketCol: String = "bucket"): (Seq[Entry], Seq[Entry]) = {
+    val (kept, pruned) = planWhereFiles(spark, root, predicateSql, bucketCol)
+    (kept.map(_._1), pruned)
+  }
+
+  /** The full skipping plan: kept entries with their surviving file
+    * subset (None = read the whole entry dir), plus pruned entries.
+    */
+  private[graft] def planWhereFiles(spark: SparkSession, root: String,
+      predicateSql: String, bucketCol: String = "bucket")
+      : (Seq[(Entry, Option[Seq[String]])], Seq[Entry]) =
     currentManifest(spark, root)
-      .map(splitEntries(spark, _, predicateSql, bucketCol))
+      .map(splitEntriesFiles(spark, _, predicateSql, bucketCol))
       .getOrElse((Nil, Nil))
 
-  private def splitEntries(spark: SparkSession, m: Manifest,
-      predicateSql: String, bucketCol: String): (Seq[Entry], Seq[Entry]) = {
+  private def splitEntriesFiles(spark: SparkSession, m: Manifest,
+      predicateSql: String, bucketCol: String)
+      : (Seq[(Entry, Option[Seq[String]])], Seq[Entry]) = {
     val pred =
       try Some(spark.sessionState.sqlParser.parseExpression(predicateSql))
       catch { case scala.util.control.NonFatal(_) => None }
     pred match {
-      case None => (m.entries, Nil)
+      case None => (m.entries.map(e => (e, Option.empty[Seq[String]])), Nil)
       case Some(p) =>
-        m.entries.partition { e =>
-          // a bucketed entry's key IS the bucket column's value — let
-          // the evaluator prune on it like any other zone map
-          val base = m.stats.get(e.dir)
-          val st =
-            if (e.key < 0) base
-            else {
-              val b = Skipping.ColStat("l", e.key.toString, e.key.toString, 0L)
-              Some(base.fold(Skipping.EntryStats(0L, Map(bucketCol -> b)))(s =>
-                s.copy(cols = s.cols + (bucketCol -> b))))
-            }
+        // a bucketed entry's key IS the bucket column's value — let
+        // the evaluator prune on it like any other zone map. Stats are
+        // filtered through Skipping.trusted first: reads cast carried
+        // buckets to the CURRENT schema, and a stat a lossy cast could
+        // have invalidated must not prune (the bucket key itself is
+        // cast-free — the partition value is the manifest's own int).
+        def withKey(e: Entry, base: Option[Skipping.EntryStats])
+            : Option[Skipping.EntryStats] = {
+          val t = base.map(Skipping.trusted(_, m.schema))
+          if (e.key < 0) t
+          else {
+            val b = Skipping.ColStat("l", e.key.toString, e.key.toString, 0L)
+            Some(t.fold(Skipping.EntryStats(0L, Map(bucketCol -> b)))(s =>
+              s.copy(cols = s.cols + (bucketCol -> b))))
+          }
+        }
+        def may(st: Option[Skipping.EntryStats]): Boolean =
           st.forall(s =>
             try Skipping.mayMatch(p, s)
             catch { case scala.util.control.NonFatal(_) => true })
+
+        val kept = Seq.newBuilder[(Entry, Option[Seq[String]])]
+        val pruned = Seq.newBuilder[Entry]
+        m.entries.foreach { e =>
+          if (!may(withKey(e, m.stats.get(e.dir)))) pruned += e
+          else m.fileStats.get(e.dir).filter(_.nonEmpty) match {
+            case None => kept += ((e, None))
+            case Some(files) =>
+              val survivors = files.collect {
+                case (f, st) if may(withKey(e, Some(st))) => f
+              }
+              if (survivors.isEmpty) pruned += e
+              else if (survivors.size == files.size) kept += ((e, None))
+              else kept += ((e, Some(survivors)))
+          }
         }
+        (kept.result(), pruned.result())
     }
   }
 
@@ -316,12 +448,21 @@ object Commit {
     }
 
   private def assemble(spark: SparkSession, root: String,
-      entries: Seq[Entry], bucketCol: String): DataFrame = {
+      entries: Seq[Entry], bucketCol: String,
+      fileSel: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    // fileSel: entry dir → surviving file subset (file-grain skipping).
+    // The scan is planned over those leaf files with the same basePath,
+    // so partition discovery still derives the bucket column.
+    def paths(e: Entry): Seq[String] = fileSel.get(e.dir) match {
+      case Some(files) => files.map(f => s"$root/${e.dir}/$f")
+      case None => Seq(s"$root/${e.dir}")
+    }
     val whole = entries.filter(_.key < 0)
     val byVersion = entries.filter(_.key >= 0)
       .groupBy(e => e.dir.takeWhile(_ != '/'))
     val parts =
-      whole.map(e => spark.read.parquet(s"$root/${e.dir}")) ++
+      whole.map(e => spark.read.option("basePath", s"$root/${e.dir}")
+        .parquet(paths(e): _*)) ++
         byVersion.toSeq.sortBy(_._1).map { case (vdir, es) =>
           // partition discovery names the column by the dir layout
           // ("bucket=<b>"); cast first, then rename to the caller's
@@ -329,7 +470,7 @@ object Commit {
           // with a DATA column would make the rename ambiguous — fail
           // loudly rather than emit two same-named columns.
           val scan = spark.read.option("basePath", s"$root/$vdir")
-            .parquet(es.map(e => s"$root/${e.dir}"): _*)
+            .parquet(es.flatMap(paths): _*)
           require(bucketCol == "bucket" ||
             !scan.columns.contains(bucketCol),
             s"bucketCol '$bucketCol' collides with a data column")
@@ -351,13 +492,13 @@ object Commit {
     } finally in.close()
   }
 
-  private def nextVersion(spark: SparkSession, root: String): Long = {
+  private def nextVersion(spark: SparkSession, root: String,
+      committed: Long): Long = {
     val f = fs(spark, root)
     val r = new Path(root)
     // max over BOTH manifests and v-dirs: a crashed publish may have
     // left a v-dir (or a manifest) above the committed version, and a
     // new writer must never reuse it
-    val committed = current(spark, root).map(_._1).getOrElse(0L)
     val orphaned =
       if (!f.exists(r)) 0L
       else f.listStatus(r).map(_.getPath.getName).collect {
@@ -377,7 +518,8 @@ object Commit {
   private def publish(spark: SparkSession, root: String)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
-    val v = nextVersion(spark, root)
+    val prev = currentManifest(spark, root) // ONE manifest read per publish
+    val v = nextVersion(spark, root, prev.map(_.v).getOrElse(0L))
     val vdir = s"v=$v"
     write(s"$root/$vdir")
     val newBuckets = f.listStatus(new Path(root, vdir))
@@ -386,35 +528,58 @@ object Commit {
     val fresh =
       if (newBuckets.isEmpty) Seq(Entry(-1, vdir))
       else newBuckets.map(b => Entry(b, s"$vdir/bucket=$b"))
-    val parent = current(spark, root).map(_._1).getOrElse(0L)
+    val parent = prev.map(_.v).getOrElse(0L)
     val carried =
       if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
-      else current(spark, root).map(_._2).getOrElse(Nil)
+      else prev.map(_.entries).getOrElse(Nil)
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
-    // The snapshot's schema comes from the files just written
-    // (partition discovery included — so the bucket column's read-side
-    // type is what gets recorded); the row count AND the per-entry
-    // zone maps come from the same files' FOOTERS, read once
-    // driver-side — publish is on the streaming commit critical path
-    // (one call per micro-batch), and a Spark job there would re-scan
-    // the fresh version every epoch for audit metadata.
-    val snap =
-      try Some(spark.read.parquet(s"$root/$vdir"))
-      catch { case scala.util.control.NonFatal(_) => None }
+    // Schema, row count, per-entry AND per-file zone maps all come
+    // from the fresh files' FOOTERS, read once driver-side — publish
+    // is on the streaming commit critical path (one call per
+    // micro-batch), and both a Spark job and a second directory
+    // listing (spark.read.parquet partition discovery) there would
+    // re-scan the fresh version every epoch for audit metadata.
     val conf = spark.sessionState.newHadoopConf()
-    val freshStats = fresh.flatMap(e =>
-      Skipping.harvest(conf, new Path(s"$root/${e.dir}")).map(e.dir -> _)).toMap
+    val harvests = fresh.flatMap(e =>
+      Skipping.harvestAll(conf, new Path(s"$root/${e.dir}")).map(e.dir -> _)).toMap
+    val freshStats = harvests.view.mapValues(_.entry).toMap
+    // single-file entries: the entry box IS the file box — no #fstats
+    val freshFileStats = harvests.collect {
+      case (dir, h) if h.files.size > 1 => dir -> h.files
+    }
+    // bucketed version dirs are exactly bucket=<b>/files (publish
+    // controls the write), so footer schema + the int partition column
+    // reproduces what partition discovery would infer. Whole-dir
+    // writers may nest their own partition dirs the footers don't
+    // know about — those keep the spark.read inference.
+    val footerSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (newBuckets.isEmpty || harvests.size != fresh.size) None
+      else harvests.values.flatMap(_.schema).headOption.flatMap { mt =>
+        try {
+          val st = new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(mt)
+          Some(org.apache.spark.sql.types.StructType(st.fields :+
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.IntegerType, nullable = true)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val snapSchema = footerSchema.orElse(
+      try Some(spark.read.parquet(s"$root/$vdir").schema)
+      catch { case scala.util.control.NonFatal(_) => None })
     // untouched buckets keep the zone maps recorded when THEIR data
     // was written — immutable data, immutable stats
-    val carriedStats = currentManifest(spark, root)
-      .map(_.stats).getOrElse(Map.empty)
-      .filter { case (dir, _) => carried.exists(_.dir == dir) }
+    val carriedDirs = carried.map(_.dir).toSet
+    val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
+      .filter { case (dir, _) => carriedDirs.contains(dir) }
+    val carriedFileStats = prev.map(_.fileStats).getOrElse(Map.empty)
+      .filter { case (dir, _) => carriedDirs.contains(dir) }
     val rows =
       if (freshStats.size == fresh.size) Some(freshStats.values.map(_.rows).sum)
       else footerRows(spark, s"$root/$vdir")
     commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
-      snap.map(_.schema), rows, carriedStats ++ freshStats)
+      snapSchema, rows, carriedStats ++ freshStats,
+      carriedFileStats ++ freshFileStats)
     v
   }
 
@@ -461,13 +626,19 @@ object Commit {
       parent: Long, entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rows: Option[Long] = None,
-      stats: Map[String, Skipping.EntryStats] = Map.empty): Unit = {
+      stats: Map[String, Skipping.EntryStats] = Map.empty,
+      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
     val meta = Seq(s"#parent=$parent") ++
       schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n") ++
       stats.toSeq.sortBy(_._1).map { case (dir, es) =>
         s"#stats=$dir\t${Skipping.encode(es)}"
+      } ++
+      fileStats.toSeq.sortBy(_._1).flatMap { case (dir, files) =>
+        files.sortBy(_._1).map { case (file, es) =>
+          s"#fstats=$dir\t$file\t${Skipping.encode(es)}"
+        }
       }
     val body = (v.toString +: meta ++: entries.map(e => s"${e.key}\t${e.dir}"))
       .mkString("\n")
@@ -517,10 +688,24 @@ object Commit {
     * write amplification AND a transactional boundary.
     */
   def publishBuckets(df: DataFrame, root: String,
-      bucketCol: String = "bucket"): Long =
+      bucketCol: String = "bucket"): Long = {
+    // the on-disk layout is ALWAYS `bucket=<b>` — publish() scans for
+    // that prefix to enumerate fresh entries, and the read side
+    // renames back to the caller's bucketCol. Writing `<bucketCol>=`
+    // dirs would silently degrade the table to one whole-dir entry
+    // (no bucket keys, no carry-forward, no key pruning).
+    val onDisk =
+      if (bucketCol == "bucket") df
+      else {
+        require(!df.columns.contains("bucket"),
+          s"bucketCol '$bucketCol' cannot be renamed to the on-disk " +
+            "'bucket': the DataFrame already has a 'bucket' column")
+        df.withColumnRenamed(bucketCol, "bucket")
+      }
     publish(df.sparkSession, root) { vdir =>
-      df.write.mode("overwrite").partitionBy(bucketCol).parquet(vdir)
+      onDisk.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
     }
+  }
 
   /** Commit a whole-snapshot rewrite (compaction, full MV rebuild):
     * the writer fills the fresh version dir, the manifest replaces all

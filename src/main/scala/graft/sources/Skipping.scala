@@ -44,14 +44,30 @@ import java.util.Base64
 object Skipping {
 
   /** One column's zone-map entry. `t` is the value domain tag:
-    * "l" integral (Long text) · "d" floating (Double text, ±Infinity
-    * allowed) · "m" decimal (BigDecimal text) · "s" UTF-8 bytes
-    * (unsigned-lexicographic, base64) · "t" timestamp micros ·
-    * "a" date days · "n" the entry holds NO non-null value for the
-    * column (lo/hi empty). `nulls` is -1 when any footer did not
-    * record it.
+    * "i8"/"i16"/"i32"/"l" integral of that footer bit width (Long
+    * text; "l" = 64-bit, also what pre-r13 manifests recorded for any
+    * width) · "f"/"d" floating of that width (Double text, ±Infinity
+    * allowed; "d" covers pre-r13 float32 footers too) · "m" decimal
+    * (BigDecimal text) · "s" UTF-8 bytes (unsigned-lexicographic,
+    * base64) · "t" timestamp micros · "a" date days · "n" the entry
+    * holds NO non-null value for the column (lo/hi empty). `nulls` is
+    * -1 when any footer did not record it. The width in the tag is
+    * what [[compatible]] checks against the snapshot schema: stats
+    * stay trustworthy only under lossless widening.
     */
   final case class ColStat(t: String, lo: String, hi: String, nulls: Long)
+
+  /** Integral-domain tags (compared as Long). */
+  private def isIntTag(t: String): Boolean =
+    t == "l" || t == "i8" || t == "i16" || t == "i32"
+  /** Floating-domain tags (compared as Double). */
+  private def isFloatTag(t: String): Boolean = t == "d" || t == "f"
+  private def intTagWidth(t: String): Int = t match {
+    case "i8" => 8
+    case "i16" => 16
+    case "i32" => 32
+    case _ => 64
+  }
 
   /** All zone-map columns of one manifest entry plus its row count. */
   final case class EntryStats(rows: Long, cols: Map[String, ColStat])
@@ -112,9 +128,11 @@ object Skipping {
 
   /** Compare two in-domain values under the tag's ordering. */
   private def domCmp(t: String, x: Any, y: Any): Int = t match {
-    case "l" | "t" | "a" =>
+    case "t" | "a" =>
       java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
-    case "d" =>
+    case it if isIntTag(it) =>
+      java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
+    case ft if isFloatTag(ft) =>
       java.lang.Double.compare(x.asInstanceOf[Double], y.asInstanceOf[Double])
     case "m" =>
       x.asInstanceOf[java.math.BigDecimal]
@@ -139,42 +157,63 @@ object Skipping {
   }
 
   private def render(t: String, v: Any): String = t match {
-    case "l" | "t" | "a" => v.asInstanceOf[Long].toString
-    case "d" => v.asInstanceOf[Double].toString
+    case "t" | "a" => v.asInstanceOf[Long].toString
+    case it if isIntTag(it) => v.asInstanceOf[Long].toString
+    case ft if isFloatTag(ft) => v.asInstanceOf[Double].toString
     case "m" => v.asInstanceOf[java.math.BigDecimal].toPlainString
     case "s" => Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
     case _ => ""
   }
 
   private def parse(t: String, s: String): Any = t match {
-    case "l" | "t" | "a" => s.toLong
-    case "d" => s.toDouble
+    case "t" | "a" => s.toLong
+    case it if isIntTag(it) => s.toLong
+    case ft if isFloatTag(ft) => s.toDouble
     case "m" => new java.math.BigDecimal(s)
     case "s" => Base64.getDecoder.decode(s)
   }
 
-  /** Read every parquet footer under `dir` and fold the chunk
-    * statistics into per-column entry stats. None if any file fails
-    * to open (an entry with unreadable footers gets no stats and no
-    * one ever prunes on it). Nested columns, unknown physical types,
-    * NaN-polluted float bounds, and stats-less chunks all fold to
-    * "don't know" for that column.
+  /** Everything one footer sweep of an entry dir yields: the folded
+    * entry-level zone map, the per-FILE zone maps (relative path →
+    * stats — the file-grain skipping lever: a range-sorted or
+    * z-ordered bucket has disjoint per-file boxes, so a narrow
+    * predicate opens a strict subset of its files), and the first
+    * file's parquet schema (the publish path derives the snapshot's
+    * Spark schema from it instead of paying a second directory
+    * listing + footer read through `spark.read.parquet`).
     */
-  def harvest(conf: Configuration, dir: Path): Option[EntryStats] =
+  final case class Harvest(entry: EntryStats,
+      files: Seq[(String, EntryStats)],
+      schema: Option[org.apache.parquet.schema.MessageType])
+
+  /** Read every parquet footer under `dir` once and fold the chunk
+    * statistics into per-file AND per-entry column stats. None if any
+    * file fails to open (an entry with unreadable footers gets no
+    * stats and no one ever prunes on it). Nested columns, unknown
+    * physical types, NaN-polluted float bounds, and stats-less chunks
+    * all fold to "don't know" for that column.
+    */
+  def harvestAll(conf: Configuration, dir: Path): Option[Harvest] =
     try {
-      val it = dir.getFileSystem(conf).listFiles(dir, true)
-      var rows = 0L
-      var acc = Map.empty[String, Acc]
-      var seen = Set.empty[String] // columns present in any file so far
-      var first = true
+      val fsys = dir.getFileSystem(conf)
+      val base = fsys.makeQualified(dir).toString
+      val it = fsys.listFiles(dir, true)
+      val files = Seq.newBuilder[(String, Long, Map[String, Acc])]
+      var schema: Option[org.apache.parquet.schema.MessageType] = None
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val full = st.getPath.toString
+          val rel =
+            if (full.startsWith(base + "/")) full.substring(base.length + 1)
+            else st.getPath.getName
           val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
           try {
-            val blocks = rd.getFooter.getBlocks
-            val bit = blocks.iterator()
-            val inFile = scala.collection.mutable.Set.empty[String]
+            if (schema.isEmpty)
+              schema = Some(rd.getFooter.getFileMetaData.getSchema)
+            var rows = 0L
+            var acc = Map.empty[String, Acc]
+            val bit = rd.getFooter.getBlocks.iterator()
             while (bit.hasNext) {
               val blk = bit.next()
               rows += blk.getRowCount
@@ -184,31 +223,85 @@ object Skipping {
                 val path = ccm.getPath.toArray
                 if (path.length == 1) {
                   val name = path(0)
-                  inFile += name
                   val a = chunkAcc(ccm, blk.getRowCount)
                   acc = acc.updated(name,
                     acc.get(name).fold(a)(prev => merge(prev, a)))
                 }
               }
             }
-            // a column missing from one file but present in another
-            // has unknown values in the missing file → Unusable
-            if (!first) {
-              (seen -- inFile).foreach(n => acc = acc.updated(n, Unusable))
-              (inFile -- seen).foreach(n => acc = acc.updated(n, Unusable))
-            }
-            seen ++= inFile
-            first = false
+            files += ((rel, rows, acc))
           } finally rd.close()
         }
       }
-      val cols = acc.collect {
+      val perFile = files.result()
+      // entry fold: a column missing from one file but present in
+      // another has unknown values in the missing file → Unusable
+      val allCols = perFile.iterator.flatMap(_._3.keys).toSet
+      val entryAcc = allCols.iterator.map { n =>
+        n -> perFile.iterator.map(_._3.getOrElse(n, Unusable: Acc))
+          .reduceOption(merge).getOrElse(Unusable)
+      }.toMap
+      def colsOf(acc: Map[String, Acc]): Map[String, ColStat] = acc.collect {
         case (n, Valued(t, lo, hi, nulls)) =>
           n -> ColStat(t, render(t, lo), render(t, hi), nulls)
         case (n, AllNull(nulls)) => n -> ColStat("n", "", "", nulls)
       }
-      Some(EntryStats(rows, cols))
+      Some(Harvest(
+        EntryStats(perFile.iterator.map(_._2).sum, colsOf(entryAcc)),
+        perFile.map { case (rel, rows, acc) => rel -> EntryStats(rows, colsOf(acc)) },
+        schema))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Entry-level stats only (the pre-file-grain surface). */
+  def harvest(conf: Configuration, dir: Path): Option[EntryStats] =
+    harvestAll(conf, dir).map(_.entry)
+
+  /** True when values of Spark type `dt` read from files whose footer
+    * stats carry tag `c.t` are EXACTLY the stored values — i.e. the
+    * snapshot-schema cast ([[Commit.applySchema]]) is an identity or a
+    * lossless widening for this (tag, type) pair. When false the cast
+    * may change values or manufacture nulls (e.g. old string files
+    * cast to int), so neither range NOR null-count pruning may trust
+    * the stat: the evaluator must decline. All-null stats ("n") are
+    * compatible with every type — casting null is always null.
+    */
+  def compatible(c: ColStat, dt: DataType): Boolean = c.t match {
+    case "n" => true
+    case it if isIntTag(it) =>
+      // only lossless widening: a narrowing cast wraps (non-ANSI) or
+      // fails the read (ANSI) — either way the stats describe values
+      // the reader will not see
+      val w = intTagWidth(it)
+      dt match {
+        case ByteType => w <= 8
+        case ShortType => w <= 16
+        case IntegerType => w <= 32
+        case LongType => true
+        case _ => false
+      }
+    case "f" => dt == FloatType || dt == DoubleType // float32 widens exactly
+    case "d" => dt == DoubleType // pre-r13 "d" may cover float32 footers,
+      // but double→float rounds: only the identity cast is trustworthy
+    case "m" => dt match {
+      // parquet decimal is fixed-scale: every stored value (hence both
+      // bounds) carries the column's scale. The cast is lossless iff
+      // the target scale does not narrow and the bounds' magnitudes
+      // fit the target's integer digits (overflow would null/error).
+      case d: DecimalType =>
+        try {
+          val lo = new java.math.BigDecimal(c.lo)
+          val hi = new java.math.BigDecimal(c.hi)
+          val cap = java.math.BigDecimal.TEN.pow(d.precision - d.scale)
+          d.scale >= math.max(lo.scale, hi.scale) &&
+            lo.abs.compareTo(cap) < 0 && hi.abs.compareTo(cap) < 0
+        } catch { case scala.util.control.NonFatal(_) => false }
+      case _ => false
+    }
+    case "s" => dt == StringType
+    case "t" => dt == TimestampType || dt == TimestampNTZType
+    case "a" => dt == DateType
+    case _ => false
+  }
 
   /** One column chunk's statistics, classified. */
   private def chunkAcc(ccm: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
@@ -233,8 +326,19 @@ object Skipping {
         Valued("m",
           java.math.BigDecimal.valueOf(st.genericGetMin.asInstanceOf[Integer].longValue, d.getScale),
           java.math.BigDecimal.valueOf(st.genericGetMax.asInstanceOf[Integer].longValue, d.getScale), nulls)
-      case (INT32, _) =>
-        Valued("l", st.genericGetMin.asInstanceOf[Integer].longValue,
+      case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+          if !i.isSigned => Unusable // unsigned bounds misorder as signed
+      case (INT32, lta32) =>
+        // the tag carries the footer's logical bit width so the
+        // evaluator can refuse stats that a snapshot-schema cast could
+        // have narrowed (compatible())
+        val w = lta32 match {
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+            i.getBitWidth.toInt
+          case _ => 32
+        }
+        val tag = if (w <= 8) "i8" else if (w <= 16) "i16" else "i32"
+        Valued(tag, st.genericGetMin.asInstanceOf[Integer].longValue,
           st.genericGetMax.asInstanceOf[Integer].longValue, nulls)
       case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
         val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
@@ -260,7 +364,7 @@ object Skipping {
       case (FLOAT, _) =>
         val lo = st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue
         val hi = st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue
-        if (lo.isNaN || hi.isNaN) Unusable else Valued("d", lo, hi, nulls)
+        if (lo.isNaN || hi.isNaN) Unusable else Valued("f", lo, hi, nulls)
       case (DOUBLE, _) =>
         val lo = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
         val hi = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
@@ -272,6 +376,25 @@ object Skipping {
       case _ => Unusable
     }
   }
+
+  /** Drop every stat the snapshot schema's read-side cast could have
+    * invalidated ([[compatible]]): reads go through
+    * [[Commit.applySchema]], which casts carried buckets to the
+    * CURRENT manifest schema, and a lossy cast changes values or
+    * manufactures nulls the footer stats know nothing about. A
+    * pre-schema manifest (None) performs no cast — its stats are
+    * trusted as written. Columns absent from the schema are dropped
+    * (applySchema removes them from the read anyway).
+    */
+  def trusted(s: EntryStats,
+      schema: Option[StructType]): EntryStats =
+    schema.fold(s) { st =>
+      s.copy(cols = s.cols.filter { case (n, c) =>
+        st.fields.find(_.name == n)
+          .orElse(st.fields.find(_.name.equalsIgnoreCase(n)))
+          .exists(f => compatible(c, f.dataType))
+      })
+    }
 
   // ---------------------------------------------------------------
   // predicate evaluation against entry stats
@@ -297,13 +420,13 @@ object Skipping {
     * number).
     */
   private def bounds(c: ColStat): (Option[Dom], Option[Dom]) = c.t match {
-    case "l" | "t" | "a" =>
+    case "t" | "a" | "m" =>
       (Some(NumD(new java.math.BigDecimal(c.lo))),
         Some(NumD(new java.math.BigDecimal(c.hi))))
-    case "m" =>
+    case it if isIntTag(it) =>
       (Some(NumD(new java.math.BigDecimal(c.lo))),
         Some(NumD(new java.math.BigDecimal(c.hi))))
-    case "d" =>
+    case ft if isFloatTag(ft) =>
       val lo = c.lo.toDouble; val hi = c.hi.toDouble
       (if (lo.isInfinite) None else Some(NumD(new java.math.BigDecimal(lo))),
         if (hi.isInfinite) None else Some(NumD(new java.math.BigDecimal(hi))))
@@ -320,17 +443,16 @@ object Skipping {
   private def literalDom(e: Expression, tag: String): Option[Dom] = {
     val v = try { if (e.foldable) Option(e.eval(null)) else None }
     catch { case scala.util.control.NonFatal(_) => None }
+    def numericTag = isIntTag(tag) || isFloatTag(tag) || tag == "m"
     v.flatMap { x =>
       (e.dataType, tag) match {
-        case (ByteType | ShortType | IntegerType | LongType, "l" | "m") =>
+        case (ByteType | ShortType | IntegerType | LongType, _) if numericTag =>
           Some(NumD(new java.math.BigDecimal(x.toString)))
-        case (ByteType | ShortType | IntegerType | LongType, "d") =>
-          Some(NumD(new java.math.BigDecimal(x.toString)))
-        case (FloatType | DoubleType, "l" | "m" | "d") =>
+        case (FloatType | DoubleType, _) if numericTag =>
           val d = x.toString.toDouble
           if (d.isNaN || d.isInfinite) None
           else Some(NumD(new java.math.BigDecimal(d)))
-        case (_: DecimalType, "l" | "m" | "d") =>
+        case (_: DecimalType, _) if numericTag =>
           Some(NumD(x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
         case (TimestampType | TimestampNTZType, "t") =>
           Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Long])))
@@ -443,11 +565,16 @@ object Skipping {
   private def cmpMayMatch(cmp: BinaryComparison, c: ColStat,
       lit: Option[Dom], flipped: Boolean): Boolean = {
     if (c.t == "n") return cmp match {
-      // null-safe-equal to a NULL literal matches all-null entries
+      // null-safe-equal: a NULL literal matches all-null entries; a
+      // NON-foldable operand (e.g. `a <=> b` between two columns) can
+      // also be null row-by-row and match — decline to prune. Only a
+      // foldable operand that provably evaluates NON-null can never
+      // equal an all-null column.
       case EqualNullSafe(l, r) =>
         val other = if (flipped) l else r
-        other.foldable && (try other.eval(null) == null
-        catch { case scala.util.control.NonFatal(_) => false })
+        if (!other.foldable) true
+        else (try other.eval(null) == null
+        catch { case scala.util.control.NonFatal(_) => true })
       case _ => false // null-rejecting compare over no non-null values
     }
     lit match {

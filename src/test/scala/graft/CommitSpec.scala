@@ -239,6 +239,85 @@ class CommitSpec extends SparkSpec {
     assert(rows(Commit.changesSince(spark, root, 2L).get) === Set(2L -> 7.0))
   }
 
+  test("changesSinceKeyed: applying its upserts+deletes to the cursor snapshot reproduces the current one") {
+    val root = tmp("commit-cdf")
+    // v=1: users 1..8 → buckets 1:[1,5] 2:[2,6] 3:[3,7] 0:[4,8]
+    Commit.publishBuckets(statusDf((1L to 8L).map(i => i -> i.toDouble): _*), root)
+    // v=2: rewrite bucket 1 without user 5 (a DELETE) and bucket 2
+    // with user 2's row byte-identical (a no-op rewrite — user 6 is
+    // deleted, user 2 must NOT be re-delivered)
+    Commit.publishBuckets(statusDf(1L -> 10.0, 2L -> 2.0), root)
+    // v=3: OVERLAPPING second rewrite of bucket 1 — user 1 changes
+    // again, user 9 appears
+    Commit.publishBuckets(statusDf(1L -> 11.0, 9L -> 9.0), root)
+
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val changes = feed.select("user_id", "v", "_change")
+      .as[(Long, Double, String)].collect().toSet
+    // users 1 changed and 9 new; users 5, 6 deleted; user 2's
+    // rewritten-but-identical row and the untouched buckets (3,4,7,8)
+    // are NOT delivered — the row-level contract changesSince lacks
+    assert(changes === Set(
+      (1L, 11.0, "upsert"), (9L, 9.0, "upsert"),
+      (5L, 5.0, "delete"), (6L, 6.0, "delete")), changes)
+
+    // convergence: cursor snapshot minus deletes minus upserted keys,
+    // plus upserts == full re-read
+    val at1 = Commit.readAt(spark, root, 1L).get
+      .select("user_id", "v").as[(Long, Double)].collect().toMap
+    val ups = changes.collect { case (k, v, "upsert") => k -> v }.toMap
+    val dels = changes.collect { case (k, _, "delete") => k }
+    val folded = (at1 -- dels -- ups.keys) ++ ups
+    val now = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toMap
+    assert(folded === now, "CDF fold must converge to the current snapshot")
+
+    // up-to-date cursor: empty feed; stale cursor: None (same contract
+    // as changesSince)
+    assert(Commit.changesSinceKeyed(spark, root, 3L, Seq("user_id")).get.count() === 0)
+    assert(Commit.changesSinceKeyed(spark, root, 99L, Seq("user_id")).isEmpty)
+  }
+
+  test("publish derives the recorded schema from footers — identical to spark.read inference") {
+    val root = tmp("commit-schema-footer")
+    val df = Seq((1L, 1, 1.5, 2.5f, "a", java.math.BigDecimal.valueOf(125, 2)))
+      .toDF("l", "i", "d", "f", "s", "m")
+      .withColumn("ts", expr("timestamp_ntz'2024-01-01 00:00:00'"))
+      .withColumn("tz", expr("timestamp'2024-01-01 00:00:00 UTC'"))
+      .withColumn("day", expr("date'2024-01-01'"))
+      .withColumn("bucket", lit(0))
+    Commit.publishBuckets(df, root)
+    val recorded = Commit.read(spark, root).get.schema
+    val inferred = spark.read.parquet(s"$root/v=1").schema
+    assert(recorded.fields.map(f => (f.name, f.dataType)).toSeq ===
+      inferred.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"footer-derived schema drifted from spark.read inference:\n" +
+        s"recorded=$recorded\ninferred=$inferred")
+  }
+
+  test("optimizeBuckets with a caller-named bucket column keeps keys, carry-forward, and schema") {
+    val root = tmp("commit-optimize-named")
+    val df = Seq((1L, 1.0), (2L, 2.0), (5L, 5.0)).toDF("user_id", "v")
+      .withColumn("sensor", pmod(col("user_id"), lit(4)).cast("int"))
+      .repartition(4)
+    Commit.publishBuckets(df, root, bucketCol = "sensor")
+    Commit.optimizeBuckets(spark, root, bucketCol = "sensor")
+    // the compacted manifest must still be BUCKETED (keys preserved,
+    // not one whole-dir entry) and the column must read back under the
+    // caller's name with unchanged content
+    val (_, entries) = Commit.current(spark, root).get
+    assert(entries.forall(_.key >= 0) && entries.map(_.key).toSet === Set(1, 2),
+      entries)
+    val back = Commit.read(spark, root, bucketCol = "sensor").get
+    assert(back.columns.contains("sensor") && !back.columns.contains("bucket"))
+    assert(back.select("user_id", "v", "sensor")
+      .as[(Long, Double, Int)].collect().toSet ===
+      Set((1L, 1.0, 1), (2L, 2.0, 2), (5L, 5.0, 1)))
+    // and key pruning still works through the rename
+    val (kept, _) = Commit.planWhere(spark, root, "sensor = 2", bucketCol = "sensor")
+    assert(kept.map(_.key) === Seq(2))
+  }
+
   test("optimizeBuckets compacts each bucket to one file without changing content") {
     val root = tmp("commit-optimize")
     // a fragmented table: each publish writes its buckets with the

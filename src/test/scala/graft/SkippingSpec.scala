@@ -126,6 +126,135 @@ class SkippingSpec extends SparkSpec {
     sameAsUnpruned(root, "v between 100 and 199")
   }
 
+  test("file-grain zone maps: a range-sorted snapshot's narrow read opens a strict file subset") {
+    val root = tmp("skip-files")
+    // the engine's own maintained layout: writeRangeSorted stripes the
+    // key space across files — exactly the case entry-grain boxes
+    // cannot exploit (every file is inside the one entry)
+    val df = (0 until 800).map(i => (i.toLong, i, s"r$i"))
+      .toDF("user_id", "v", "name")
+    Commit.publishDir(spark, root)(vdir =>
+      graft.sources.Sources.writeRangeSorted(df, vdir, "v", files = 8))
+    val m = Files.readString(Paths.get(root, "manifest-1.txt"))
+    assert(m.linesIterator.count(_.startsWith("#fstats=")) === 8, m.take(400))
+
+    // one ~100-wide stripe out of 800: at most 2 of 8 files survive
+    val (kept, pruned) = Commit.planWhereFiles(spark, root, "v between 250 and 320")
+    assert(pruned.isEmpty && kept.size === 1)
+    val files = kept.head._2
+    assert(files.nonEmpty, "file grain did not engage")
+    assert(files.get.size <= 3, s"expected <=3 of 8 files, got ${files.get}")
+    // and the pruned read is bit-equal to full read + filter
+    val prunedRows = Commit.readWhere(spark, root, "v between 250 and 320").get
+      .select("user_id", "v").as[(Long, Int)].collect().toSet
+    val fullRows = Commit.read(spark, root).get
+      .filter(expr("v between 250 and 320"))
+      .select("user_id", "v").as[(Long, Int)].collect().toSet
+    assert(prunedRows === fullRows && prunedRows.size === 71)
+  }
+
+  test("file-grain: bucketed entries skip files; all-files-refuted entries drop despite a matching folded box") {
+    val root = tmp("skip-files-bucket")
+    // 2 buckets × time-sorted stripes: repartitionByRange on
+    // (bucket, v) gives each bucket internally range-striped files
+    val df = (0 until 400).map(i => (i.toLong, i, i % 2))
+      .toDF("user_id", "v", "bucket")
+      .repartitionByRange(8, col("bucket"), col("v"))
+      .sortWithinPartitions("bucket", "v")
+    Commit.publishBuckets(df, root)
+    val (kept, _) = Commit.planWhereFiles(spark, root, "bucket = 1 and v < 60")
+    assert(kept.size === 1 && kept.head._1.key === 1)
+    assert(kept.head._2.exists(_.size < 4),
+      s"expected a strict subset of bucket 1's 4 files: ${kept.head._2}")
+    sameAsUnpruned(root, "bucket = 1 and v < 60")
+
+    // an entry whose folded box matches but whose every FILE refutes:
+    // two disjoint stripes [0,99] and [300,399] fold to [0,399]
+    val root2 = tmp("skip-files-gap")
+    val gap = ((0 until 100) ++ (300 until 400)).map(i => (i.toLong, i))
+      .toDF("user_id", "v")
+    Commit.publishDir(spark, root2)(vdir =>
+      graft.sources.Sources.writeRangeSorted(gap, vdir, "v", files = 2))
+    val (kept2, pruned2) = Commit.planWhereFiles(spark, root2, "v = 200")
+    assert(kept2.isEmpty && pruned2.size === 1,
+      "entry with no surviving file must drop entirely")
+    assert(Commit.readWhere(spark, root2, "v = 200").get.count() === 0)
+    assert(Commit.readWhere(spark, root2, "v = 350").get.count() === 1)
+  }
+
+  test("null-safe equality between two COLUMNS never prunes an all-null entry") {
+    val root = tmp("skip-nullsafe")
+    // note and note2 are BOTH null exactly in bucket 0 — `note <=>
+    // note2` is true there, so pruning bucket 0 would drop real rows
+    val rows = for (b <- 0 to 1; i <- 0 to 4) yield
+      (b * 10L + i, b * 100 + i,
+        if (b == 0) null else s"n$b", if (b == 0) null else s"m$b", b)
+    val df = rows.toDF("user_id", "v", "note", "note2", "bucket")
+    Commit.publishBuckets(df, root)
+    val (kept, _) = Commit.planWhere(spark, root, "note <=> note2")
+    assert(kept.map(_.key).toSet === Set(0, 1),
+      "non-foldable <=> operand must decline to prune the all-null entry")
+    val got = Commit.readWhere(spark, root, "note <=> note2").get.count()
+    assert(got === 5, s"bucket 0's 5 both-null rows must match, got $got")
+    // and the foldable cases still prune: a non-null literal can never
+    // null-safe-equal an all-null column; NULL matches only bucket 0
+    assert(Commit.planWhere(spark, root, "note <=> 'n1'")._1
+      .map(_.key).toSet === Set(1))
+    assert(Commit.planWhere(spark, root, "note <=> null")._1
+      .map(_.key).toSet === Set(0))
+  }
+
+  test("stats a snapshot-schema cast could invalidate are not trusted") {
+    import graft.sources.Skipping
+    import graft.sources.Skipping.{ColStat, EntryStats}
+    import org.apache.spark.sql.types._
+    def st(t: String, lo: String, hi: String) =
+      EntryStats(1L, Map("x" -> ColStat(t, lo, hi, 0L)))
+    def kept(s: EntryStats, dt: DataType): Boolean =
+      Skipping.trusted(s, Some(StructType(Seq(StructField("x", dt)))))
+        .cols.contains("x")
+    // integral: widening trusted, narrowing (or legacy width-unknown
+    // "l" against a narrower type) refused
+    assert(kept(st("i32", "1", "9"), IntegerType))
+    assert(kept(st("i32", "1", "9"), LongType))
+    assert(!kept(st("l", "1", "9"), IntegerType)) // pre-r13 tag: width unknown
+    assert(!kept(st("i32", "1", "9"), ShortType))
+    assert(kept(st("i16", "1", "9"), ShortType))
+    // floating: float32 widens exactly; double→float rounds
+    assert(kept(st("f", "1.0", "9.0"), DoubleType))
+    assert(kept(st("f", "1.0", "9.0"), FloatType))
+    assert(!kept(st("d", "1.0", "9.0"), FloatType))
+    // decimal: scale may widen, never narrow; bounds must fit the
+    // target's integer digits
+    assert(kept(st("m", "1.25", "9.50"), DecimalType(10, 2)))
+    assert(kept(st("m", "1.25", "9.50"), DecimalType(10, 4)))
+    assert(!kept(st("m", "1.25", "9.50"), DecimalType(10, 1)))
+    assert(!kept(st("m", "125.00", "950.00"), DecimalType(4, 2)))
+    // cross-kind: never
+    assert(!kept(st("s", "MQ==", "OQ=="), IntegerType))
+    assert(!kept(st("i32", "1", "9"), StringType))
+    // all-null survives any type (casting null is null)
+    assert(kept(st("n", "", ""), IntegerType) &&
+      kept(st("n", "", ""), StringType))
+    // pre-schema manifests cast nothing — trusted as written
+    assert(Skipping.trusted(st("l", "1", "9"), None).cols.contains("x"))
+
+    // integration: narrow the RECORDED schema of a committed table (v
+    // int → short) — the guard must decline to prune on v, and the
+    // read (values all fit short) must stay correct
+    val root = tmp("skip-evolve")
+    Commit.publishBuckets(zonedDf, root)
+    val mf = Paths.get(root, "manifest-1.txt")
+    Files.writeString(mf, Files.readString(mf).replace(
+      "\"name\":\"v\",\"type\":\"integer\"", "\"name\":\"v\",\"type\":\"short\""))
+    // the local Hadoop FS keeps a sidecar checksum; drop it after the
+    // hand edit or the read fails on CRC, not content
+    Files.deleteIfExists(Paths.get(root, ".manifest-1.txt.crc"))
+    assert(keptDirs(root, "v > 10000").size === 4,
+      "distrusted stats must keep every entry")
+    assert(Commit.readWhere(spark, root, "v >= 100").get.count() === 30)
+  }
+
   test("stats-less manifests and unknown shapes decline to prune") {
     val root = tmp("skip-legacy")
     // a pre-skipping manifest, hand-written exactly as round 11 wrote
