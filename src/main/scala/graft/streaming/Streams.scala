@@ -354,17 +354,25 @@ object Streams {
     * the manifest keeps the engine dependency-free with the same
     * transactional boundary and IO bound.
     */
+  /** The per-micro-batch incoming projection of [[statusUpsert]]: each
+    * user's latest reading, last-writer-wins on (ts, event_id). Shared
+    * with the static scan census ([[StreamStatic]]) so the audited
+    * plan IS the one the upsert runs.
+    */
+  def latestPerUser(batch: DataFrame): DataFrame =
+    batch
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value"), col("event_type")),
+        struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("last_ts"),
+        col("s.value").as("last_value"), col("s.event_type").as("last_type"))
+
   def statusUpsert(batch: DataFrame, statusPath: String,
       buckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     def bucketed(df: DataFrame) =
       df.withColumn("bucket", pmod(col("user_id"), lit(buckets)).cast("int"))
-    val incoming = bucketed(batch
-      .groupBy("user_id")
-      .agg(max_by(struct(col("ts"), col("value"), col("event_type")),
-        struct(col("ts"), col("event_id"))).as("s"))
-      .select(col("user_id"), col("s.ts").as("last_ts"),
-        col("s.value").as("last_value"), col("s.event_type").as("last_type")))
+    val incoming = bucketed(latestPerUser(batch))
     // ≤ `buckets` driver values — which partitions this batch touches
     val touched = incoming.select("bucket").distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq

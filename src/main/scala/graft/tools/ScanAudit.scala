@@ -18,11 +18,15 @@ import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   * tree is final at build time; AQE only re-plans exchanges, never
   * scan schemas, so the census is identical to the runtime one.
   *
-  * Streaming queries are SKIPPED by name (q_stream_*): their `fn`
-  * executes a full micro-batch run (nothing static to audit), and
-  * their scan posture is covered by the batch twins they are gated
-  * against. The skip list is recorded in the artifact — a capped
-  * census says so rather than reading as "covered everything".
+  * Streaming queries are audited through their STATIC batch twins
+  * ([[graft.streaming.StreamStatic]]): their registry `fn` executes a
+  * full micro-batch run (nothing static to audit there), but the
+  * source+transform chain applied to a batch read of the same source
+  * plans the identical scan side — column pruning and filter pushdown
+  * are properties of the logical chain, not the trigger. Twin-audited
+  * queries are marked `"mode":"static_batch_twin"` in the artifact,
+  * and PlanSpec pins the twin set equal to the registered q_stream_*
+  * set, so the census covers the whole registry with no skip list.
   *
   * A scan is FULL-WIDTH when read_cols == table_cols; that is only a
   * smell on WIDE tables (the audit flags width > 8: reading all 4
@@ -77,29 +81,39 @@ object ScanAudit {
       .partition(_._1.startsWith("q_stream"))
     val WideCols = 8
 
-    val rows = batch.map { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan
-      name -> scans(plan).map(info)
-    }
+    val twinByName = graft.streaming.StreamStatic.twins(spark, dir).toMap
+    require(twinByName.keySet == streaming.map(_._1).toSet,
+      s"static twins must cover the q_stream_* registry exactly; " +
+        s"missing=${streaming.map(_._1).toSet -- twinByName.keySet} " +
+        s"extra=${twinByName.keySet -- streaming.map(_._1).toSet}")
+    val rows =
+      batch.map { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        (name, scans(plan).map(info), false)
+      } ++ streaming.map { case (name, _) =>
+        val plan = twinByName(name).queryExecution.executedPlan
+        (name, scans(plan).map(info), true)
+      }
     def scanJson(s: ScanInfo): String =
       s"""{"table":"${s.table}","read_cols":${s.readCols},"table_cols":${s.tableCols},"pushed_filters":${s.pushed},"partition_pruned":${s.partitionPruned}}"""
-    val perQuery = rows.map { case (name, ss) =>
-      s"""\"$name\":{"scans":[${ss.map(scanJson).mkString(",")}],"full_width_wide":${
+    val perQuery = rows.sortBy(_._1).map { case (name, ss, twin) =>
+      val mode = if (twin) """"mode":"static_batch_twin",""" else ""
+      s"""\"$name\":{$mode"scans":[${ss.map(scanJson).mkString(",")}],"full_width_wide":${
         ss.count(s => s.readCols == s.tableCols && s.tableCols > WideCols)}}"""
     }.mkString("{", ",", "}")
 
     val all = rows.flatMap(_._2)
-    val fullWide = rows.flatMap { case (n, ss) =>
+    val fullWide = rows.flatMap { case (n, ss, _) =>
       ss.filter(s => s.readCols == s.tableCols && s.tableCols > WideCols)
         .map(s => s"""{"query":"$n","table":"${s.table}","cols":${s.tableCols}}""")
     }
     val summary =
       s"""{"queries_audited":${rows.size},"scans":${all.size},"pruned_scans":${
         all.count(s => s.readCols < s.tableCols)},"pushed_filter_scans":${
-        all.count(_.pushed)},"full_width_wide_scans":[${fullWide.mkString(",")}],"wide_threshold_cols":$WideCols,"skipped_streaming":[${
+        all.count(_.pushed)},"full_width_wide_scans":[${fullWide.mkString(",")}],"wide_threshold_cols":$WideCols,"streaming_twin_queries":[${
         streaming.map("\"" + _._1 + "\"").mkString(",")}]}"""
 
-    val json = s"""{"summary":$summary,"queries":$perQuery,"sf":"$dir","note":"static physical plans (AQE off); read_cols=parquet reader required schema width; full-width scans of tables wider than $WideCols cols are listed individually in summary.full_width_wide_scans"}"""
+    val json = s"""{"summary":$summary,"queries":$perQuery,"sf":"$dir","note":"static physical plans (AQE off); read_cols=parquet reader required schema width; full-width scans of tables wider than $WideCols cols are listed individually in summary.full_width_wide_scans; q_stream_* queries are audited via their static batch twins (StreamStatic.twins) and marked mode=static_batch_twin"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     spark.stop()
     println(summary)

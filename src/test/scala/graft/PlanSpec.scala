@@ -110,6 +110,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("streaming scan census: static batch twins cover every q_stream_* query") {
+    // the census (ScanAudit) audits streaming queries through
+    // StreamStatic.twins — the same source+transform chain on a batch
+    // read. This pin makes the coverage structural: a new streaming
+    // query without a twin fails here, so the census can never
+    // silently regress to a skip list. Each twin must actually plan a
+    // file scan (it audits the SOURCE chain, not a literal relation)
+    // and none may read a wide table full-width.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val streaming = SparkEntry.queries.keySet.filter(_.startsWith("q_stream"))
+      val twins = graft.streaming.StreamStatic.twins(spark, sf0001)
+      assert(twins.map(_._1).toSet === streaming,
+        s"twin set drifted from the registry")
+      for ((name, df) <- twins) {
+        val ss = graft.tools.ScanAudit.scans(df.queryExecution.executedPlan)
+          .map(graft.tools.ScanAudit.info)
+        assert(ss.nonEmpty, s"$name twin plans no file scan")
+        val offenders = ss.filter(s =>
+          s.readCols == s.tableCols && s.tableCols > 8)
+        assert(offenders.isEmpty, s"$name twin reads full width: $offenders")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_asof_join: one shuffle over the union, no pair join") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
     df.collect()
