@@ -41,7 +41,10 @@ object Avi {
     val avih = new ByteArrayOutputStream()
     avih.write(le32(1000000L / fps)) // dwMicroSecPerFrame
     avih.write(le32(0)); avih.write(le32(0))
-    avih.write(le32(0x10)) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish flags
+    // dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+    // must NOT be claimed — a strict reader honoring the flag would
+    // seek for an index that isn't there
+    avih.write(le32(0))
     avih.write(le32(frames.length.toLong)) // dwTotalFrames
     avih.write(le32(0)); avih.write(le32(1)) // streams
     avih.write(le32(0))
