@@ -106,13 +106,28 @@ object Bench {
     // a per-query cost, not a suite-position cost; GC time itself is
     // outside every timed region.
     System.gc()
+    // per-iteration GC time: the bimodality diagnostic. An iteration
+    // whose wall time spikes WITH its GC delta was taxed by collection
+    // (heap pressure from earlier suite residue), not by its plan —
+    // BENCH_DETAIL carries both arrays so a spread is attributable.
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) t += v }
+      t
+    }
+    val gcByQuery = scala.collection.mutable.Map.empty[String, Seq[Double]]
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] =
       (1 to n).map { _ =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         once(name, fn)
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        gcByQuery(name) = gcByQuery.getOrElse(name, Nil) :+ ((gcMillis() - g0) / 1e3)
+        dt
       }
     val rawTimings = suite.map { case (name, fn) =>
       val times = timed(name, fn, iters)
@@ -193,6 +208,9 @@ object Bench {
     val iterDetail = timings.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val gcDetail = timings.map { case (k, _) =>
+      s"\"" + k + "\":[" + gcByQuery.getOrElse(k, Nil).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errJson = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val loadAfter = loadavg()
@@ -239,7 +257,7 @@ object Bench {
       else "/root/repo/BENCH_DETAIL_partial.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations (outlier-adjudicated, see adjudicated); under contention (contended=true) compare queries_min, not medians"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations (outlier-adjudicated, see adjudicated); under contention (contended=true) compare queries_min, not medians"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.
