@@ -372,7 +372,12 @@ object Streams {
     val spark = batch.sparkSession
     def bucketed(df: DataFrame) =
       df.withColumn("bucket", pmod(col("user_id"), lit(buckets)).cast("int"))
-    val incoming = bucketed(latestPerUser(batch))
+    // cached: the touched-bucket probe and the merge write both consume
+    // the incoming reduction — without the cache every micro-batch pays
+    // its aggregation twice. One row per user in the batch; unpersisted
+    // before return.
+    val incoming = bucketed(latestPerUser(batch)).cache()
+    try {
     // ≤ `buckets` driver values — which partitions this batch touches
     val touched = incoming.select("bucket").distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -396,7 +401,15 @@ object Streams {
             col("s.last_value").as("last_value"),
             col("s.last_type").as("last_type")))
     }
-    graft.sources.Commit.publishBuckets(merged, statusPath)
+    // bucket-align the merge output (one file per touched bucket per
+    // version): a stream of micro-batches otherwise fragments each
+    // bucket into parallelism-many files per trigger — the small-file
+    // problem optimizeBuckets exists to undo, cheaper to not create.
+    // Per-bucket volume is bounded by the micro-batch, so the narrowed
+    // write parallelism costs nothing.
+    graft.sources.Commit.publishBuckets(
+      merged.repartition(col("bucket")), statusPath)
+    } finally { incoming.unpersist(); () }
   }
 
   /** Reader for the maintained status table — resolves through the

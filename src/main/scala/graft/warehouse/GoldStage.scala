@@ -186,7 +186,13 @@ object GoldStage {
       pmod(col("user_id"), lit(buckets)).cast("int"))
     val incoming = hourlyPartials(withQuality(batch))
     val sumType = incoming.schema("v_sum").dataType
-    val inc0 = bucketed(incoming)
+    // cache the partials: the touched-bucket probe below and the merge
+    // write both consume them, and WITHOUT the cache each refresh pays
+    // the full batch aggregation twice (measured: the dominant cost of
+    // the gold replay). Partial rows are key-cardinality-bounded —
+    // safe to pin for the publish's duration.
+    val inc0 = bucketed(incoming).cache()
+    try {
     // ≤ `buckets` driver values — which partitions this batch touches
     val touched = inc0.select("bucket").distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq
@@ -212,7 +218,16 @@ object GoldStage {
             sum(col("q_sum")).cast(sumType).as("q_sum"),
             sum(col("q_cnt")).as("q_cnt")))
     }
-    graft.sources.Commit.publishBuckets(merged, path)
+    // bucket-align the merge output: without it every writer partition
+    // emits a file into every touched bucket (parallelism × buckets
+    // small files per version — fragmentation the readers, the footer
+    // harvest, and eventually optimizeBuckets all pay for). One
+    // shuffle keyed on the bucket gives exactly one file per touched
+    // bucket; a micro-batch's per-bucket volume is bounded by the
+    // batch, so the narrowed write parallelism costs nothing.
+    graft.sources.Commit.publishBuckets(
+      merged.repartition(col("bucket")), path)
+    } finally { inc0.unpersist(); () }
   }
 
   /** Reader for the incrementally-maintained hourly fact — resolves
