@@ -185,40 +185,64 @@ object SqlDash {
   val viewSensorStatus = q(
     "q_view_sensor_status",
     "SELECT * FROM v_sensor_status",
-    """SELECT user_id AS sensor_id,
-              event_type AS sensor_type,
+    """SELECT e.user_id AS sensor_id,
+              e.event_type AS sensor_type,
+              MAX(c.c_mktsegment) AS district_name,
               COUNT(*) AS n_readings,
-              MIN(value) AS normal_min_value,
-              MAX(value) AS normal_max_value,
-              MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS effective_date,
-              MAX(CAST(ts AS TIMESTAMP)) >=
+              MIN(e.value) AS normal_min_value,
+              MAX(e.value) AS normal_max_value,
+              MIN(CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS effective_date,
+              MAX(CAST(e.ts AS TIMESTAMP)) >=
                 (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
                   - INTERVAL 7 DAY AS is_current,
+              CASE WHEN MAX(CAST(e.ts AS TIMESTAMP)) >=
+                    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+                      - INTERVAL 7 DAY
+                   THEN 'active' ELSE 'inactive' END AS status,
               'events' AS data_source_name
-       FROM events GROUP BY 1, 2""")
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""")
 
   val viewDistrictPerformance = q(
     "q_view_district_performance",
     "SELECT * FROM v_district_performance",
-    s"""WITH star_fact AS (${Warehouse.starFact.oracle.get})
-        SELECT segment AS district_name,
-               time_key AS date_key,
-               COUNT(*) AS total_orders,
-               ${AVGD("total_price")} AS avg_order_value,
-               ROUND(${SUMD("total_price")}, 4) AS total_volume,
-               COUNT(DISTINCT customer_key) AS unique_customers
-        FROM star_fact GROUP BY 1, 2""")
+    """SELECT c.c_mktsegment AS district_name,
+              e.event_type AS sensor_type,
+              'events' AS data_source_name,
+              CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS date_actual,
+              ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(e.value), 6) AS avg_reading,
+              COUNT(*) AS total_readings,
+              CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS anomaly_count,
+              ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
+              ROUND(CAST(SUM(CAST(CAST(json_extract_string(e.props, '$.k')
+                  AS DOUBLE) / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(json_extract_string(e.props, '$.k')), 6)
+                AS avg_quality_score,
+              COUNT(DISTINCT e.user_id) AS unique_stations,
+              COUNT(DISTINCT c.c_nationkey) AS unique_catchments
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2, 4""")
 
   val viewThamesMonitoring = q(
     "q_view_thames_monitoring",
     "SELECT * FROM v_thames_monitoring",
-    """SELECT user_id AS station_id,
-              CAST(ts AS TIMESTAMP) AS reading_timestamp,
-              value AS water_level,
-              CASE WHEN value < -1 THEN 'Low'
-                   WHEN value > 5 THEN 'High'
+    """SELECT e.user_id AS station_id,
+              n.n_name AS catchment,
+              c.c_mktsegment AS district_name,
+              e.value AS water_level,
+              CAST(e.ts AS TIMESTAMP) AS reading_timestamp,
+              CAST(json_extract_string(e.props, '$.k') AS DOUBLE) / 100.0
+                AS quality_score,
+              CASE WHEN e.value < -1 THEN 'Low'
+                   WHEN e.value > 5 THEN 'High'
                    ELSE 'Normal' END AS water_level_status
-       FROM events WHERE event_type = 'view'""")
+       FROM events e
+       LEFT JOIN customer c ON e.user_id = c.c_custkey
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE e.event_type = 'view'""")
 
   val viewDataLineage = q(
     "q_view_data_lineage",

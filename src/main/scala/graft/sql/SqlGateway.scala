@@ -66,38 +66,74 @@ object SqlGateway {
     */
   val RefViews: Seq[(String, String)] = Seq(
     // ref:181-199 — the sensor catalog: per (sensor, type) observed
-    // range, first-seen date, and a 7-day currency flag
+    // range, first-seen date, a 7-day currency flag, the derived
+    // status, and the sensor's district (its customer's segment —
+    // LEFT, so a sensor without a dim row still catalogs)
     "v_sensor_status" ->
-      """SELECT user_id AS sensor_id,
-                event_type AS sensor_type,
+      """SELECT e.user_id AS sensor_id,
+                e.event_type AS sensor_type,
+                MAX(c.c_mktsegment) AS district_name,
                 COUNT(*) AS n_readings,
-                MIN(value) AS normal_min_value,
-                MAX(value) AS normal_max_value,
-                MIN(CAST(ts AS DATE)) AS effective_date,
-                MAX(ts) >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+                MIN(e.value) AS normal_min_value,
+                MAX(e.value) AS normal_max_value,
+                MIN(CAST(e.ts AS DATE)) AS effective_date,
+                MAX(e.ts) >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
                   AS is_current,
+                CASE WHEN MAX(e.ts) >=
+                      (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+                     THEN 'active' ELSE 'inactive' END AS status,
                 'events' AS data_source_name
-         FROM events GROUP BY user_id, event_type""",
-    // ref:202-220 — district × day performance rollup over the star
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY e.user_id, e.event_type""",
+    // ref:202-220 — the READINGS rollup the reference states: district
+    // × sensor type × source × day with reading/anomaly/quality
+    // metrics (incl. anomaly_rate_percent, ref:211-212) and station/
+    // catchment cardinalities. Translation: district ~ the sensor's
+    // customer segment, anomaly ~ event_type='error' (so within a
+    // sensor-type group the rate is 0 or 100 — the grouping keeps the
+    // reference's columns; the established anomaly mapping is
+    // type-derived), catchment ~ the customer's nation. CAST AS DOUBLE
+    // before the *100.0 — a bare decimal literal would type the column
+    // decimal(31,6) and break hash parity with the oracle (the r12
+    // lesson, SqlDash.scala).
     "v_district_performance" ->
-      """SELECT segment AS district_name,
-                time_key AS date_key,
-                COUNT(*) AS total_orders,
-                CAST(SUM(CAST(total_price AS DECIMAL(18,4))) AS DOUBLE)
-                  / COUNT(total_price) AS avg_order_value,
-                ROUND(CAST(SUM(CAST(total_price AS DECIMAL(18,4))) AS DOUBLE),
-                  4) AS total_volume,
-                COUNT(DISTINCT customer_key) AS unique_customers
-         FROM star_fact GROUP BY segment, time_key""",
-    // ref:223-242 — level banding over one sensor type's readings
+      """SELECT c.c_mktsegment AS district_name,
+                e.event_type AS sensor_type,
+                'events' AS data_source_name,
+                CAST(e.ts AS DATE) AS date_actual,
+                ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(e.value), 6) AS avg_reading,
+                COUNT(*) AS total_readings,
+                SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS anomaly_count,
+                ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                    AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
+                ROUND(CAST(SUM(CAST(CAST(get_json_object(e.props, '$.k') AS DOUBLE)
+                    / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(get_json_object(e.props, '$.k')), 6)
+                  AS avg_quality_score,
+                COUNT(DISTINCT e.user_id) AS unique_stations,
+                COUNT(DISTINCT c.c_nationkey) AS unique_catchments
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment, e.event_type, CAST(e.ts AS DATE)""",
+    // ref:223-242 — level banding over one sensor type's readings,
+    // with the reference's station/catchment/district/quality columns
+    // (catchment ~ the customer's nation name)
     "v_thames_monitoring" ->
-      """SELECT user_id AS station_id,
-                ts AS reading_timestamp,
-                value AS water_level,
-                CASE WHEN value < -1 THEN 'Low'
-                     WHEN value > 5 THEN 'High'
+      """SELECT e.user_id AS station_id,
+                n.n_name AS catchment,
+                c.c_mktsegment AS district_name,
+                e.value AS water_level,
+                e.ts AS reading_timestamp,
+                CAST(get_json_object(e.props, '$.k') AS DOUBLE) / 100.0
+                  AS quality_score,
+                CASE WHEN e.value < -1 THEN 'Low'
+                     WHEN e.value > 5 THEN 'High'
                      ELSE 'Normal' END AS water_level_status
-         FROM events WHERE event_type = 'view'""",
+         FROM events e
+         LEFT JOIN customer c ON e.user_id = c.c_custkey
+         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE e.event_type = 'view'""",
     // ref:245-258 — per-ingest-batch (daily) lineage and quality
     "v_data_lineage" ->
       """SELECT CAST(ts AS DATE) AS batch_day,
