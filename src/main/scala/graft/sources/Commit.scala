@@ -297,7 +297,17 @@ object Commit {
     * comparison is one equi-join on the key columns (hash-partitioned
     * on the same key both sides). Returns None exactly when
     * [[changesSince]] does: `since` is not reconstructable and the
-    * consumer must fall back to a full read.
+    * consumer must fall back to a full read ([[fullAsUpserts]] is that
+    * fallback in this feed's own row shape).
+    *
+    * PRECONDITION (stable bucketing): diffing only rewritten buckets
+    * assumes a key's bucket assignment did not change between the two
+    * snapshots — the same invariant every carry-forward merge here
+    * already relies on (a publish that rewrote bucket 3 must have
+    * folded ALL of bucket 3's keys, which is only true if keys don't
+    * migrate). A writer that changes its bucket count (the pmod
+    * modulus) must publish a full rewrite (all buckets fresh), which
+    * this diff handles correctly since nothing is carried.
     */
   def changesSinceKeyed(spark: SparkSession, root: String, since: Long,
       keyCols: Seq[String], bucketCol: String = "bucket"): Option[DataFrame] =
@@ -311,9 +321,13 @@ object Commit {
       val changed = cur.entries.filterNot(baseline.contains)
       // buckets present at `since` that were rewritten or dropped: the
       // delete side must scan their OLD content. A changed whole-dir
-      // entry (key -1) replaces the whole table.
+      // entry (key -1) replaces the whole table. A legacy schema-less
+      // manifest (cur.schema None) gives the diff no committed column
+      // set to conform the OLD side to — fall back to a whole-table
+      // diff under the current read's own merged columns.
       val wholeDir = changed.exists(_.key < 0) ||
-        base.entries.exists(_.key < 0) != cur.entries.exists(_.key < 0)
+        base.entries.exists(_.key < 0) != cur.entries.exists(_.key < 0) ||
+        cur.schema.isEmpty
       val changedKeys = changed.map(_.key).toSet
       val oldSide = base.entries.filter(e =>
         wholeDir || changedKeys.contains(e.key) ||

@@ -49,11 +49,18 @@ object Skipping {
     * width) · "f"/"d" floating of that width (Double text, ±Infinity
     * allowed; "d" covers pre-r13 float32 footers too) · "m" decimal
     * (BigDecimal text) · "s" UTF-8 bytes (unsigned-lexicographic,
-    * base64) · "t" timestamp micros · "a" date days · "n" the entry
-    * holds NO non-null value for the column (lo/hi empty). `nulls` is
-    * -1 when any footer did not record it. The width in the tag is
-    * what [[compatible]] checks against the snapshot schema: stats
-    * stay trustworthy only under lossless widening.
+    * base64) · "tu"/"tn" timestamp micros, UTC-adjusted (instant) vs
+    * local (NTZ) semantics per the footer's isAdjustedToUTC — the
+    * split matters because the snapshot-schema cast between
+    * TimestampType and TimestampNTZType SHIFTS stored values by the
+    * session timezone, so stats harvested under one semantics must
+    * not prune reads under the other ("t" is the pre-r14 tag that
+    * recorded neither — [[compatible]] trusts it only where the shift
+    * is provably zero) · "a" date days · "n" the entry holds NO
+    * non-null value for the column (lo/hi empty). `nulls` is -1 when
+    * any footer did not record it. The width in the tag is what
+    * [[compatible]] checks against the snapshot schema: stats stay
+    * trustworthy only under lossless widening.
     */
   final case class ColStat(t: String, lo: String, hi: String, nulls: Long)
 
@@ -62,6 +69,9 @@ object Skipping {
     t == "l" || t == "i8" || t == "i16" || t == "i32"
   /** Floating-domain tags (compared as Double). */
   private def isFloatTag(t: String): Boolean = t == "d" || t == "f"
+  /** Timestamp-domain tags (micros, compared as Long). */
+  private def isTsTag(t: String): Boolean =
+    t == "t" || t == "tu" || t == "tn"
   private def intTagWidth(t: String): Int = t match {
     case "i8" => 8
     case "i16" => 16
@@ -128,7 +138,7 @@ object Skipping {
 
   /** Compare two in-domain values under the tag's ordering. */
   private def domCmp(t: String, x: Any, y: Any): Int = t match {
-    case "t" | "a" =>
+    case ts if isTsTag(ts) || ts == "a" =>
       java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
     case it if isIntTag(it) =>
       java.lang.Long.compare(x.asInstanceOf[Long], y.asInstanceOf[Long])
@@ -157,7 +167,7 @@ object Skipping {
   }
 
   private def render(t: String, v: Any): String = t match {
-    case "t" | "a" => v.asInstanceOf[Long].toString
+    case ts if isTsTag(ts) || ts == "a" => v.asInstanceOf[Long].toString
     case it if isIntTag(it) => v.asInstanceOf[Long].toString
     case ft if isFloatTag(ft) => v.asInstanceOf[Double].toString
     case "m" => v.asInstanceOf[java.math.BigDecimal].toPlainString
@@ -166,7 +176,7 @@ object Skipping {
   }
 
   private def parse(t: String, s: String): Any = t match {
-    case "t" | "a" => s.toLong
+    case ts if isTsTag(ts) || ts == "a" => s.toLong
     case it if isIntTag(it) => s.toLong
     case ft if isFloatTag(ft) => s.toDouble
     case "m" => new java.math.BigDecimal(s)
@@ -323,7 +333,24 @@ object Skipping {
       case _ => false
     }
     case "s" => dt == StringType
-    case "t" => dt == TimestampType || dt == TimestampNTZType
+    // timestamp stats are semantics-tagged (r14): "tu" was harvested
+    // from UTC-adjusted (instant) footers and matches only
+    // TimestampType; "tn" from local-semantics footers and matches
+    // only TimestampNTZType. A cross read exists (applySchema casts
+    // ntz<->tz) but SHIFTS every value by the session timezone, so the
+    // stored bounds describe values the reader will not see — exactly
+    // the lossy-cast class this gate refuses. The legacy "t" tag
+    // (pre-r14 manifests) recorded neither semantics: trust it for
+    // either timestamp type only when the session timezone is UTC,
+    // where the potential shift is provably zero.
+    case "tu" => dt == TimestampType
+    case "tn" => dt == TimestampNTZType
+    case "t" => (dt == TimestampType || dt == TimestampNTZType) && {
+      try java.time.ZoneId
+        .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        .normalized() == java.time.ZoneOffset.UTC
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
     case "a" => dt == DateType
     case _ => false
   }
@@ -368,12 +395,17 @@ object Skipping {
       case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
         val lo = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
         val hi = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+        // the tag records the footer's isAdjustedToUTC: instant ("tu")
+        // vs local ("tn") semantics — the ntz<->tz snapshot cast shifts
+        // values by the session timezone, and compatible() must be able
+        // to refuse stats from the other semantics
+        val tag = if (ts.isAdjustedToUTC) "tu" else "tn"
         import LogicalTypeAnnotation.TimeUnit._
         ts.getUnit match {
-          case MILLIS => Valued("t", lo * 1000L, hi * 1000L, nulls)
-          case MICROS => Valued("t", lo, hi, nulls)
+          case MILLIS => Valued(tag, lo * 1000L, hi * 1000L, nulls)
+          case MICROS => Valued(tag, lo, hi, nulls)
           case NANOS => // widen conservatively when flooring/ceiling
-            Valued("t", Math.floorDiv(lo, 1000L),
+            Valued(tag, Math.floorDiv(lo, 1000L),
               Math.floorDiv(hi, 1000L) + (if (Math.floorMod(hi, 1000L) == 0) 0 else 1), nulls)
           case _ => Unusable
         }
@@ -445,7 +477,7 @@ object Skipping {
     * number).
     */
   private def bounds(c: ColStat): (Option[Dom], Option[Dom]) = c.t match {
-    case "t" | "a" | "m" =>
+    case ts if isTsTag(ts) || ts == "a" || ts == "m" =>
       (Some(NumD(new java.math.BigDecimal(c.lo))),
         Some(NumD(new java.math.BigDecimal(c.hi))))
     case it if isIntTag(it) =>
@@ -479,7 +511,7 @@ object Skipping {
           else Some(NumD(new java.math.BigDecimal(d)))
         case (_: DecimalType, _) if numericTag =>
           Some(NumD(x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
-        case (TimestampType | TimestampNTZType, "t") =>
+        case (TimestampType | TimestampNTZType, tt) if isTsTag(tt) =>
           Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Long])))
         case (DateType, "a") =>
           Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Int])))

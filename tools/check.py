@@ -168,8 +168,19 @@ def main():
             results[name] = [f"spark output read failed: {e}"]
             continue
         try:
+            # execute ONCE and derive both views from the same result:
+            # a second execution doubles oracle-side gate cost and could
+            # diverge from the hashed frame on a nondeterministic query.
+            # to_pandas must mirror fetchdf's normalization (decimal →
+            # float64, date32 → datetime64[us]) or compare() would see
+            # object-dtype Decimals/dates that fetchdf never produced;
+            # arrow_type_problems still sees the ORIGINAL arrow schema.
             oracle_res = con.execute(sql).arrow()
-            oracle_df = con.execute(sql).fetchdf()
+            norm = pa.schema([
+                pa.field(f.name, pa.float64()) if pa.types.is_decimal(f.type)
+                else pa.field(f.name, pa.timestamp("us")) if pa.types.is_date(f.type)
+                else f for f in oracle_res.schema])
+            oracle_df = oracle_res.cast(norm).to_pandas()
         except Exception as e:
             results[name] = [f"ORACLE SQL failed: {e}"]
             continue
