@@ -342,12 +342,33 @@ object Commit {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], renamed)
         } else applySchema(assemble(spark, root, es, bc), m.schema, bc)
       // compare under the CURRENT schema so a schema evolution between
-      // the snapshots diffs by value, not by column-set accident
+      // the snapshots diffs by value, not by column-set accident. The
+      // schema-less path's applySchema is an identity, so the old side
+      // is conformed to the current read's columns EXPLICITLY: additive
+      // evolution null-fills (at the current column's type), dropped
+      // columns are projected away — the same contract applySchema
+      // gives schema-bearing manifests.
       val curRows = readEntries(cur, if (wholeDir) cur.entries else changed)
-      val oldRows = applySchema(readEntries(base, oldSide), cur.schema, bc)
       val cols = curRows.columns.toSeq
+      val oldRows = {
+        val o0 = applySchema(readEntries(base, oldSide), cur.schema, bc)
+        val have = o0.columns.toSet
+        o0.select(cols.map(x =>
+          if (have.contains(x)) col(x)
+          else lit(null).cast(curRows.schema(x).dataType).as(x)): _*)
+      }
       require(keyCols.nonEmpty && keyCols.forall(cols.contains),
         s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
+      // the diff's internal marker/prefixed names must not collide with
+      // a data column, or the join would silently read data where it
+      // means bookkeeping — refuse loudly instead (ref analog: Delta
+      // reserves its _change_type CDF column the same way)
+      require(cols.forall(x =>
+        x != "_change" && !x.startsWith("_m_") && !x.startsWith("_o_")),
+        s"snapshot columns ${cols.filter(x => x == "_change" ||
+          x.startsWith("_m_") || x.startsWith("_o_")).mkString(",")} " +
+          "collide with the change feed's reserved names " +
+          "(_change, _m_*, _o_*)")
       // presence markers: data columns may be legitimately null, so a
       // full-outer miss is detected by a non-nullable literal, never by
       // a data column. The key join is null-safe (a null key is a key);
@@ -366,6 +387,34 @@ object Commit {
         .select(cols.map(x => col(s"_o_$x").as(x)) :+
           lit("delete").as("_change"): _*)
       upserts.unionByName(deletes)
+    }
+
+  /** The consumer's fallback when [[changesSinceKeyed]] returns None
+    * (cursor vacuumed away or never committed): the CURRENT snapshot
+    * re-expressed in the change feed's own row shape — every row an
+    * `_change = "upsert"`, no deletes. A keyed consumer that clears its
+    * state and applies this batch converges to the current snapshot
+    * through the SAME apply path it uses for incremental batches, so a
+    * vacuum never forces a second code path (the Delta CDF
+    * initial-snapshot semantics: a fresh read delivers inserts only).
+    *
+    * Scale: one snapshot scan — exactly the full [[read]] the stale
+    * consumer would have had to do anyway, plus a constant column.
+    * `keyCols` is validated against the snapshot like the incremental
+    * feed does, so a mis-keyed consumer fails here, not at apply time.
+    * Returns None before any commit.
+    */
+  def fullAsUpserts(spark: SparkSession, root: String, keyCols: Seq[String],
+      bucketCol: String = "bucket"): Option[DataFrame] =
+    read(spark, root, bucketCol).map { snap =>
+      val cols = snap.columns.toSeq
+      require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+        s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
+      require(cols.forall(x =>
+        x != "_change" && !x.startsWith("_m_") && !x.startsWith("_o_")),
+        "snapshot columns collide with the change feed's reserved names " +
+          "(_change, _m_*, _o_*)")
+      snap.select(cols.map(col) :+ lit("upsert").as("_change"): _*)
     }
 
   /** (kept, pruned) under the predicate — the skipping plan at ENTRY

@@ -345,15 +345,21 @@ object Skipping {
     // where the potential shift is provably zero.
     case "tu" => dt == TimestampType
     case "tn" => dt == TimestampNTZType
-    case "t" => (dt == TimestampType || dt == TimestampNTZType) && {
-      try java.time.ZoneId
-        .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-        .normalized() == java.time.ZoneOffset.UTC
-      catch { case scala.util.control.NonFatal(_) => false }
-    }
+    case "t" => (dt == TimestampType || dt == TimestampNTZType) && utcSession
     case "a" => dt == DateType
     case _ => false
   }
+
+  /** True when the session timezone normalizes to UTC — the only
+    * setting under which an instant<->local timestamp reinterpretation
+    * is provably a zero shift. Shared by [[compatible]] (legacy "t"
+    * stats) and [[literalDom]] (cross-semantics literals).
+    */
+  private def utcSession: Boolean =
+    try java.time.ZoneId
+      .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      .normalized() == java.time.ZoneOffset.UTC
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** One column chunk's statistics, classified. */
   private def chunkAcc(ccm: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
@@ -511,7 +517,15 @@ object Skipping {
           else Some(NumD(new java.math.BigDecimal(d)))
         case (_: DecimalType, _) if numericTag =>
           Some(NumD(x.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
-        case (TimestampType | TimestampNTZType, tt) if isTsTag(tt) =>
+        // Timestamp literals order against the stored micros ONLY when
+        // the literal's semantics match the footer's: the actual filter
+        // casts a mismatched side through the session timezone, shifting
+        // every value — the same class compatible() refuses. Legacy "t"
+        // stats (unknown semantics) are trusted only under a UTC session,
+        // where the potential shift is provably zero.
+        case (TimestampType, "tu") | (TimestampNTZType, "tn") =>
+          Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Long])))
+        case (TimestampType | TimestampNTZType, "t") if utcSession =>
           Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Long])))
         case (DateType, "a") =>
           Some(NumD(new java.math.BigDecimal(x.asInstanceOf[Int])))

@@ -278,6 +278,79 @@ class CommitSpec extends SparkSpec {
     assert(Commit.changesSinceKeyed(spark, root, 99L, Seq("user_id")).isEmpty)
   }
 
+  test("fullAsUpserts: the vacuum fallback converges through the same apply path") {
+    val root = tmp("commit-full-upserts")
+    assert(Commit.fullAsUpserts(spark, root, Seq("user_id")).isEmpty,
+      "no commit yet → None, like read")
+    Commit.publishBuckets(statusDf((1L to 8L).map(i => i -> i.toDouble): _*), root) // v=1
+    Commit.publishBuckets(statusDf(1L -> 10.0), root) // v=2: bucket 1 loses 5
+    Commit.publishBuckets(statusDf(2L -> 7.0), root)  // v=3: bucket 2 loses 6
+    Commit.vacuum(spark, root) // retain=1: the v=1 cursor is gone
+    assert(Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).isEmpty,
+      "vacuumed cursor must be stale")
+    // the fallback: current snapshot in the feed's own row shape
+    val fb = Commit.fullAsUpserts(spark, root, Seq("user_id")).get
+    assert(fb.columns.toSeq ===
+      Commit.read(spark, root).get.columns.toSeq :+ "_change")
+    val rows = fb.select("user_id", "v", "_change")
+      .as[(Long, Double, String)].collect().toSet
+    assert(rows.nonEmpty && rows.forall(_._3 === "upsert"))
+    // a consumer that clears state and applies the batch through its
+    // normal upsert path converges to the full re-read
+    val applied = rows.map(r => r._1 -> r._2).toMap
+    val now = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toMap
+    assert(applied === now, "fallback apply must converge to the snapshot")
+    // keys validated like the incremental feed — a mis-keyed consumer
+    // fails here, not at apply time
+    intercept[IllegalArgumentException] {
+      Commit.fullAsUpserts(spark, root, Seq("no_such_key"))
+    }
+  }
+
+  test("change feed refuses data columns that collide with its reserved names") {
+    val root = tmp("commit-marker")
+    // a snapshot with a data column named like a diff marker: the diff
+    // must fail loudly, never silently read data as bookkeeping
+    Commit.publishBuckets(statusDf(1L -> 1.0).withColumn("_m_cur", lit(5)), root)
+    Commit.publishBuckets(statusDf(2L -> 2.0).withColumn("_m_cur", lit(6)), root)
+    val e = intercept[IllegalArgumentException] {
+      Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id"))
+    }
+    assert(e.getMessage.contains("_m_cur"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Commit.fullAsUpserts(spark, root, Seq("user_id"))
+    }
+    // ordinary underscore columns are NOT refused — only the reserved
+    // _change / _m_* / _o_* shapes
+    val root2 = tmp("commit-marker-ok")
+    Commit.publishBuckets(statusDf(1L -> 1.0).withColumn("_note", lit("x")), root2)
+    Commit.publishBuckets(statusDf(1L -> 2.0).withColumn("_note", lit("y")), root2)
+    assert(Commit.changesSinceKeyed(spark, root2, 1L, Seq("user_id"))
+      .get.count() === 1)
+  }
+
+  test("schema-less CDF fallback null-fills additive evolution instead of failing") {
+    // legacy manifests without #schema= lines give the diff no committed
+    // column set: the whole-table fallback must conform the OLD side to
+    // the current read's columns (null-filling a column added after the
+    // cursor), not throw on the select
+    val root = tmp("commit-schemaless-cdf")
+    Seq((1L, 1.0)).toDF("user_id", "v").write.parquet(s"$root/v=1/bucket=0")
+    Seq((1L, 2.0, "x"), (2L, 3.0, "y")).toDF("user_id", "v", "note")
+      .write.parquet(s"$root/v=2/bucket=0")
+    Files.writeString(Paths.get(root, "manifest-1.txt"),
+      "1\n#parent=0\n0\tv=1/bucket=0")
+    Files.writeString(Paths.get(root, "manifest-2.txt"),
+      "2\n#parent=1\n0\tv=2/bucket=0")
+    Files.writeString(Paths.get(root, "_POINTER"), "manifest-2.txt")
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val rows = feed.select("user_id", "v", "note", "_change")
+      .as[(Long, Double, Option[String], String)].collect().toSet
+    assert(rows === Set(
+      (1L, 2.0, Some("x"), "upsert"), (2L, 3.0, Some("y"), "upsert")), rows)
+  }
+
   test("publish derives the recorded schema from footers — identical to spark.read inference") {
     val root = tmp("commit-schema-footer")
     val df = Seq((1L, 1, 1.5, 2.5f, "a", java.math.BigDecimal.valueOf(125, 2)))

@@ -255,6 +255,124 @@ class SkippingSpec extends SparkSpec {
     assert(Commit.readWhere(spark, root, "v >= 100").get.count() === 30)
   }
 
+  test("timestamp semantics: tu/tn stats gate both the schema cast and the literal; legacy t is UTC-only") {
+    import graft.sources.Skipping
+    import graft.sources.Skipping.{ColStat, EntryStats}
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    def c(tag: String) = ColStat(tag, "0", "0", 0L)
+
+    // schema gate: stats from one semantics never survive a read of
+    // the other (the ntz<->tz cast shifts values by the session tz)
+    assert(Skipping.compatible(c("tu"), TimestampType))
+    assert(!Skipping.compatible(c("tu"), TimestampNTZType))
+    assert(Skipping.compatible(c("tn"), TimestampNTZType))
+    assert(!Skipping.compatible(c("tn"), TimestampType))
+
+    // legacy "t" (pre-r14 manifests, semantics unknown): trusted for
+    // either timestamp type ONLY when the session tz is UTC, where the
+    // potential shift is provably zero
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      assert(Skipping.compatible(c("t"), TimestampType))
+      assert(Skipping.compatible(c("t"), TimestampNTZType))
+      spark.conf.set(tzKey, "America/New_York")
+      assert(!Skipping.compatible(c("t"), TimestampType))
+      assert(!Skipping.compatible(c("t"), TimestampNTZType))
+    } finally spark.conf.set(tzKey, saved)
+
+    // literal gate: even when the stat survived the schema cast, a
+    // comparison literal of the OTHER semantics goes through a session-
+    // tz cast in the actual filter — its raw micros must not prune
+    def stat(tag: String) = // ts in [epoch, epoch+1s]
+      EntryStats(1L, Map("ts" -> ColStat(tag, "0", "1000000", 0L)))
+    def p(s: String) = spark.sessionState.sqlParser.parseExpression(s)
+    val tzLit = p("ts >= timestamp'2024-06-01 00:00:00'")
+    val ntzLit = p("ts >= timestamp_ntz'2024-06-01 00:00:00'")
+    assert(!Skipping.mayMatch(tzLit, stat("tu")), "matching semantics prune")
+    assert(Skipping.mayMatch(ntzLit, stat("tu")), "cross semantics decline")
+    assert(!Skipping.mayMatch(ntzLit, stat("tn")), "matching semantics prune")
+    assert(Skipping.mayMatch(tzLit, stat("tn")), "cross semantics decline")
+    try {
+      spark.conf.set(tzKey, "UTC")
+      assert(!Skipping.mayMatch(tzLit, stat("t")), "legacy t prunes under UTC")
+      assert(!Skipping.mayMatch(ntzLit, stat("t")))
+      spark.conf.set(tzKey, "America/New_York")
+      assert(Skipping.mayMatch(tzLit, stat("t")), "legacy t declines off-UTC")
+      assert(Skipping.mayMatch(ntzLit, stat("t")))
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("legacy t manifest prunes under UTC, keeps everything off-UTC, result unchanged") {
+    import graft.sources.Skipping
+    import graft.sources.Skipping.{ColStat, EntryStats}
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val root = tmp("skip-legacy-t")
+    val df = zonedDf.filter(col("bucket") === 1).drop("bucket")
+    df.write.parquet(s"$root/v=1/bucket=1")
+    // hand-write a pre-r14 manifest: schema-bearing, ts stat tagged "t"
+    // with the data's true micro bounds (Jan 2 00:00 .. Jan 2 00:09)
+    val lo = 1704153600000000L // 2024-01-02T00:00:00Z in micros
+    val hi = lo + 9L * 60 * 1000000
+    val enc = Skipping.encode(EntryStats(10L,
+      Map("ts" -> ColStat("t", lo.toString, hi.toString, 0L))))
+    Files.writeString(Paths.get(root, "manifest-1.txt"),
+      s"1\n#parent=0\n#schema=${df.schema.json}\n" +
+        s"#stats=v=1/bucket=1\t$enc\n1\tv=1/bucket=1")
+    Files.writeString(Paths.get(root, "_POINTER"), "manifest-1.txt")
+
+    val refuted = "ts >= timestamp_ntz'2024-06-01 00:00:00'"
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      assert(keptDirs(root, refuted) === Set.empty[String],
+        "legacy t stat must prune under a UTC session")
+      assert(Commit.readWhere(spark, root, refuted).get.count() === 0)
+      spark.conf.set(tzKey, "America/New_York")
+      assert(keptDirs(root, refuted) === Set("v=1/bucket=1"),
+        "legacy t stat must be ignored under a non-UTC session")
+      // and the unpruned read still answers correctly
+      assert(Commit.readWhere(spark, root,
+        "ts >= timestamp_ntz'2024-01-02 00:05:00'").get.count() === 5)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("NANOS footers: harvested micro bounds widen outward, semantics tagged") {
+    import graft.sources.Skipping
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    def writeNanos(dir: String, adjusted: Boolean): Unit = {
+      val schema = MessageTypeParser.parseMessageType(
+        s"message m { optional int64 ts (TIMESTAMP(NANOS,$adjusted)); }")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val w = ExampleParquetWriter.builder(
+          new org.apache.hadoop.fs.Path(dir + "/part-0.parquet"))
+        .withConf(conf).withType(schema).build()
+      // 1.000000001s and 1.999999999s: neither is micro-aligned, so
+      // both bounds must round OUTWARD (floor the lo, ceil the hi)
+      val f = new SimpleGroupFactory(schema)
+      w.write(f.newGroup().append("ts", 1000000001L))
+      w.write(f.newGroup().append("ts", 1999999999L))
+      w.close()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val d1 = Files.createTempDirectory("nanos-ntz").toString
+    writeNanos(d1, adjusted = false)
+    val s1 = Skipping.harvest(conf, new org.apache.hadoop.fs.Path(d1)).get
+    assert(s1.cols("ts") ===
+      Skipping.ColStat("tn", "1000000", "2000000", 0L),
+      "NANOS lo must floor, hi must ceil, local semantics → tn")
+    val d2 = Files.createTempDirectory("nanos-utc").toString
+    writeNanos(d2, adjusted = true)
+    val s2 = Skipping.harvest(conf, new org.apache.hadoop.fs.Path(d2)).get
+    assert(s2.cols("ts").t === "tu", "instant semantics → tu")
+  }
+
   test("stats-less manifests and unknown shapes decline to prune") {
     val root = tmp("skip-legacy")
     // a pre-skipping manifest, hand-written exactly as round 11 wrote
