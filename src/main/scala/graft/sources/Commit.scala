@@ -578,13 +578,23 @@ object Commit {
     * buckets this version did not rewrite), or a single whole-dir
     * entry when the writer produced no bucket dirs.
     */
+  /** SPARK_GRAFT_PUBLISH_TIMING=1 → one stderr line per publish with
+    * phase wall times (write / footer harvest / manifest commit) — the
+    * measurement knob behind the gold-refresh latency work; zero cost
+    * when unset.
+    */
+  private val timing = sys.env.get("SPARK_GRAFT_PUBLISH_TIMING").contains("1")
+  @inline private def timed[T](enabled: Boolean)(body: => T): (T, Long) =
+    if (!enabled) (body, 0L)
+    else { val t0 = System.nanoTime(); val r = body; (r, System.nanoTime() - t0) }
+
   private def publish(spark: SparkSession, root: String)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentManifest(spark, root) // ONE manifest read per publish
     val v = nextVersion(spark, root, prev.map(_.v).getOrElse(0L))
     val vdir = s"v=$v"
-    write(s"$root/$vdir")
+    val (_, tWrite) = timed(timing)(write(s"$root/$vdir"))
     val newBuckets = f.listStatus(new Path(root, vdir))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
@@ -603,8 +613,11 @@ object Commit {
     // listing (spark.read.parquet partition discovery) there would
     // re-scan the fresh version every epoch for audit metadata.
     val conf = spark.sessionState.newHadoopConf()
-    val harvests = fresh.flatMap(e =>
-      Skipping.harvestAll(conf, new Path(s"$root/${e.dir}")).map(e.dir -> _)).toMap
+    // one flat pool batch across ALL fresh entry dirs (an incremental
+    // publish's fresh version is one dir per touched bucket — a
+    // per-dir harvest loop would serialize their footer opens)
+    val (harvests, tHarvest) = timed(timing)(Skipping.harvestMany(conf,
+      fresh.map(e => e.dir -> new Path(s"$root/${e.dir}"))))
     val freshStats = harvests.view.mapValues(_.entry).toMap
     // single-file entries: the entry box IS the file box — no #fstats
     val freshFileStats = harvests.collect {
@@ -639,10 +652,14 @@ object Commit {
     val rows =
       if (freshStats.size == fresh.size) Some(freshStats.values.map(_.rows).sum)
       else footerRows(spark, s"$root/$vdir")
-    commitManifest(spark, root, v, parent,
+    val (_, tCommit) = timed(timing)(commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
       snapSchema, rows, carriedStats ++ freshStats,
-      carriedFileStats ++ freshFileStats)
+      carriedFileStats ++ freshFileStats))
+    if (timing) Console.err.println(
+      f"[publish-timing] v=$v files=${fresh.size} " +
+        f"write=${tWrite / 1e9}%.3f harvest=${tHarvest / 1e9}%.3f " +
+        f"manifest=${tCommit / 1e9}%.3f")
     v
   }
 

@@ -220,53 +220,87 @@ object Skipping {
     })
 
   def harvestAll(conf: Configuration, dir: Path): Option[Harvest] =
+    harvestMany(conf, Seq("" -> dir)).get("")
+
+  private type FileRead = (String, Long, Map[String, Acc],
+    Option[org.apache.parquet.schema.MessageType])
+
+  private def readOne(st: org.apache.hadoop.fs.FileStatus, base: String,
+      conf: Configuration): FileRead = {
+    val full = st.getPath.toString
+    val rel =
+      if (full.startsWith(base + "/")) full.substring(base.length + 1)
+      else st.getPath.getName
+    val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
     try {
-      val fsys = dir.getFileSystem(conf)
-      val base = fsys.makeQualified(dir).toString
-      val it = fsys.listFiles(dir, true)
-      val statuses = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) statuses += st
-      }
-      def readOne(st: org.apache.hadoop.fs.FileStatus)
-          : (String, Long, Map[String, Acc],
-            Option[org.apache.parquet.schema.MessageType]) = {
-        val full = st.getPath.toString
-        val rel =
-          if (full.startsWith(base + "/")) full.substring(base.length + 1)
-          else st.getPath.getName
-        val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try {
-          val schema = Some(rd.getFooter.getFileMetaData.getSchema)
-          var rows = 0L
-          var acc = Map.empty[String, Acc]
-          val bit = rd.getFooter.getBlocks.iterator()
-          while (bit.hasNext) {
-            val blk = bit.next()
-            rows += blk.getRowCount
-            val cit = blk.getColumns.iterator()
-            while (cit.hasNext) {
-              val ccm = cit.next()
-              val path = ccm.getPath.toArray
-              if (path.length == 1) {
-                val name = path(0)
-                val a = chunkAcc(ccm, blk.getRowCount)
-                acc = acc.updated(name,
-                  acc.get(name).fold(a)(prev => merge(prev, a)))
-              }
-            }
+      val schema = Some(rd.getFooter.getFileMetaData.getSchema)
+      var rows = 0L
+      var acc = Map.empty[String, Acc]
+      val bit = rd.getFooter.getBlocks.iterator()
+      while (bit.hasNext) {
+        val blk = bit.next()
+        rows += blk.getRowCount
+        val cit = blk.getColumns.iterator()
+        while (cit.hasNext) {
+          val ccm = cit.next()
+          val path = ccm.getPath.toArray
+          if (path.length == 1) {
+            val name = path(0)
+            val a = chunkAcc(ccm, blk.getRowCount)
+            acc = acc.updated(name,
+              acc.get(name).fold(a)(prev => merge(prev, a)))
           }
-          (rel, rows, acc, schema)
-        } finally rd.close()
+        }
       }
-      val futures = statuses.result().map(st =>
-        footerPool.submit(new java.util.concurrent.Callable[
-          (String, Long, Map[String, Acc],
-            Option[org.apache.parquet.schema.MessageType])] {
-          def call() = readOne(st)
+      (rel, rows, acc, schema)
+    } finally rd.close()
+  }
+
+  /** Harvest SEVERAL directories through one flat pool batch: an
+    * incremental publish's fresh version holds one dir per touched
+    * bucket, each usually a single file — harvesting them dir-by-dir
+    * serializes the per-dir footer read behind its `get()` (the pool
+    * only ever parallelized WITHIN a dir), which put ~16 sequential
+    * footer opens on the gold-refresh publish path. Here every
+    * (dir, file) footer read across all requested dirs is one task on
+    * the shared pool — never a nested submit, so the fixed pool cannot
+    * deadlock on itself. Per-dir contract unchanged: a dir whose
+    * listing or ANY footer read fails is absent from the result (no
+    * stats → no pruning), other dirs are unaffected.
+    */
+  def harvestMany(conf: Configuration,
+      dirs: Seq[(String, Path)]): Map[String, Harvest] = {
+    val failed = scala.collection.mutable.Set.empty[String]
+    val listed = dirs.flatMap { case (key, dir) =>
+      try {
+        val fsys = dir.getFileSystem(conf)
+        val base = fsys.makeQualified(dir).toString
+        val it = fsys.listFiles(dir, true)
+        val statuses = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) statuses += st
+        }
+        Some((key, base, statuses.result()))
+      } catch { case scala.util.control.NonFatal(_) => failed += key; None }
+    }
+    val futures = listed.flatMap { case (key, base, statuses) =>
+      statuses.map(st => key -> footerPool.submit(
+        new java.util.concurrent.Callable[FileRead] {
+          def call() = readOne(st, base, conf)
         }))
-      val results = futures.map(_.get()).sortBy(_._1)
+    }
+    val byKey = futures.flatMap { case (key, fut) =>
+      try Some(key -> fut.get())
+      catch { case scala.util.control.NonFatal(_) => failed += key; None }
+    }.groupBy(_._1)
+    def colsOf(acc: Map[String, Acc]): Map[String, ColStat] = acc.collect {
+      case (n, Valued(t, lo, hi, nulls)) =>
+        n -> ColStat(t, render(t, lo), render(t, hi), nulls)
+      case (n, AllNull(nulls)) => n -> ColStat("n", "", "", nulls)
+    }
+    listed.iterator.map(_._1).filterNot(failed).map { key =>
+      val results = byKey.getOrElse(key, Nil).map(_._2).sortBy(_._1)
       val schema = results.iterator.flatMap(_._4).nextOption()
       val perFile = results.map(r => (r._1, r._2, r._3))
       // entry fold: a column missing from one file but present in
@@ -276,16 +310,12 @@ object Skipping {
         n -> perFile.iterator.map(_._3.getOrElse(n, Unusable: Acc))
           .reduceOption(merge).getOrElse(Unusable)
       }.toMap
-      def colsOf(acc: Map[String, Acc]): Map[String, ColStat] = acc.collect {
-        case (n, Valued(t, lo, hi, nulls)) =>
-          n -> ColStat(t, render(t, lo), render(t, hi), nulls)
-        case (n, AllNull(nulls)) => n -> ColStat("n", "", "", nulls)
-      }
-      Some(Harvest(
+      key -> Harvest(
         EntryStats(perFile.iterator.map(_._2).sum, colsOf(entryAcc)),
         perFile.map { case (rel, rows, acc) => rel -> EntryStats(rows, colsOf(acc)) },
-        schema))
-    } catch { case scala.util.control.NonFatal(_) => None }
+        schema)
+    }.toMap
+  }
 
   /** Entry-level stats only (the pre-file-grain surface). */
   def harvest(conf: Configuration, dir: Path): Option[EntryStats] =

@@ -86,15 +86,86 @@ object GoldStage {
     * snapshot build and [[refreshHourly]] so the two paths can never
     * drift in grain or measure definitions.
     */
-  private[graft] def hourlyPartials(ev: DataFrame): DataFrame = ev
-    .groupBy(col("user_id"), col("event_type"),
-      date_trunc("hour", col("ts")).as("h"))
-    .agg(
-      count(lit(1)).as("n"),
-      sum(col("value").cast(Exact.D)).as("v_sum"),
-      count(col("value")).as("v_cnt"),
-      sum(col("q").cast(Exact.D)).as("q_sum"),
-      count(col("q")).as("q_cnt"))
+  private[graft] def hourlyPartials(ev: DataFrame): DataFrame =
+    mergePartials(singletonPartials(ev))
+
+  /** Raw event rows mapped to the hourly partial ROW SHAPE as
+    * singletons: n = 1, each sum the row's own (decimal-cast) value,
+    * each count the row's own null indicator. Unioning these with
+    * already-materialized partials lets ONE hash aggregation
+    * ([[mergePartials]]) both build a batch's partials and fold them
+    * into the current state — map-side combine performs the
+    * pre-aggregation that a separate partials job would pay an extra
+    * full shuffle (and a cache materialization) for. Exactness:
+    * decimal addition is associative-commutative, so a sum over
+    * singleton casts is bit-identical to SUM(CAST(value)) over the
+    * raw rows, and SUM(null-indicator) == COUNT(col).
+    */
+  private[graft] def singletonPartials(ev: DataFrame): DataFrame = ev.select(
+    col("user_id"), col("event_type"),
+    date_trunc("hour", col("ts")).as("h"),
+    lit(1L).as("n"),
+    col("value").cast(Exact.D).as("v_sum"),
+    when(col("value").isNotNull, 1L).otherwise(0L).as("v_cnt"),
+    col("q").cast(Exact.D).as("q_sum"),
+    when(col("q").isNotNull, 1L).otherwise(0L).as("q_cnt"))
+
+  /** The ONE associative fold both the snapshot build and
+    * [[refreshHourly]] aggregate through (so the two paths cannot
+    * drift in grain or measure definitions): group to the hourly
+    * grain and sum every partial — correct over any mix of singleton
+    * rows and already-aggregated partials, because every measure is a
+    * count or a DECIMAL sum. The decimal re-sum widens precision and
+    * is cast back to the input's declared sum type — exact while the
+    * per-key mass stays under 10^24.
+    */
+  private def widenedSumType(parts: DataFrame) =
+    parts.schema("v_sum").dataType match {
+      // singleton inputs carry Exact.D; aggregated inputs carry the
+      // widened sum type. Either way the OUTPUT is the widened type,
+      // so re-merging a merge is closed under this cast.
+      case d: org.apache.spark.sql.types.DecimalType if d == Exact.D =>
+        org.apache.spark.sql.types.DecimalType(
+          math.min(38, d.precision + 10), d.scale)
+      case other => other
+    }
+
+  /** The measure fold both merge shapes share — sums of counts and
+    * DECIMAL partials, one definition so the paths cannot drift.
+    */
+  private def partialAggs(sumType: org.apache.spark.sql.types.DataType) = Seq(
+    sum(col("n")).as("n"),
+    sum(col("v_sum")).cast(sumType).as("v_sum"),
+    sum(col("v_cnt")).as("v_cnt"),
+    sum(col("q_sum")).cast(sumType).as("q_sum"),
+    sum(col("q_cnt")).as("q_cnt"))
+
+  private[graft] def mergePartials(parts: DataFrame): DataFrame = {
+    val aggs = partialAggs(widenedSumType(parts))
+    parts
+      .groupBy("user_id", "event_type", "h")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The refresh's merge shape: the SAME fold as [[mergePartials]]
+    * (same [[partialAggs]] definitions, same grain — `bucket` is a
+    * function of user_id, so adding it changes no group), planned as
+    * ONE exchange keyed on the bucket. The aggregation reuses that
+    * exchange (hash(bucket) clusters every grouping key), and each
+    * output partition holds whole buckets, so partitionBy writes one
+    * file per touched bucket. GoldIncrementalSpec pins the one-
+    * Exchange plan.
+    */
+  private[graft] def mergeBucketAligned(unioned: DataFrame,
+      buckets: Int): DataFrame = {
+    val aggs = partialAggs(widenedSumType(unioned))
+    unioned
+      .repartition(buckets, col("bucket"))
+      .groupBy("bucket", "user_id", "event_type", "h")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("user_id"), col("event_type"), col("h"), col("n"),
+        col("v_sum"), col("v_cnt"), col("q_sum"), col("q_cnt"), col("bucket"))
+  }
 
   private def build(s: SparkSession, d: String, t: String): Unit = {
     Seq(hourlyName(t), recentName(t), starName(t))
@@ -146,10 +217,11 @@ object GoldStage {
     * enhanced_data_schema.sql:440-464).
     *
     * Every hourly measure is an ASSOCIATIVE partial (counts + DECIMAL
-    * sums), so the fold is: partial-aggregate the batch at the same
-    * grain ([[hourlyPartials]] — shared with the snapshot build, so
-    * the two paths cannot drift), merge-sum with the current partials
-    * at the keys, and rewrite ONLY the user-buckets the batch touched
+    * sums), so the fold is ONE aggregation: the batch's raw rows enter
+    * as singleton partials ([[singletonPartials]]) unioned with the
+    * current partials at the touched keys, [[mergePartials]] — shared
+    * with the snapshot build, so the two paths cannot drift — sums
+    * them, and the refresh rewrites ONLY the user-buckets the batch touched
     * (dynamic partition overwrite — the same bounded-write-
     * amplification pattern as `Streams.statusUpsert`; at production
     * scale the identical shape is one Delta/Iceberg MERGE). A batch
@@ -181,21 +253,31 @@ object GoldStage {
     * keyed on a batch id column in production).
     */
   def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16): Unit = {
+    val timing = sys.env.get("SPARK_GRAFT_PUBLISH_TIMING").contains("1")
+    def t[T](label: String)(body: => T): T =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime(); val r = body
+        Console.err.println(
+          f"[refresh-timing] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val spark = batch.sparkSession
     def bucketed(df: DataFrame) = df.withColumn("bucket",
       pmod(col("user_id"), lit(buckets)).cast("int"))
-    val incoming = hourlyPartials(withQuality(batch))
-    val sumType = incoming.schema("v_sum").dataType
-    // cache the partials: the touched-bucket probe below and the merge
-    // write both consume them, and WITHOUT the cache each refresh pays
-    // the full batch aggregation twice (measured: the dominant cost of
-    // the gold replay). Partial rows are key-cardinality-bounded —
-    // safe to pin for the publish's duration.
-    val inc0 = bucketed(incoming).cache()
-    try {
-    // ≤ `buckets` driver values — which partitions this batch touches
-    val touched = inc0.select("bucket").distinct()
-      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    // the touched-bucket probe reads ONLY the key column (column
+    // pruning keeps the parquet scan to user_id + the caller's filter
+    // columns) — the expensive per-row work (JSON quality extraction,
+    // decimal casts) is deferred to the single merge aggregation
+    // below, where it runs exactly once. The previous shape aggregated
+    // the full batch here, cached the partials, and re-aggregated them
+    // into the merge: one extra full shuffle plus a cache
+    // materialization per refresh (measured as the dominant cost of
+    // the gold replay after the write itself).
+    val touched = t("touched-probe")(batch
+      .select(pmod(col("user_id"), lit(buckets)).cast("int").as("bucket"))
+      .distinct()
+      .collect().map(r => Int.box(r.getInt(0))).toSeq)
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so this stays exact)
@@ -203,31 +285,32 @@ object GoldStage {
       if (touched.isEmpty) None
       else graft.sources.Commit.readWhere(spark, path,
         s"bucket in (${touched.mkString(",")})")
-    val merged = existingTouched match {
-      case None => inc0
-      case Some(existing) =>
-        val inc = inc0
-        bucketed(existing
-          .drop("bucket")
-          .unionByName(inc.drop("bucket"))
-          .groupBy("user_id", "event_type", "h")
-          .agg(
-            sum(col("n")).as("n"),
-            sum(col("v_sum")).cast(sumType).as("v_sum"),
-            sum(col("v_cnt")).as("v_cnt"),
-            sum(col("q_sum")).cast(sumType).as("q_sum"),
-            sum(col("q_cnt")).as("q_cnt")))
+    // ONE hash aggregation, ONE exchange, does the batch's partial
+    // build, the fold into current state, AND the bucket alignment of
+    // the output files: raw rows enter as singleton partials
+    // ([[singletonPartials]]) unioned with the existing partial rows,
+    // the union is exchanged ONCE keyed on the bucket, and the
+    // aggregation (grouped by bucket + the hourly grain — bucket is a
+    // function of user_id, so the groups are identical) reuses that
+    // exchange because hash(bucket) clusters every grouping key.
+    // Each output partition then holds whole buckets, so partitionBy
+    // writes exactly one file per touched bucket (no fragmentation for
+    // readers, the footer harvest, or optimizeBuckets to pay for).
+    // Shape choice at scale: the alternative (pre-aggregate the batch,
+    // exchange on the grain, then re-exchange on the bucket) ships the
+    // EXISTING partials across the wire twice and the batch once
+    // map-side-combined; this shape ships existing once and the batch
+    // raw. An MV refresh's design point is batch << accumulated state,
+    // so the existing side dominates wire volume and one exchange wins
+    // — for a bulk backfill whose batch collapses heavily under
+    // map-side combine, run the snapshot build instead.
+    val inc = bucketed(singletonPartials(withQuality(batch)))
+    val unioned = existingTouched match {
+      case None => inc
+      case Some(existing) => existing.unionByName(inc)
     }
-    // bucket-align the merge output: without it every writer partition
-    // emits a file into every touched bucket (parallelism × buckets
-    // small files per version — fragmentation the readers, the footer
-    // harvest, and eventually optimizeBuckets all pay for). One
-    // shuffle keyed on the bucket gives exactly one file per touched
-    // bucket; a micro-batch's per-bucket volume is bounded by the
-    // batch, so the narrowed write parallelism costs nothing.
-    graft.sources.Commit.publishBuckets(
-      merged.repartition(col("bucket")), path)
-    } finally { inc0.unpersist(); () }
+    t("merge+publish")(graft.sources.Commit.publishBuckets(
+      mergeBucketAligned(unioned, buckets), path))
   }
 
   /** Reader for the incrementally-maintained hourly fact — resolves

@@ -40,6 +40,24 @@ class GoldIncrementalSpec extends SparkSpec {
       "incrementally-maintained fact differs from the from-scratch build")
   }
 
+  test("the refresh merge plans as ONE exchange, keyed on the bucket") {
+    val ev = events.filter(col("event_id") % 20 === 0) // slim, exchange-free slice
+    val unioned = GoldStage.singletonPartials(GoldStage.withQuality(ev))
+      .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+    val merged = GoldStage.mergeBucketAligned(unioned, 16)
+    // AQE wraps the tree, so count exchanges in the rendered plan
+    val plan = merged.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.size === 1,
+      s"expected ONE exchange (bucket-keyed, reused by the agg):\n$plan")
+    assert(exchanges.head.contains("hashpartitioning(bucket"),
+      s"the single exchange must be keyed on the bucket column:\n$plan")
+    // and the fold itself matches mergePartials (same grain + measures)
+    val viaAligned = canon(merged)
+    val viaPlain = canon(GoldStage.mergePartials(unioned.drop("bucket")))
+    assert(viaAligned.sameElements(viaPlain))
+  }
+
   test("a batch keyed to one bucket writes only that bucket into the new version") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-gold-inc2").toString + "/hourly"
