@@ -189,6 +189,10 @@ object SqlDash {
               e.event_type AS sensor_type,
               MAX(c.c_mktsegment) AS district_name,
               COUNT(*) AS n_readings,
+              CASE e.event_type WHEN 'view' THEN 'm'
+                   WHEN 'click' THEN 'l/s' WHEN 'purchase' THEN 'bar'
+                   WHEN 'signup' THEN 'celsius' WHEN 'error' THEN 'ph'
+                   ELSE 'units' END AS measurement_unit,
               MIN(e.value) AS normal_min_value,
               MAX(e.value) AS normal_max_value,
               MIN(CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS effective_date,
@@ -199,7 +203,8 @@ object SqlDash {
                     (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
                       - INTERVAL 7 DAY
                    THEN 'active' ELSE 'inactive' END AS status,
-              'events' AS data_source_name
+              'events' AS data_source_name,
+              'synthetic-generator' AS provider
        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
        GROUP BY 1, 2""")
 
@@ -213,9 +218,10 @@ object SqlDash {
               ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
                 / COUNT(e.value), 6) AS avg_reading,
               COUNT(*) AS total_readings,
-              CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
-                AS BIGINT) AS anomaly_count,
-              ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+              CAST(SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
+                THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+              ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
+                  THEN 1 ELSE 0 END)
                   AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
               ROUND(CAST(SUM(CAST(CAST(json_extract_string(e.props, '$.k')
                   AS DOUBLE) / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
@@ -247,18 +253,24 @@ object SqlDash {
   val viewDataLineage = q(
     "q_view_data_lineage",
     "SELECT * FROM v_data_lineage",
-    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS batch_day,
-              'events' AS data_source_name,
-              COUNT(*) AS record_count,
-              ROUND((CAST(SUM(CAST(
-                  CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0
-                  AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(json_extract_string(props, '$.k'))), 6) AS avg_quality,
-              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                AS BIGINT) AS anomaly_count,
-              MIN(CAST(ts AS TIMESTAMP)) AS first_ingested,
-              MAX(CAST(ts AS TIMESTAMP)) AS last_ingested
-       FROM events GROUP BY 1""")
+    """SELECT 'batch_' || CAST(batch_day AS VARCHAR) AS unified_batch_id,
+              '1.0' AS pipeline_version,
+              batch_day, data_source_name, provider, record_count,
+              avg_quality, anomaly_count, first_ingested, last_ingested
+       FROM (
+         SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS batch_day,
+                'events' AS data_source_name,
+                'synthetic-generator' AS provider,
+                COUNT(*) AS record_count,
+                ROUND((CAST(SUM(CAST(
+                    CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0
+                    AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(json_extract_string(props, '$.k'))), 6) AS avg_quality,
+                CAST(SUM(CASE WHEN event_type = 'error' OR value > 200
+                  THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+                MIN(CAST(ts AS TIMESTAMP)) AS first_ingested,
+                MAX(CAST(ts AS TIMESTAMP)) AS last_ingested
+         FROM events GROUP BY 1)""")
 
   def all: Seq[QueryDef] = Seq(
     sqlDashMetrics, sqlDashSensors, sqlDashAlerts,

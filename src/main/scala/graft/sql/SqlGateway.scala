@@ -68,12 +68,21 @@ object SqlGateway {
     // ref:181-199 — the sensor catalog: per (sensor, type) observed
     // range, first-seen date, a 7-day currency flag, the derived
     // status, and the sensor's district (its customer's segment —
-    // LEFT, so a sensor without a dim row still catalogs)
+    // LEFT, so a sensor without a dim row still catalogs).
+    // measurement_unit (ref:187, from dim_sensor_types) is keyed on
+    // the established type analogies (view ~ water_level → m, click ~
+    // flow → l/s, …); provider (ref:193, from dim_data_sources) — the
+    // landing tables have ONE source, the synthetic generator, so the
+    // dim collapses to a constant, like data_source_name.
     "v_sensor_status" ->
       """SELECT e.user_id AS sensor_id,
                 e.event_type AS sensor_type,
                 MAX(c.c_mktsegment) AS district_name,
                 COUNT(*) AS n_readings,
+                CASE e.event_type WHEN 'view' THEN 'm'
+                     WHEN 'click' THEN 'l/s' WHEN 'purchase' THEN 'bar'
+                     WHEN 'signup' THEN 'celsius' WHEN 'error' THEN 'ph'
+                     ELSE 'units' END AS measurement_unit,
                 MIN(e.value) AS normal_min_value,
                 MAX(e.value) AS normal_max_value,
                 MIN(CAST(e.ts AS DATE)) AS effective_date,
@@ -82,17 +91,21 @@ object SqlGateway {
                 CASE WHEN MAX(e.ts) >=
                       (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
                      THEN 'active' ELSE 'inactive' END AS status,
-                'events' AS data_source_name
+                'events' AS data_source_name,
+                'synthetic-generator' AS provider
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY e.user_id, e.event_type""",
     // ref:202-220 — the READINGS rollup the reference states: district
     // × sensor type × source × day with reading/anomaly/quality
     // metrics (incl. anomaly_rate_percent, ref:211-212) and station/
     // catchment cardinalities. Translation: district ~ the sensor's
-    // customer segment, anomaly ~ event_type='error' (so within a
-    // sensor-type group the rate is 0 or 100 — the grouping keeps the
-    // reference's columns; the established anomaly mapping is
-    // type-derived), catchment ~ the customer's nation. CAST AS DOUBLE
+    // customer segment, catchment ~ the customer's nation. The anomaly
+    // flag is ROW-level, like the reference's (its ETL sets
+    // anomaly_flag per reading against the sensor type's normal band):
+    // type-level 'error' events OR an out-of-band value (> 200, the
+    // observed distribution's far tail — ~20% of rows) — so the rate
+    // varies WITHIN a (type, day) group instead of degenerating to
+    // 0-or-100 as the earlier type-only mapping did. CAST AS DOUBLE
     // before the *100.0 — a bare decimal literal would type the column
     // decimal(31,6) and break hash parity with the oracle (the r12
     // lesson, SqlDash.scala).
@@ -104,9 +117,10 @@ object SqlGateway {
                 ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
                   / COUNT(e.value), 6) AS avg_reading,
                 COUNT(*) AS total_readings,
-                SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
-                  AS anomaly_count,
-                ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
+                    THEN 1 ELSE 0 END) AS anomaly_count,
+                ROUND(CAST(SUM(CASE WHEN e.event_type = 'error'
+                      OR e.value > 200 THEN 1 ELSE 0 END)
                     AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
                 ROUND(CAST(SUM(CAST(CAST(get_json_object(e.props, '$.k') AS DOUBLE)
                     / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
@@ -134,19 +148,32 @@ object SqlGateway {
          LEFT JOIN customer c ON e.user_id = c.c_custkey
          LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE e.event_type = 'view'""",
-    // ref:245-258 — per-ingest-batch (daily) lineage and quality
+    // ref:245-258 — per-ingest-batch lineage and quality. Batch grain:
+    // the landing data records no ingest batches, so the DAY is the
+    // batch (the generator emits day-grain files) and
+    // unified_batch_id/pipeline_version (ref:246-247) are synthesized
+    // deterministically from it — one id per batch-day, one constant
+    // version for the one pipeline that produced the fixture. provider
+    // (ref:249) collapses to the same constant as v_sensor_status. The
+    // anomaly flag matches v_district_performance (row-level).
     "v_data_lineage" ->
-      """SELECT CAST(ts AS DATE) AS batch_day,
-                'events' AS data_source_name,
-                COUNT(*) AS record_count,
-                ROUND((CAST(SUM(CAST(CAST(get_json_object(props, '$.k') AS DOUBLE)
-                    / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
-                  / COUNT(get_json_object(props, '$.k'))), 6) AS avg_quality,
-                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                  AS anomaly_count,
-                MIN(ts) AS first_ingested,
-                MAX(ts) AS last_ingested
-         FROM events GROUP BY CAST(ts AS DATE)""")
+      """SELECT CONCAT('batch_', CAST(batch_day AS STRING)) AS unified_batch_id,
+                '1.0' AS pipeline_version,
+                batch_day, data_source_name, provider, record_count,
+                avg_quality, anomaly_count, first_ingested, last_ingested
+         FROM (
+           SELECT CAST(ts AS DATE) AS batch_day,
+                  'events' AS data_source_name,
+                  'synthetic-generator' AS provider,
+                  COUNT(*) AS record_count,
+                  ROUND((CAST(SUM(CAST(CAST(get_json_object(props, '$.k') AS DOUBLE)
+                      / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
+                    / COUNT(get_json_object(props, '$.k'))), 6) AS avg_quality,
+                  SUM(CASE WHEN event_type = 'error' OR value > 200
+                      THEN 1 ELSE 0 END) AS anomaly_count,
+                  MIN(ts) AS first_ingested,
+                  MAX(ts) AS last_ingested
+           FROM events GROUP BY CAST(ts AS DATE))""")
 
   /** Every relation name [[runSql]] admits (lowercase). */
   def allowedTables: Set[String] =
