@@ -166,6 +166,28 @@ object Bench {
         (n, orig, reported(ts), reported(ts) / ts.min > OutlierRatio)
       }
     val unresolved = adjudicated.filter(_._4).map(_._1)
+    // Attribution per adjudicated query, from the per-iteration GC
+    // deltas the timings already carry: "gc" when ≥half the worst
+    // iteration's excess wall time (over the best) is excess GC time —
+    // heap pressure, not the plan; otherwise "load" when the box showed
+    // co-tenant load during the run; otherwise "bimodal" if the spread
+    // SURVIVED the re-runs (two genuine plan modes) or "transient" if
+    // they out-voted it (interference that moved on).
+    def attribution(n: String, ts: Seq[Double], unres: Boolean,
+        loadHigh: Boolean): String = {
+      val gcs = gcByQuery.getOrElse(n, Nil)
+      val gcAttributed = ts.length == gcs.length && ts.length >= 2 && {
+        val paired = ts.zip(gcs)
+        val (worstT, worstGc) = paired.maxBy(_._1)
+        val (bestT, bestGc) = paired.minBy(_._1)
+        val excess = worstT - bestT
+        excess > 0 && (worstGc - bestGc) / excess >= 0.5
+      }
+      if (gcAttributed) "gc"
+      else if (loadHigh) "load"
+      else if (unres) "bimodal"
+      else "transient"
+    }
     // Per-query MIN: the contention-robust statistic. A co-tenant can
     // inflate any single iteration (and with it the median), but the
     // minimum is the best-observed run and survives all but wall-to-wall
@@ -246,8 +268,10 @@ object Bench {
       else "null"
     } catch { case _: Throwable => "null" }
     val adjJson = adjudicated.map { case (n, orig, fin, unres) =>
+      val attr = attribution(n, timings.find(_._1 == n).get._2, unres,
+        loadHigh = contended)
       s"\"" + n + "\":{\"median_before\":" + orig + ",\"reported\":" + fin +
-        ",\"unresolved\":" + unres + "}"
+        ",\"unresolved\":" + unres + ",\"attribution\":\"" + attr + "\"}"
     }.mkString("{", ",", "}")
     val unresolvedJson = unresolved.map("\"" + _ + "\"").mkString("[", ",", "]")
     // A filtered run (SPARK_GRAFT_BENCH_ONLY) is a local-iteration tool;

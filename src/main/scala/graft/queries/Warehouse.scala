@@ -766,7 +766,56 @@ object Warehouse {
              FROM j GROUP BY change_type""")
   )
 
+  /** Row-level change feed under the DRIVER gate: a keyed state table
+    * is committed twice through [[graft.sources.Commit]] — v1 holds
+    * per-user even-event counts; v2 is a bucket-scoped rewrite of
+    * buckets {0,3} only (full recounts, with users ≡2 mod 5 retired) —
+    * and the emitted `changesSinceKeyed` feed is compared against a
+    * DuckDB restatement of the expected diff. Green proves the Delta-
+    * CDF row contract end-to-end on REAL committed manifests: new and
+    * value-changed keys arrive as 'upsert' with the CURRENT row,
+    * retired keys as 'delete' with the cursor row, and rewritten-but-
+    * identical rows (all-even users whose recount equals their v1
+    * count) are NOT re-delivered — the no-false-positive half the
+    * bucket-grain feed can't state. Untouched buckets never enter the
+    * diff (IO ∝ changed buckets × 2, never the table).
+    */
+  val cdfKeyed = QueryDef(
+    "q_cdf_keyed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cdf").toString + "/state"
+      val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      graft.sources.Commit.publishBuckets(v1.repartition(col("bucket")), path)
+      val v2 = ev
+        .filter(pmod(col("user_id"), lit(8)).isin(0, 3) &&
+          pmod(col("user_id"), lit(5)) =!= 2)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      graft.sources.Commit.publishBuckets(v2.repartition(col("bucket")), path)
+      graft.sources.Commit.changesSinceKeyed(s, path, 1L, Seq("user_id"))
+        .get.select(col("user_id"), col("n"), col("bucket"), col("_change"))
+    },
+    Some("""WITH v1 AS (SELECT user_id, COUNT(*) AS n,
+                   CAST(user_id % 8 AS INT) AS bucket
+                 FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            v2 AS (SELECT user_id, COUNT(*) AS n,
+                   CAST(user_id % 8 AS INT) AS bucket
+                 FROM events
+                 WHERE user_id % 8 IN (0, 3) AND user_id % 5 <> 2 GROUP BY 1),
+            ups AS (SELECT v2.user_id, v2.n, v2.bucket, 'upsert' AS _change
+                    FROM v2 LEFT JOIN v1 ON v2.user_id = v1.user_id
+                    WHERE v1.user_id IS NULL OR v1.n <> v2.n),
+            dels AS (SELECT v1.user_id, v1.n, v1.bucket, 'delete' AS _change
+                     FROM v1 LEFT JOIN v2 ON v1.user_id = v2.user_id
+                     WHERE v1.bucket IN (0, 3) AND v2.user_id IS NULL)
+            SELECT * FROM ups UNION ALL SELECT * FROM dels""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
     basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental,
-    zorderLayout, snapshotDiff)
+    zorderLayout, snapshotDiff, cdfKeyed)
 }

@@ -228,6 +228,60 @@ object ScaleBench {
         (if (e.isNaN) "null" else jNum(e)) + "}"
     }.mkString("{", ",", "}")
 
+    // ---- commit/CDF segment: cost ∝ touched buckets, not table ----
+    // The manifest-commit path's scale claim is structural ("a publish
+    // rewrites only touched buckets; the row-level diff reads only
+    // rewritten buckets ×2") — this measures it. Per SF point: build
+    // the maintained hourly fact from the full snapshot (tbase — this
+    // one IS ∝ table and must scale ~linearly), then fold a
+    // CONSTANT-SHAPE batch (one user → one bucket) and read the
+    // row-level change feed across that publish. If the claim holds,
+    // tsmall and tcdf stay ~flat while the table under them grows
+    // 30×: their fitted exponents sit ≪ 1 (vs ~1 for tbase).
+    val cdfOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CDF", "1") != "0"
+    val cdfJson = if (!cdfOn) "null" else {
+      def point(dir: String): (Double, Double, Double) = {
+        val path = java.nio.file.Files
+          .createTempDirectory("scale-cdf").toString + "/hourly"
+        val ev = graft.Tables.events(spark, dir)
+        def clock(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val tBase = clock(graft.warehouse.GoldStage.refreshHourly(ev, path))
+        val u = ev.agg(org.apache.spark.sql.functions.min("user_id"))
+          .head.getLong(0)
+        val batch = ev.filter(org.apache.spark.sql.functions
+          .col("user_id") === u)
+        val tSmall = clock(graft.warehouse.GoldStage.refreshHourly(batch, path))
+        val tCdf = clock {
+          graft.sources.Commit.changesSinceKeyed(spark, path, 1L,
+            Seq("user_id", "event_type", "h")).get.count(); ()
+        }
+        (tBase, tSmall, tCdf)
+      }
+      val perPoint = points.map { case (label, dir, sf) =>
+        val runs = (1 to iters).map(_ => point(dir))
+        System.gc()
+        val best = (runs.map(_._1).min, runs.map(_._2).min, runs.map(_._3).min)
+        System.err.println(
+          f"[scale][cdf] $label base=${best._1}%.2f small=${best._2}%.2f cdf=${best._3}%.2f s")
+        (label, sf, best)
+      }
+      def seg(pick: ((Double, Double, Double)) => Double): (String, String) = {
+        val pts = perPoint.map { case (_, sf, b) => (sf, pick(b)) }
+        val secs = perPoint.map { case (l, _, b) => s"\"$l\":${jNum(pick(b))}" }
+          .mkString("{", ",", "}")
+        (secs, jNum(slope(pts.takeRight(2))))
+      }
+      val (bSecs, bExp) = seg(_._1)
+      val (sSecs, sExp) = seg(_._2)
+      val (cSecs, cExp) = seg(_._3)
+      s"""{"full_build":{"secs_min":$bSecs,"exponent_top":$bExp},""" +
+        s""""touched_bucket_publish":{"secs_min":$sSecs,"exponent_top":$sExp},""" +
+        s""""changes_since_keyed":{"secs_min":$cSecs,"exponent_top":$cExp},""" +
+        s""""note":"full_build is ∝ table (expect ~linear); the constant-shape one-bucket publish and the row-level CDF read across it must stay ~flat as the table grows (exponent_top ≪ 1) — the measured form of 'cost ∝ touched buckets'."}"""
+    }
+
     // ---- adversarially-skewed points (join/graph/dedup under hot keys) ----
     // ScaleUp's plain replicas inherit sf0.1's key distribution, so the
     // exponents above never meet a NEW hot key. buildSkewed hands 20%
@@ -298,7 +352,7 @@ object ScaleBench {
 
     val out =
       s"""{"points":$ptJson,"iters":$iters,"families":$famJson,""" +
-        s""""stage_builds":$stageJson,"skewed":$skewJson,""" +
+        s""""stage_builds":$stageJson,"commit_cdf":$cdfJson,"skewed":$skewJson,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"build_iters":$buildIters,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","cpus":"$cpus",""" +
         s""""note":"exponents fit on per-SF min times (contention-robust); exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
     java.nio.file.Files.writeString(

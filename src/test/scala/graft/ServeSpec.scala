@@ -243,14 +243,27 @@ class ServeSpec extends SparkSpec {
 
   test("/api/sql: a runaway statement hits the deadline and its jobs are cancelled") {
     // the parse guard cannot bound COST — a legal cross join under a
-    // blocking aggregate runs unbounded; only the deadline stops it
+    // blocking aggregate runs unbounded; only the deadline stops it.
+    // The runaway rides range() rather than an events⁴ cartesian: a
+    // broadcast-nested-loop inner loop never checks the task-kill
+    // flag, so cancelled events⁴ tasks survived as ZOMBIES until JVM
+    // exit and their teardown sprayed RejectedExecutionException over
+    // the suite summary (thread-dump-diagnosed); range()'s codegen
+    // calls killTaskIfInterrupted every batch, so the group cancel
+    // actually reclaims the workers within seconds. The inner side is
+    // kept SMALL (1000 rows): the kill check runs between streamed
+    // batches, so a huge inner loop would stretch check intervals to
+    // seconds and dying tasks would hog the cores past the follow-up
+    // request's own deadline.
+    val runaway =
+      "SELECT COUNT(*) AS n FROM range(40000000000) a, range(1000) b"
     val srv = new DashboardServer(spark, sf0001,
       queryNames = Seq("q_dash_metrics"), sqlTimeoutMillis = 1500L)
     val port = srv.start()
     try {
       val t0 = System.nanoTime()
       val r = get(port, "/api/sql?q=" + java.net.URLEncoder.encode(
-        "SELECT COUNT(*) AS n FROM events a, events b, events c, events d", "UTF-8"))
+        runaway, "UTF-8"))
       val secs = (System.nanoTime() - t0) / 1e9
       assert(r.statusCode() == 408, r.body())
       assert(r.body().contains("\"timeout\""), r.body())
@@ -263,9 +276,7 @@ class ServeSpec extends SparkSpec {
       // admission control: a WAVE of slow statements cannot occupy
       // every dispatch thread — beyond SqlInflight concurrent SQL
       // requests the rest 429 fast instead of queueing 15 s deep
-      val slow = "/api/sql?q=" + java.net.URLEncoder.encode(
-        "SELECT COUNT(*) AS n FROM events a, events b, events c, events d",
-        "UTF-8")
+      val slow = "/api/sql?q=" + java.net.URLEncoder.encode(runaway, "UTF-8")
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
       try {
         val futs = (1 to 4).map(_ => pool.submit(
