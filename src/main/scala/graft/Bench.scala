@@ -163,7 +163,7 @@ object Bench {
     val adjudicated = timings.filter { case (n, _) => suspect(n) }
       .map { case (n, ts) =>
         val orig = median(rawTimings.find(_._1 == n).get._2)
-        (n, orig, reported(ts), reported(ts) / ts.min > OutlierRatio)
+        (n, orig, reported(ts), reported(ts) / ts.min > OutlierRatio, ts)
       }
     val unresolved = adjudicated.filter(_._4).map(_._1)
     // Attribution per adjudicated query, from the per-iteration GC
@@ -267,9 +267,8 @@ object Bench {
       if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
       else "null"
     } catch { case _: Throwable => "null" }
-    val adjJson = adjudicated.map { case (n, orig, fin, unres) =>
-      val attr = attribution(n, timings.find(_._1 == n).get._2, unres,
-        loadHigh = contended)
+    val adjJson = adjudicated.map { case (n, orig, fin, unres, ts) =>
+      val attr = attribution(n, ts, unres, loadHigh = contended)
       s"\"" + n + "\":{\"median_before\":" + orig + ",\"reported\":" + fin +
         ",\"unresolved\":" + unres + ",\"attribution\":\"" + attr + "\"}"
     }.mkString("{", ",", "}")

@@ -211,21 +211,20 @@ object SqlDash {
   val viewDistrictPerformance = q(
     "q_view_district_performance",
     "SELECT * FROM v_district_performance",
-    """SELECT c.c_mktsegment AS district_name,
+    s"""SELECT c.c_mktsegment AS district_name,
               e.event_type AS sensor_type,
               'events' AS data_source_name,
               CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS date_actual,
               ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
                 / COUNT(e.value), 6) AS avg_reading,
               COUNT(*) AS total_readings,
-              CAST(SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
-                THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
-              ROUND(CAST(SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
-                  THEN 1 ELSE 0 END)
+              CAST(SUM(${SqlGateway.anomalyFlagSql("e.")})
+                AS BIGINT) AS anomaly_count,
+              ROUND(CAST(SUM(${SqlGateway.anomalyFlagSql("e.")})
                   AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
-              ROUND(CAST(SUM(CAST(CAST(json_extract_string(e.props, '$.k')
+              ROUND(CAST(SUM(CAST(CAST(json_extract_string(e.props, '$$.k')
                   AS DOUBLE) / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
-                / COUNT(json_extract_string(e.props, '$.k')), 6)
+                / COUNT(json_extract_string(e.props, '$$.k')), 6)
                 AS avg_quality_score,
               COUNT(DISTINCT e.user_id) AS unique_stations,
               COUNT(DISTINCT c.c_nationkey) AS unique_catchments
@@ -253,7 +252,7 @@ object SqlDash {
   val viewDataLineage = q(
     "q_view_data_lineage",
     "SELECT * FROM v_data_lineage",
-    """SELECT 'batch_' || CAST(batch_day AS VARCHAR) AS unified_batch_id,
+    s"""SELECT 'batch_' || CAST(batch_day AS VARCHAR) AS unified_batch_id,
               '1.0' AS pipeline_version,
               batch_day, data_source_name, provider, record_count,
               avg_quality, anomaly_count, first_ingested, last_ingested
@@ -263,11 +262,11 @@ object SqlDash {
                 'synthetic-generator' AS provider,
                 COUNT(*) AS record_count,
                 ROUND((CAST(SUM(CAST(
-                    CAST(json_extract_string(props, '$.k') AS DOUBLE) / 100.0
+                    CAST(json_extract_string(props, '$$.k') AS DOUBLE) / 100.0
                     AS DECIMAL(18,4))) AS DOUBLE)
-                  / COUNT(json_extract_string(props, '$.k'))), 6) AS avg_quality,
-                CAST(SUM(CASE WHEN event_type = 'error' OR value > 200
-                  THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+                  / COUNT(json_extract_string(props, '$$.k'))), 6) AS avg_quality,
+                CAST(SUM(${SqlGateway.anomalyFlagSql("")})
+                  AS BIGINT) AS anomaly_count,
                 MIN(CAST(ts AS TIMESTAMP)) AS first_ingested,
                 MAX(CAST(ts AS TIMESTAMP)) AS last_ingested
          FROM events GROUP BY 1)""")

@@ -588,7 +588,8 @@ object Commit {
     if (!enabled) (body, 0L)
     else { val t0 = System.nanoTime(); val r = body; (r, System.nanoTime() - t0) }
 
-  private def publish(spark: SparkSession, root: String)
+  private def publish(spark: SparkSession, root: String,
+      expectBuckets: Option[Set[Int]] = None)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentManifest(spark, root) // ONE manifest read per publish
@@ -598,6 +599,22 @@ object Commit {
     val newBuckets = f.listStatus(new Path(root, vdir))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
+    // a caller that pre-read existing state for a PROBED bucket set
+    // (GoldStage.refreshHourly) hands that set in: if the input's
+    // re-evaluation at write time produced a bucket the probe never
+    // saw, its existing state was NOT folded in — committing would
+    // silently replace that bucket with batch-only rows. Abort BEFORE
+    // the pointer swap instead: readers stay on the old snapshot and
+    // the fresh dir is unreferenced garbage for [[vacuum]].
+    expectBuckets.foreach { exp =>
+      val surprise = newBuckets.filterNot(exp)
+      require(surprise.isEmpty,
+        s"publish wrote buckets ${surprise.mkString(",")} outside the " +
+          s"caller's probed set ${exp.toSeq.sorted.mkString(",")} — the " +
+          "input re-evaluated differently between probe and write " +
+          "(non-deterministic batch? source mutated mid-refresh?); " +
+          "aborting before the pointer swap, no state was lost")
+    }
     val fresh =
       if (newBuckets.isEmpty) Seq(Entry(-1, vdir))
       else newBuckets.map(b => Entry(b, s"$vdir/bucket=$b"))
@@ -768,7 +785,8 @@ object Commit {
     * write amplification AND a transactional boundary.
     */
   def publishBuckets(df: DataFrame, root: String,
-      bucketCol: String = "bucket"): Long = {
+      bucketCol: String = "bucket",
+      expectBuckets: Option[Set[Int]] = None): Long = {
     // the on-disk layout is ALWAYS `bucket=<b>` — publish() scans for
     // that prefix to enumerate fresh entries, and the read side
     // renames back to the caller's bucketCol. Writing `<bucketCol>=`
@@ -782,7 +800,7 @@ object Commit {
             "'bucket': the DataFrame already has a 'bucket' column")
         df.withColumnRenamed(bucketCol, "bucket")
       }
-    publish(df.sparkSession, root) { vdir =>
+    publish(df.sparkSession, root, expectBuckets) { vdir =>
       onDisk.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
     }
   }

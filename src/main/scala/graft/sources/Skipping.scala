@@ -299,21 +299,26 @@ object Skipping {
         n -> ColStat(t, render(t, lo), render(t, hi), nulls)
       case (n, AllNull(nulls)) => n -> ColStat("n", "", "", nulls)
     }
-    listed.iterator.map(_._1).filterNot(failed).map { key =>
-      val results = byKey.getOrElse(key, Nil).map(_._2).sortBy(_._1)
-      val schema = results.iterator.flatMap(_._4).nextOption()
-      val perFile = results.map(r => (r._1, r._2, r._3))
-      // entry fold: a column missing from one file but present in
-      // another has unknown values in the missing file → Unusable
-      val allCols = perFile.iterator.flatMap(_._3.keys).toSet
-      val entryAcc = allCols.iterator.map { n =>
-        n -> perFile.iterator.map(_._3.getOrElse(n, Unusable: Acc))
-          .reduceOption(merge).getOrElse(Unusable)
-      }.toMap
-      key -> Harvest(
-        EntryStats(perFile.iterator.map(_._2).sum, colsOf(entryAcc)),
-        perFile.map { case (rel, rows, acc) => rel -> EntryStats(rows, colsOf(acc)) },
-        schema)
+    listed.iterator.map(_._1).filterNot(failed).flatMap { key =>
+      // the fold itself stays under the same per-dir degradation
+      // contract as the reads: a dir whose stats cannot be folded is
+      // ABSENT (pruning declines there), it never fails the publish
+      try {
+        val results = byKey.getOrElse(key, Nil).map(_._2).sortBy(_._1)
+        val schema = results.iterator.flatMap(_._4).nextOption()
+        val perFile = results.map(r => (r._1, r._2, r._3))
+        // entry fold: a column missing from one file but present in
+        // another has unknown values in the missing file → Unusable
+        val allCols = perFile.iterator.flatMap(_._3.keys).toSet
+        val entryAcc = allCols.iterator.map { n =>
+          n -> perFile.iterator.map(_._3.getOrElse(n, Unusable: Acc))
+            .reduceOption(merge).getOrElse(Unusable)
+        }.toMap
+        Some(key -> Harvest(
+          EntryStats(perFile.iterator.map(_._2).sum, colsOf(entryAcc)),
+          perFile.map { case (rel, rows, acc) => rel -> EntryStats(rows, colsOf(acc)) },
+          schema))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
   }
 

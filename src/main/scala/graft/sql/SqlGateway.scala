@@ -53,6 +53,23 @@ object SqlGateway {
     Seq("gold_events_hourly", "gold_events_recent", "gold_star_segment")
   val StarViews: Seq[String] = Seq("star_fact")
 
+  /** Out-of-band threshold of the ROW-level anomaly flag (an 'error'
+    * event, or a value above the distribution's far tail). ONE
+    * constant: the predicate is stated in six SQL strings across two
+    * engines (these views + their DuckDB oracles in queries/SqlDash),
+    * and the oracle gate hash-compares the results — editing the
+    * threshold in one string and not the others would fail the gate.
+    */
+  val AnomalyBand = 200
+
+  /** The anomaly flag as a SQL CASE term, `prefix` qualifying the
+    * event columns (`"e."` or empty) — interpolated into BOTH engines'
+    * texts so they cannot drift.
+    */
+  def anomalyFlagSql(prefix: String): String =
+    s"CASE WHEN ${prefix}event_type = 'error' OR ${prefix}value > " +
+      s"$AnomalyBand THEN 1 ELSE 0 END"
+
   /** The reference's four ANALYTIC VIEWS (ref: sql/real_data_schema
     * .sql:181-258) re-expressed over the registered surface with the
     * same schema translation the dashboard texts use (sensor ~
@@ -110,21 +127,19 @@ object SqlGateway {
     // decimal(31,6) and break hash parity with the oracle (the r12
     // lesson, SqlDash.scala).
     "v_district_performance" ->
-      """SELECT c.c_mktsegment AS district_name,
+      s"""SELECT c.c_mktsegment AS district_name,
                 e.event_type AS sensor_type,
                 'events' AS data_source_name,
                 CAST(e.ts AS DATE) AS date_actual,
                 ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
                   / COUNT(e.value), 6) AS avg_reading,
                 COUNT(*) AS total_readings,
-                SUM(CASE WHEN e.event_type = 'error' OR e.value > 200
-                    THEN 1 ELSE 0 END) AS anomaly_count,
-                ROUND(CAST(SUM(CASE WHEN e.event_type = 'error'
-                      OR e.value > 200 THEN 1 ELSE 0 END)
+                SUM(${anomalyFlagSql("e.")}) AS anomaly_count,
+                ROUND(CAST(SUM(${anomalyFlagSql("e.")})
                     AS DOUBLE) * 100.0 / COUNT(*), 6) AS anomaly_rate_percent,
-                ROUND(CAST(SUM(CAST(CAST(get_json_object(e.props, '$.k') AS DOUBLE)
+                ROUND(CAST(SUM(CAST(CAST(get_json_object(e.props, '$$.k') AS DOUBLE)
                     / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
-                  / COUNT(get_json_object(e.props, '$.k')), 6)
+                  / COUNT(get_json_object(e.props, '$$.k')), 6)
                   AS avg_quality_score,
                 COUNT(DISTINCT e.user_id) AS unique_stations,
                 COUNT(DISTINCT c.c_nationkey) AS unique_catchments
@@ -157,7 +172,7 @@ object SqlGateway {
     // (ref:249) collapses to the same constant as v_sensor_status. The
     // anomaly flag matches v_district_performance (row-level).
     "v_data_lineage" ->
-      """SELECT CONCAT('batch_', CAST(batch_day AS STRING)) AS unified_batch_id,
+      s"""SELECT CONCAT('batch_', CAST(batch_day AS STRING)) AS unified_batch_id,
                 '1.0' AS pipeline_version,
                 batch_day, data_source_name, provider, record_count,
                 avg_quality, anomaly_count, first_ingested, last_ingested
@@ -166,11 +181,10 @@ object SqlGateway {
                   'events' AS data_source_name,
                   'synthetic-generator' AS provider,
                   COUNT(*) AS record_count,
-                  ROUND((CAST(SUM(CAST(CAST(get_json_object(props, '$.k') AS DOUBLE)
+                  ROUND((CAST(SUM(CAST(CAST(get_json_object(props, '$$.k') AS DOUBLE)
                       / 100.0 AS DECIMAL(18,4))) AS DOUBLE)
-                    / COUNT(get_json_object(props, '$.k'))), 6) AS avg_quality,
-                  SUM(CASE WHEN event_type = 'error' OR value > 200
-                      THEN 1 ELSE 0 END) AS anomaly_count,
+                    / COUNT(get_json_object(props, '$$.k'))), 6) AS avg_quality,
+                  SUM(${anomalyFlagSql("")}) AS anomaly_count,
                   MIN(ts) AS first_ingested,
                   MAX(ts) AS last_ingested
            FROM events GROUP BY CAST(ts AS DATE))""")

@@ -241,23 +241,35 @@ object ScaleBench {
     val cdfOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CDF", "1") != "0"
     val cdfJson = if (!cdfOn) "null" else {
       def point(dir: String): (Double, Double, Double) = {
-        val path = java.nio.file.Files
-          .createTempDirectory("scale-cdf").toString + "/hourly"
+        val tmp = java.nio.file.Files.createTempDirectory("scale-cdf")
+        val path = tmp.toString + "/hourly"
         val ev = graft.Tables.events(spark, dir)
         def clock(body: => Unit): Double = {
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
         }
-        val tBase = clock(graft.warehouse.GoldStage.refreshHourly(ev, path))
-        val u = ev.agg(org.apache.spark.sql.functions.min("user_id"))
-          .head.getLong(0)
-        val batch = ev.filter(org.apache.spark.sql.functions
-          .col("user_id") === u)
-        val tSmall = clock(graft.warehouse.GoldStage.refreshHourly(batch, path))
-        val tCdf = clock {
-          graft.sources.Commit.changesSinceKeyed(spark, path, 1L,
-            Seq("user_id", "event_type", "h")).get.count(); ()
+        try {
+          val tBase = clock(graft.warehouse.GoldStage.refreshHourly(ev, path))
+          val u = ev.agg(org.apache.spark.sql.functions.min("user_id"))
+            .head.getLong(0)
+          val batch = ev.filter(org.apache.spark.sql.functions
+            .col("user_id") === u)
+          val tSmall = clock(graft.warehouse.GoldStage.refreshHourly(batch, path))
+          val tCdf = clock {
+            graft.sources.Commit.changesSinceKeyed(spark, path, 1L,
+              Seq("user_id", "event_type", "h")).get.count(); ()
+          }
+          (tBase, tSmall, tCdf)
+        } finally {
+          // each iteration materializes a full-table state copy — a
+          // multi-SF sweep must not leave iters × points of them under
+          // /tmp (disk-fill risk mid-sweep)
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
-        (tBase, tSmall, tCdf)
       }
       val perPoint = points.map { case (label, dir, sf) =>
         val runs = (1 to iters).map(_ => point(dir))

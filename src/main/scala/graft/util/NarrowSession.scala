@@ -25,12 +25,19 @@ object NarrowSession {
 
   /** The memoized width-1 session sharing `s`'s SparkContext (and
     * therefore its executors, caches, and catalog implementation).
-    * Callers must NOT mutate its conf — it is shared.
+    * Callers must NOT mutate its conf — it is shared, and beyond the
+    * pinned shuffle width it carries the FIRST caller's session conf
+    * (the width-1 iterations it serves are conf-insensitive).
     */
-  def get(s: SparkSession): SparkSession =
+  def get(s: SparkSession): SparkSession = {
+    // a JVM that stops and recreates contexts (test harness, server
+    // restart loop) must not accumulate dead SessionStates — evict
+    // entries whose context has stopped
+    cache.filterInPlace((sc, _) => !sc.isStopped)
     cache.getOrElseUpdate(s.sparkContext, {
       val iso = s.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "1")
       iso
     })
+  }
 }

@@ -253,15 +253,9 @@ object GoldStage {
     * keyed on a batch id column in production).
     */
   def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16): Unit = {
-    val timing = sys.env.get("SPARK_GRAFT_PUBLISH_TIMING").contains("1")
     def t[T](label: String)(body: => T): T =
-      if (!timing) body
-      else {
-        val t0 = System.nanoTime(); val r = body
-        Console.err.println(
-          f"[refresh-timing] $label%-16s ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        r
-      }
+      graft.util.PhaseTimer.gated(
+        "SPARK_GRAFT_PUBLISH_TIMING", "refresh-timing", label)(body)
     val spark = batch.sparkSession
     def bucketed(df: DataFrame) = df.withColumn("bucket",
       pmod(col("user_id"), lit(buckets)).cast("int"))
@@ -309,8 +303,16 @@ object GoldStage {
       case None => inc
       case Some(existing) => existing.unionByName(inc)
     }
+    // the probe and the merge evaluate `batch` independently (no cache
+    // pins one evaluation): a batch that re-evaluates DIFFERENTLY —
+    // non-deterministic expression, source mutated mid-refresh — could
+    // write a bucket the probe never saw, whose existing state was
+    // therefore not folded in. expectBuckets makes publish abort
+    // BEFORE the pointer swap in that case (loud error, no state loss)
+    // instead of silently replacing the bucket with batch-only rows.
     t("merge+publish")(graft.sources.Commit.publishBuckets(
-      mergeBucketAligned(unioned, buckets), path))
+      mergeBucketAligned(unioned, buckets), path,
+      expectBuckets = Some(touched.map(_.intValue).toSet)))
   }
 
   /** Reader for the incrementally-maintained hourly fact — resolves
