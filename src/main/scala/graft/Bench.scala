@@ -51,6 +51,13 @@ object Bench {
   // both artifacts rather than silently trusted.
   private val OutlierRatio = 1.3
   private val ExtraIters = 2
+  // A ratio alone misclassifies short queries: 0.12 s vs a 0.08 s best
+  // is 1.5× but the 40 ms excess is scheduler/GC jitter, not a second
+  // plan mode. "Unresolved" (spread survived the re-runs) additionally
+  // requires the excess to be MATERIAL in absolute terms; sub-floor
+  // spreads still get their extra iterations and the best-iters median,
+  // they just aren't flagged as suspicious.
+  private val UnresolvedMinExcessSec = 0.25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -163,7 +170,10 @@ object Bench {
     val adjudicated = timings.filter { case (n, _) => suspect(n) }
       .map { case (n, ts) =>
         val orig = median(rawTimings.find(_._1 == n).get._2)
-        (n, orig, reported(ts), reported(ts) / ts.min > OutlierRatio, ts)
+        val rep = reported(ts)
+        val unres = rep / ts.min > OutlierRatio &&
+          rep - ts.min > UnresolvedMinExcessSec
+        (n, orig, rep, unres, ts)
       }
     val unresolved = adjudicated.filter(_._4).map(_._1)
     // Attribution per adjudicated query, from the per-iteration GC
@@ -236,9 +246,17 @@ object Bench {
     val errJson = failures.toSeq.sortBy(_._1)
       .map { case (k, n) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
     val loadAfter = loadavg()
+    // contention shows in STEADY-STATE iterations; the first timed
+    // iteration of each query re-pays plan/codegen warm-in after ~200
+    // other queries churned the JIT and code caches (measured: it is
+    // the per-query max on a quiet box), so it is excluded — otherwise
+    // a suite whose medians IMPROVE flags itself contended purely by
+    // its own cold/steady ratios growing.
     val spreads = timings.flatMap { case (_, ts) =>
-      val m = median(ts)
-      if (m >= SpreadMinMedianSec && ts.length >= 2) Some(ts.max / m) else None
+      val steady = if (ts.length >= 3) ts.drop(1) else ts
+      val m = median(steady)
+      if (m >= SpreadMinMedianSec && steady.length >= 2) Some(steady.max / m)
+      else None
     }
     val spreadContended = spreads.nonEmpty &&
       spreads.count(_ >= SpreadRatio).toDouble / spreads.size > SpreadFrac
