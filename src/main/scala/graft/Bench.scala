@@ -179,7 +179,12 @@ object Bench {
     // Attribution per adjudicated query, from the per-iteration GC
     // deltas the timings already carry: "gc" when ≥half the worst
     // iteration's excess wall time (over the best) is excess GC time —
-    // heap pressure, not the plan; otherwise "load" when the box showed
+    // heap pressure, not the plan; "warm_in" when the slowest
+    // observations are exactly the FIRST iteration of each wave (the
+    // initial sweep and the post-sweep re-run) — per-query JIT/code-
+    // cache warm-in ramping down, not two plan modes (measured shape of
+    // the pagerank/basket_lift spreads on a quiet box: each wave
+    // decreases monotonically); otherwise "load" when the box showed
     // co-tenant load during the run; otherwise "bimodal" if the spread
     // SURVIVED the re-runs (two genuine plan modes) or "transient" if
     // they out-voted it (interference that moved on).
@@ -193,7 +198,13 @@ object Bench {
         val excess = worstT - bestT
         excess > 0 && (worstGc - bestGc) / excess >= 0.5
       }
+      val waveHeads = Set(0, iters) // first index of sweep + re-run wave
+      val warmIn = ts.length > iters && {
+        val slowest = ts.zipWithIndex.sortBy(-_._1).take(2).map(_._2).toSet
+        slowest.subsetOf(waveHeads)
+      }
       if (gcAttributed) "gc"
+      else if (warmIn) "warm_in"
       else if (loadHigh) "load"
       else if (unres) "bimodal"
       else "transient"
