@@ -373,6 +373,28 @@ class SkippingSpec extends SparkSpec {
     assert(s2.cols("ts").t === "tu", "instant semantics → tu")
   }
 
+  test("harvestMany: per-dir isolation — a broken dir is absent, others harvest") {
+    import graft.sources.Skipping
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val good = Files.createTempDirectory("hm-good").toString + "/t"
+    spark.range(5).toDF("x").write.parquet(good)
+    val corrupt = Files.createTempDirectory("hm-corrupt").toString
+    Files.writeString(Paths.get(corrupt, "part-0.parquet"), "not parquet")
+    val missing = Files.createTempDirectory("hm-gone").toString + "/nope"
+    val out = Skipping.harvestMany(conf, Seq(
+      "good" -> new Path(good),
+      "corrupt" -> new Path(corrupt),
+      "missing" -> new Path(missing)))
+    assert(out.keySet === Set("good"),
+      "only the readable dir harvests; failures degrade per-dir, never throw")
+    assert(out("good").entry.rows === 5L)
+    assert(out("good").entry.cols("x").lo === "0")
+    // and the single-dir wrapper keeps its old contract
+    assert(Skipping.harvestAll(conf, new Path(corrupt)).isEmpty)
+    assert(Skipping.harvestAll(conf, new Path(good)).nonEmpty)
+  }
+
   test("stats-less manifests and unknown shapes decline to prune") {
     val root = tmp("skip-legacy")
     // a pre-skipping manifest, hand-written exactly as round 11 wrote
