@@ -177,8 +177,7 @@ object Streaming {
   val streamUpsert = QueryDef(
     "q_stream_upsert",
     (s, d) => {
-      val statusPath = java.nio.file.Files
-        .createTempDirectory("stream_upsert").toString + "/status"
+      val statusPath = graft.util.TempRoot.fresh("stream_upsert") + "/status"
       val q = Streams.readEvents(s, d).writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
           Streams.statusUpsert(batch, statusPath))

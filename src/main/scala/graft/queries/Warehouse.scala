@@ -575,8 +575,7 @@ object Warehouse {
     "q_gold_incremental",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-gold-inc").toString + "/hourly"
+      val path = graft.util.TempRoot.fresh("graft-gold-inc") + "/hourly"
       (0 until 3).foreach { r =>
         graft.warehouse.GoldStage.refreshHourly(
           ev.filter(pmod(col("event_id"), lit(3)) === r), path)
@@ -784,8 +783,7 @@ object Warehouse {
     "q_cdf_keyed",
     (s, d) => {
       val ev = Tables.events(s, d)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-cdf").toString + "/state"
+      val path = graft.util.TempRoot.fresh("graft-cdf") + "/state"
       val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))

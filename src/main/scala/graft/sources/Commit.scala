@@ -353,8 +353,11 @@ object Commit {
       val oldRows = {
         val o0 = applySchema(readEntries(base, oldSide), cur.schema, bc)
         val have = o0.columns.toSet
+        // same-named columns whose TYPE evolved (int→long, …) must be
+        // cast to the current type too, or the null-safe struct compare
+        // would coerce ad hoc and misclassify unchanged rows as upserts
         o0.select(cols.map(x =>
-          if (have.contains(x)) col(x)
+          if (have.contains(x)) col(x).cast(curRows.schema(x).dataType).as(x)
           else lit(null).cast(curRows.schema(x).dataType).as(x)): _*)
       }
       require(keyCols.nonEmpty && keyCols.forall(cols.contains),

@@ -34,8 +34,7 @@ object GoldProfile {
 
     def runOnce(tag: String): Unit = {
       val ev = Tables.events(spark, sfDir)
-      val path = java.nio.file.Files
-        .createTempDirectory(s"gold-prof-$tag").toString + "/hourly"
+      val path = graft.util.TempRoot.fresh(s"gold-prof-$tag") + "/hourly"
       (0 until 3).foreach { r =>
         t(s"$tag refresh[$r]") {
           graft.warehouse.GoldStage.refreshHourly(

@@ -158,7 +158,7 @@ object StreamBench {
     // table) and drains the backlog — time-to-caught-up is the wall
     // time of that restart run.
     val recovery = {
-      val dir = java.nio.file.Files.createTempDirectory("sb_recover").toString
+      val dir = graft.util.TempRoot.fresh("sb_recover")
       val landing = s"$dir/in"
       val ckpt = s"$dir/ckpt"
       val status = s"$dir/status"

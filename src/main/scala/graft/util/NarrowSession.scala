@@ -34,10 +34,14 @@ object NarrowSession {
     // restart loop) must not accumulate dead SessionStates — evict
     // entries whose context has stopped
     cache.filterInPlace((sc, _) => !sc.isStopped)
-    cache.getOrElseUpdate(s.sparkContext, {
+    // TrieMap.getOrElseUpdate may run the builder twice under a
+    // concurrent first call, leaking a SessionState — build eagerly,
+    // then let putIfAbsent pick ONE winner (the loser is just an
+    // unreferenced session object; nothing to close on it)
+    cache.get(s.sparkContext).getOrElse {
       val iso = s.newSession()
       iso.conf.set("spark.sql.shuffle.partitions", "1")
-      iso
-    })
+      cache.putIfAbsent(s.sparkContext, iso).getOrElse(iso)
+    }
   }
 }

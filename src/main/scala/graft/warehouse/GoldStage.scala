@@ -140,11 +140,38 @@ object GoldStage {
     sum(col("q_sum")).cast(sumType).as("q_sum"),
     sum(col("q_cnt")).as("q_cnt"))
 
+  /** Overflow tripwire on the merged partials: Spark (non-ANSI)
+    * NULLS a decimal sum that overflows its precision, and
+    * [[widenedSumType]] stops widening once inputs already carry the
+    * widened type — so a sum that IS null while its count is positive
+    * can only be an overflowed partial. Persisting it would poison
+    * every future fold silently; raise_error inside the projection
+    * fails the write/publish instead, with no extra pass over the
+    * data (the guard is a codegen'd expression evaluated as rows
+    * stream into the sink).
+    */
+  private def overflowGuarded(df: DataFrame): DataFrame = {
+    def g(s: String, c: String) =
+      when(col(c) > 0 && col(s).isNull,
+        raise_error(concat(
+          lit(s"gold merge overflow: null $s with $c="),
+          col(c).cast("string"),
+          lit(" — partial exceeded decimal precision; repartition the "
+            + "grain or widen Exact.D")))
+        .cast(df.schema(s).dataType))
+      .otherwise(col(s)).as(s)
+    df.select(df.columns.toSeq.map {
+      case "v_sum" => g("v_sum", "v_cnt")
+      case "q_sum" => g("q_sum", "q_cnt")
+      case other => col(other)
+    }: _*)
+  }
+
   private[graft] def mergePartials(parts: DataFrame): DataFrame = {
     val aggs = partialAggs(widenedSumType(parts))
-    parts
+    overflowGuarded(parts
       .groupBy("user_id", "event_type", "h")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*))
   }
 
   /** The refresh's merge shape: the SAME fold as [[mergePartials]]
@@ -159,10 +186,10 @@ object GoldStage {
   private[graft] def mergeBucketAligned(unioned: DataFrame,
       buckets: Int): DataFrame = {
     val aggs = partialAggs(widenedSumType(unioned))
-    unioned
+    overflowGuarded(unioned
       .repartition(buckets, col("bucket"))
       .groupBy("bucket", "user_id", "event_type", "h")
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*))
       .select(col("user_id"), col("event_type"), col("h"), col("n"),
         col("v_sum"), col("v_cnt"), col("q_sum"), col("q_cnt"), col("bucket"))
   }

@@ -24,6 +24,15 @@ object GraftShutdown {
     ()
   }
 
+  /** Register `body` to run AFTER Spark's SparkContext stop hook
+    * (priority 50; lower priority runs later) — for cleanup that must
+    * not race in-flight tasks, e.g. deleting the session temp root.
+    */
+  def afterSparkStops(priority: Int = 25)(body: => Unit): Unit = {
+    ShutdownHookManager.addShutdownHook(priority)(() => body)
+    ()
+  }
+
   /** Best-effort drain of a context's asynchronous tails: enqueue any
     * unreferenced cleanup targets (gc), let the ContextCleaner fire
     * its async removes, wait for the listener bus, then STOP THE
