@@ -813,7 +813,59 @@ object Warehouse {
             SELECT * FROM ups UNION ALL SELECT * FROM dels""")
   )
 
+  /** The change feed's VACUUM fallback under the driver gate
+    * (companion to [[cdfKeyed]], which gates the incremental path):
+    * same v1/v2 publishes — v2 a bucket-scoped rewrite of buckets
+    * {0,3} with users ≡2 mod 5 retired — then `vacuum(retain=1)`
+    * deletes the v1 cursor's manifest. `changesSinceKeyed(since=1)`
+    * must now return None (asserted in-query: a silently-served stale
+    * diff would be a correctness bug this gate exists to catch), and
+    * the consumer falls back to [[graft.sources.Commit.fullAsUpserts]]
+    * — the CURRENT snapshot re-expressed as `_change='upsert'` rows.
+    * The oracle restates that snapshot from raw events: rewritten
+    * buckets carry v2's recounts, untouched buckets carry v1's rows
+    * — so green also proves vacuum KEPT the v1 version dirs the
+    * retained manifest still references (carry-forward survival),
+    * while deleting the superseded manifest. Delta-CDF analog: a
+    * reader whose cursor predates the retention window restarts from
+    * the initial snapshot, inserts only.
+    */
+  val cdfFallback = QueryDef(
+    "q_cdf_fallback",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val path = graft.util.TempRoot.fresh("graft-cdf-fb") + "/state"
+      val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      graft.sources.Commit.publishBuckets(v1.repartition(col("bucket")), path)
+      val v2 = ev
+        .filter(pmod(col("user_id"), lit(8)).isin(0, 3) &&
+          pmod(col("user_id"), lit(5)) =!= 2)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      graft.sources.Commit.publishBuckets(v2.repartition(col("bucket")), path)
+      graft.sources.Commit.vacuum(s, path)
+      require(
+        graft.sources.Commit.changesSinceKeyed(s, path, 1L, Seq("user_id")).isEmpty,
+        "vacuumed cursor must be refused, never served stale")
+      graft.sources.Commit.fullAsUpserts(s, path, Seq("user_id"))
+        .get.select(col("user_id"), col("n"), col("bucket"), col("_change"))
+    },
+    Some("""WITH v1 AS (SELECT user_id, COUNT(*) AS n,
+                   CAST(user_id % 8 AS INT) AS bucket
+                 FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            v2 AS (SELECT user_id, COUNT(*) AS n,
+                   CAST(user_id % 8 AS INT) AS bucket
+                 FROM events
+                 WHERE user_id % 8 IN (0, 3) AND user_id % 5 <> 2 GROUP BY 1),
+            snap AS (SELECT * FROM v2
+                     UNION ALL
+                     SELECT * FROM v1 WHERE bucket NOT IN (0, 3))
+            SELECT user_id, n, bucket, 'upsert' AS _change FROM snap""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
     basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental,
-    zorderLayout, snapshotDiff, cdfKeyed)
+    zorderLayout, snapshotDiff, cdfKeyed, cdfFallback)
 }
