@@ -51,6 +51,7 @@ object VectorStage {
   private def ivfName(t: String)   = s"vx_ivf_$t"
   private def cbName(t: String)    = s"vx_pq_codebook_$t"
   private def codesName(t: String) = s"vx_pq_codes_$t"
+  private def truthName(t: String) = s"vx_truth_$t"
 
   /** (vec_id, label, embedding, nrm, bucket) — bucketed by bucket. */
   def lsh(s: SparkSession, d: String): DataFrame =
@@ -68,6 +69,18 @@ object VectorStage {
   def pqCodes(s: SparkSession, d: String): DataFrame =
     { val t = ensure(s, d); s.table(codesName(t)) }
 
+  /** (qid, nid) — brute-force top-[[graft.queries.Vectors.AuditTopK]]
+    * ground truth for the fixed recall-audit sample (`vec_id <
+    * AuditNQ`), the ann-benchmarks groundtruth-file analog.
+    * Deterministic per corpus snapshot, so it is INDEX-BUILD work, not
+    * query work: before this artifact `q_ann_recall` re-ran the
+    * corpus×sample crossJoin per invocation — measured as its largest
+    * phase (1.0–1.8 s of a ~3.5 s replay at sf0.1, tools/AnnProfile).
+    * ≤ NQ×TopK rows; consumers broadcast it.
+    */
+  def annTruth(s: SparkSession, d: String): DataFrame =
+    { val t = ensure(s, d); s.table(truthName(t)) }
+
   private def ensure(s: SparkSession, d: String): String = {
     val t = Staging.tag(s, d, SrcTables)
     Staging.ensure(s, "vector", d, s"vector_$t")(build(s, d, t))
@@ -75,7 +88,7 @@ object VectorStage {
   }
 
   private def build(s: SparkSession, d: String, t: String): Unit = {
-    Seq(lshName(t), ivfName(t), cbName(t), codesName(t))
+    Seq(lshName(t), ivfName(t), cbName(t), codesName(t), truthName(t))
       .foreach(Staging.freshTarget(s, _))
     // the build's heavy stages are the centroid/codebook aggs and the
     // bucketed writes — all linear passes over the corpus (expansion
@@ -104,6 +117,18 @@ object VectorStage {
             .repartition(b, col("vec_id")),
           codesName(t), "vec_id", b)
       } finally sv.unpersist()
+      // audit ground truth: ONE map-only corpus scan against the
+      // broadcast 20-query sample + a per-query top-k — linear in the
+      // corpus like every other build stage, amortized across all
+      // future audits of this snapshot
+      import org.apache.spark.sql.expressions.Window
+      val wT = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+      graft.queries.Vectors.bruteCandidates(emb)
+        .withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= graft.queries.Vectors.AuditTopK)
+        .select("qid", "nid")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(truthName(t))
     }
   }
 }
