@@ -592,7 +592,8 @@ object Commit {
     else { val t0 = System.nanoTime(); val r = body; (r, System.nanoTime() - t0) }
 
   private def publish(spark: SparkSession, root: String,
-      expectBuckets: Option[Set[Int]] = None)
+      expectBuckets: Option[Set[Int]] = None,
+      bucketedWriter: Boolean = false)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentManifest(spark, root) // ONE manifest read per publish
@@ -602,6 +603,21 @@ object Commit {
     val newBuckets = f.listStatus(new Path(root, vdir))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
+    // an EMPTY bucketed write against an existing table must abort, not
+    // commit: partitionBy writes no dirs for an empty DataFrame, and the
+    // no-bucket-dirs fallback below would publish a whole-dir (empty)
+    // snapshot that REPLACES the table outright — an empty upsert batch
+    // silently wiping the accumulated state (found by the r16 scaled-
+    // bucket sweep review; incremental callers now no-op before publish,
+    // this guard is the backstop for any other bucketed writer). A
+    // caller that truly means "replace the table with nothing" states
+    // it with publishDir. The fresh vdir is unreferenced garbage for
+    // [[vacuum]]; readers stay on the previous snapshot.
+    require(!(bucketedWriter && newBuckets.isEmpty && prev.nonEmpty),
+      s"bucketed publish to $root wrote no bucket dirs (empty input?) — " +
+        "committing would replace the existing snapshot with an empty " +
+        "whole-dir version; skip empty batches, or use publishDir for " +
+        "an intentional whole-table replace")
     // a caller that pre-read existing state for a PROBED bucket set
     // (GoldStage.refreshHourly) hands that set in: if the input's
     // re-evaluation at write time produced a bucket the probe never
@@ -803,7 +819,7 @@ object Commit {
             "'bucket': the DataFrame already has a 'bucket' column")
         df.withColumnRenamed(bucketCol, "bucket")
       }
-    publish(df.sparkSession, root, expectBuckets) { vdir =>
+    publish(df.sparkSession, root, expectBuckets, bucketedWriter = true) { vdir =>
       onDisk.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
     }
   }

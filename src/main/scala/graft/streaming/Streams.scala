@@ -384,9 +384,14 @@ object Streams {
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so the merge stays exact)
+    // empty micro-batch → no-op, no version bump: recovery replays and
+    // multi-source unions hand foreachBatch empty frames routinely, and
+    // publishing one would commit an empty whole-dir snapshot REPLACING
+    // the status table (no bucket dirs to carry forward — Commit.publish
+    // now also refuses that shape as a backstop)
+    if (touched.isEmpty) return
     val existingTouched =
-      if (touched.isEmpty) None
-      else graft.sources.Commit.readWhere(spark, statusPath,
+      graft.sources.Commit.readWhere(spark, statusPath,
         s"bucket in (${touched.mkString(",")})")
     val merged = existingTouched match {
       case None => incoming

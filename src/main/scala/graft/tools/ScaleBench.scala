@@ -240,7 +240,18 @@ object ScaleBench {
     // 30×: their fitted exponents sit ≪ 1 (vs ~1 for tbase).
     val cdfOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CDF", "1") != "0"
     val cdfJson = if (!cdfOn) "null" else {
-      def point(dir: String): (Double, Double, Double) = {
+      // `buckets` names the r15 exponent-0.44 question: the phase split
+      // (SPARK_GRAFT_PUBLISH_TIMING over these four points) measured
+      // manifest commit (14-21 ms), footer harvest (13-18 ms) and the
+      // touched-bucket probe (~0.1 s) FLAT across 100×; the growth sat
+      // entirely in the one-bucket WRITE (0.35→0.49 s), i.e. the
+      // touched bucket's OWN bytes growing ∝ table at a fixed bucket
+      // count of 16. So the term is per-bucket volume, not any
+      // manifest/listing breadth — and the cap is the one production
+      // already uses for staged artifacts (Staging.bucketsFor): bucket
+      // count ∝ table, per-bucket bytes bounded. The `scaled` variant
+      // below measures exactly that posture.
+      def point(dir: String, buckets: Int): (Double, Double, Double) = {
         val tmp = java.nio.file.Files.createTempDirectory("scale-cdf")
         val path = tmp.toString + "/hourly"
         val ev = graft.Tables.events(spark, dir)
@@ -248,12 +259,14 @@ object ScaleBench {
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
         }
         try {
-          val tBase = clock(graft.warehouse.GoldStage.refreshHourly(ev, path))
+          val tBase = clock(
+            graft.warehouse.GoldStage.refreshHourly(ev, path, buckets))
           val u = ev.agg(org.apache.spark.sql.functions.min("user_id"))
             .head.getLong(0)
           val batch = ev.filter(org.apache.spark.sql.functions
             .col("user_id") === u)
-          val tSmall = clock(graft.warehouse.GoldStage.refreshHourly(batch, path))
+          val tSmall = clock(
+            graft.warehouse.GoldStage.refreshHourly(batch, path, buckets))
           val tCdf = clock {
             graft.sources.Commit.changesSinceKeyed(spark, path, 1L,
               Seq("user_id", "event_type", "h")).get.count(); ()
@@ -271,27 +284,39 @@ object ScaleBench {
           } catch { case scala.util.control.NonFatal(_) => () }
         }
       }
-      val perPoint = points.map { case (label, dir, sf) =>
-        val runs = (1 to iters).map(_ => point(dir))
+      def sweep(bucketsOf: Double => Int) = points.map { case (label, dir, sf) =>
+        val runs = (1 to iters).map(_ => point(dir, bucketsOf(sf)))
         System.gc()
         val best = (runs.map(_._1).min, runs.map(_._2).min, runs.map(_._3).min)
         System.err.println(
-          f"[scale][cdf] $label base=${best._1}%.2f small=${best._2}%.2f cdf=${best._3}%.2f s")
+          f"[scale][cdf] $label buckets=${bucketsOf(sf)} base=${best._1}%.2f small=${best._2}%.2f cdf=${best._3}%.2f s")
         (label, sf, best)
       }
-      def seg(pick: ((Double, Double, Double)) => Double): (String, String) = {
-        val pts = perPoint.map { case (_, sf, b) => (sf, pick(b)) }
-        val secs = perPoint.map { case (l, _, b) => s"\"$l\":${jNum(pick(b))}" }
+      // fixed 16 buckets: per-bucket bytes grow ∝ table — the r15
+      // curve whose 0.44 exponent this segment attributes
+      val perPoint = sweep(_ => 16)
+      // production posture: bucket count ∝ table (16 per sf0.1), so
+      // the touched bucket's bytes stay CONSTANT as the table grows —
+      // this curve is the measured cap on the growth term
+      val perPointScaled = sweep(sf => math.max(16, (16 * sf / 0.1).round.toInt))
+      def seg(pp: Seq[(String, Double, (Double, Double, Double))],
+          pick: ((Double, Double, Double)) => Double): (String, String) = {
+        val pts = pp.map { case (_, sf, b) => (sf, pick(b)) }
+        val secs = pp.map { case (l, _, b) => s"\"$l\":${jNum(pick(b))}" }
           .mkString("{", ",", "}")
         (secs, jNum(slope(pts.takeRight(2))))
       }
-      val (bSecs, bExp) = seg(_._1)
-      val (sSecs, sExp) = seg(_._2)
-      val (cSecs, cExp) = seg(_._3)
+      val (bSecs, bExp) = seg(perPoint, _._1)
+      val (sSecs, sExp) = seg(perPoint, _._2)
+      val (cSecs, cExp) = seg(perPoint, _._3)
+      val (s2Secs, s2Exp) = seg(perPointScaled, _._2)
+      val (c2Secs, c2Exp) = seg(perPointScaled, _._3)
       s"""{"full_build":{"secs_min":$bSecs,"exponent_top":$bExp},""" +
         s""""touched_bucket_publish":{"secs_min":$sSecs,"exponent_top":$sExp},""" +
         s""""changes_since_keyed":{"secs_min":$cSecs,"exponent_top":$cExp},""" +
-        s""""note":"full_build is ∝ table (expect ~linear); the constant-shape one-bucket publish and the row-level CDF read across it must stay ~flat as the table grows (exponent_top ≪ 1) — the measured form of 'cost ∝ touched buckets'."}"""
+        s""""touched_bucket_publish_scaled_buckets":{"secs_min":$s2Secs,"exponent_top":$s2Exp},""" +
+        s""""changes_since_keyed_scaled_buckets":{"secs_min":$c2Secs,"exponent_top":$c2Exp},""" +
+        s""""note":"full_build is ∝ table (expect ~linear). r16 phase split (SPARK_GRAFT_PUBLISH_TIMING): in the one-bucket publish, manifest commit 14-21 ms, footer harvest 13-18 ms and the touched-bucket probe ~0.1 s are FLAT across 100×; the residual growth (the r15 exponent 0.44) is the one-bucket WRITE — per-bucket bytes ∝ table at the fixed 16-bucket layout. The *_scaled_buckets curves hold per-bucket bytes constant (bucket count ∝ table, the Staging.bucketsFor posture) and are the measured cap on that term."}"""
     }
 
     // ---- adversarially-skewed points (join/graph/dedup under hot keys) ----
@@ -367,8 +392,15 @@ object ScaleBench {
         s""""stage_builds":$stageJson,"commit_cdf":$cdfJson,"skewed":$skewJson,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"build_iters":$buildIters,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","cpus":"$cpus",""" +
         s""""note":"exponents fit on per-SF min times (contention-robust); exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
+    // a filtered run (family filter, or a segment switched off) is a
+    // local-iteration tool — it must never clobber the committed
+    // full-sweep artifact (the same _partial contract as Bench's
+    // SPARK_GRAFT_BENCH_ONLY)
+    val curvePath =
+      if (onlyFam.isEmpty && cdfOn && skewOn) "/root/repo/SCALING_CURVE.json"
+      else "/root/repo/SCALING_CURVE_partial.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/SCALING_CURVE.json"), out)
+      java.nio.file.Paths.get(curvePath), out)
 
     spark.stop()
     val summary = families.map { case (fam, qs) =>

@@ -69,10 +69,39 @@ object ServeLatency {
         routes.map(q => q -> bestOf3Ms(port, q))
       } finally srv.stop()
     }
+    // post-publish: a publisher that swaps tables under the dashboard
+    // calls srv.warm() (forced refresh through the single-flight
+    // machinery, OFF the request path) — the FIRST user hit after the
+    // publish must then be a cache hit, i.e. meet the reference's
+    // <100 ms bar cold-start-free. warm_refresh_secs is the off-path
+    // cost the publisher pays per warm() call.
+    val (postPublish, warmRefreshSecs) = {
+      val srv = new DashboardServer(spark, sfDir)
+      val port = srv.start()
+      try {
+        routes.foreach(q => get(port, s"/api/$q")) // stages + JIT
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          srv.warm() // the post-publish hook
+          val wSecs = (System.nanoTime() - t0) / 1e9
+          val firsts = routes.map { q =>
+            val t1 = System.nanoTime()
+            val r = get(port, s"/api/$q")
+            require(r.statusCode() == 200, s"$q -> ${r.statusCode()}")
+            q -> (System.nanoTime() - t1) / 1e6
+          }
+          (firsts, wSecs)
+        }
+        (routes.map(q => q ->
+          runs.map(_._1.toMap.apply(q)).min), runs.map(_._2).min)
+      } finally srv.stop()
+    }
     def json(xs: Seq[(String, Double)]) =
       xs.map { case (q, ms) => f""""$q":$ms%.3f""" }.mkString("{", ",", "}")
     val body = s"""{"unit":"ms","cold_recompute_best_of_3":${json(cold)},""" +
-      s""""warm_cache_best_of_3":${json(warm)},"single_flight":true,""" +
+      s""""warm_cache_best_of_3":${json(warm)},""" +
+      s""""first_hit_after_publish_best_of_3":${json(postPublish)},""" +
+      f""""warm_refresh_secs":$warmRefreshSecs%.3f,"single_flight":true,""" +
       s""""sf":"$sfDir","cpus":"$cpus"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body)
     println(s"SERVE_LATENCY -> $out")

@@ -299,6 +299,12 @@ object GoldStage {
       .select(pmod(col("user_id"), lit(buckets)).cast("int").as("bucket"))
       .distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq)
+    // empty batch → no-op, no version bump (the Delta MERGE-with-empty-
+    // source semantics). Publishing would be worse than wasteful: an
+    // empty bucketed write has no bucket dirs, which the manifest would
+    // commit as a whole-dir EMPTY snapshot replacing the table
+    // (Commit.publish now also refuses that shape as a backstop).
+    if (touched.isEmpty) return
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so this stays exact)
@@ -337,8 +343,17 @@ object GoldStage {
     // therefore not folded in. expectBuckets makes publish abort
     // BEFORE the pointer swap in that case (loud error, no state loss)
     // instead of silently replacing the bucket with batch-only rows.
+    // exchange width = TOUCHED buckets, not the table's bucket count:
+    // hash(bucket) still keys the exchange (so the agg reuses it and
+    // partitionBy still writes one file per bucket — two buckets that
+    // share a partition just write two files from one task), but a
+    // one-bucket micro-batch schedules 1 task instead of `buckets`.
+    // Measured (r16 scaled-bucket sweep): at 160 total buckets the
+    // one-bucket publish paid ~1 s of empty-task scheduling at width
+    // 160; width=touched makes the publish cost ∝ touched buckets in
+    // TASKS as well as bytes — the shape the scale claim states.
     t("merge+publish")(graft.sources.Commit.publishBuckets(
-      mergeBucketAligned(unioned, buckets), path,
+      mergeBucketAligned(unioned, touched.size), path,
       expectBuckets = Some(touched.map(_.intValue).toSet)))
   }
 

@@ -1,0 +1,219 @@
+package graft
+
+import graft.sources.Commit
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Property-fuzz of the commit/CDF contract (r15 verdict #5): the
+  * chosen-example specs in CommitSpec pin the differ's behavior on
+  * hand-picked snapshots; this drives SEEDED RANDOM sequences of
+  * bucket-scoped publish / retire / full rewrite / schema evolution /
+  * vacuum against an in-memory model and asserts, from every retained
+  * cursor:
+  *
+  *  (a) applying `changesSinceKeyed`'s upserts+deletes to the model's
+  *      copy of the cursor snapshot reproduces the current snapshot
+  *      exactly (the Delta CDF apply contract);
+  *  (b) no identical-row redelivery: every upsert row differs from the
+  *      cursor row once the cursor side is conformed to the current
+  *      schema (additive columns null-filled) — rewritten-but-equal
+  *      rows never reach the consumer;
+  *  (c) delete rows are exactly the cursor's keys that no longer
+  *      exist;
+  *  (d) a vacuumed cursor gets None, and `fullAsUpserts` converges the
+  *      consumer to the current snapshot through the same apply path.
+  *
+  * Adversarial shapes folded into the sequences: a NULL key (the
+  * null-safe `<=>` key join must treat it as a key, not drop it), and
+  * mid-sequence additive schema evolution (a `w` column appears in a
+  * full rewrite; later diffs against pre-evolution cursors must
+  * null-fill, and post-evolution rows legitimately re-deliver when
+  * their conformed old row differs).
+  *
+  * Model invariants the generator maintains (= the writer contract
+  * production upsert writers keep): one row per key per snapshot; a
+  * bucket-scoped publish rewrites its chosen buckets WHOLESALE (all
+  * surviving keys of those buckets present); a rewritten bucket is
+  * never left empty — an upsert writer that retires a bucket's last
+  * row must publish a full rewrite instead (partitionBy writes no dir
+  * for an empty bucket, so "present but empty" is not expressible at
+  * bucket grain).
+  */
+class CommitFuzzSpec extends SparkSpec {
+
+  private val Buckets = 4
+
+  /** Model row: key (None = the null key), v, and w if the schema has
+    * evolved. w is a pure function of v so the generator stays small.
+    */
+  private type Key = Option[Long]
+  private case class Snap(rows: Map[Key, Double], evolved: Boolean)
+
+  private def wOf(v: Double): Double = v * 2 + 1
+
+  private def bucketOf(k: Key): Int =
+    k.map(u => (u % Buckets).toInt).getOrElse(0)
+
+  private def toDf(rows: Map[Key, Double], evolved: Boolean,
+      onlyBuckets: Option[Set[Int]]) = {
+    import spark.implicits._
+    val picked = rows.toSeq
+      .filter { case (k, _) => onlyBuckets.forall(_.contains(bucketOf(k))) }
+      .map { case (k, v) => (k, v, bucketOf(k)) }
+    val base = picked.toDF("user_id", "v", "bucket")
+      .withColumn("bucket", col("bucket").cast("int"))
+    if (evolved) base.withColumn("w", col("v") * 2 + 1)
+      .select("user_id", "v", "w", "bucket")
+    else base
+  }
+
+  /** One feed row decoded: (key, v, w?, change). */
+  private def decode(df: org.apache.spark.sql.DataFrame)
+      : Set[(Key, Double, Option[Double], String)] = {
+    val hasW = df.columns.contains("w")
+    df.collect().map { r =>
+      val k = Option(r.getAs[Any]("user_id")).map(_.asInstanceOf[Long])
+      val w = if (hasW) Option(r.getAs[Any]("w")).map(_.asInstanceOf[Double])
+        else None
+      (k, r.getAs[Double]("v"), w, r.getAs[String]("_change"))
+    }.toSet
+  }
+
+  /** Current-schema view of a snapshot: (v, w or null-filled). */
+  private def conform(s: Snap, curEvolved: Boolean)
+      : Map[Key, (Double, Option[Double])] =
+    s.rows.view.mapValues { v =>
+      (v, if (s.evolved && curEvolved) Some(wOf(v)) else None)
+    }.toMap
+
+  test("seeded publish/rewrite/retire/vacuum sequences uphold the CDF contract") {
+    for (seed <- 1 to 20) {
+      val rng = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"commit-fuzz-$seed").toString + "/t"
+      var model = Map[Key, Double](
+        (0L to 7L).map(k => (Some(k): Key) -> (k + seed).toDouble): _*)
+      var evolved = false
+      // recorded consumer cursors: version -> model snapshot then
+      var cursors = Vector.empty[(Long, Snap)]
+      var vacuumedBelow = 0L // versions < this are gone
+
+      def publish(only: Option[Set[Int]]): Unit = {
+        val v = Commit.publishBuckets(toDf(model, evolved, only), root)
+        cursors :+= (v, Snap(model, evolved))
+      }
+      publish(None) // v1: full baseline
+
+      val ops = 5 + rng.nextInt(3)
+      val evolveAt = 1 + rng.nextInt(ops) // may or may not be reached
+      for (op <- 1 to ops) {
+        if (op == evolveAt) {
+          // additive schema evolution rides a FULL rewrite (mixed-file
+          // snapshots are a different feature; old MANIFESTS keep the
+          // old schema, which is what the differ must conform)
+          evolved = true
+          // touch one value so the evolution batch is not a no-op
+          val k = model.keys.toSeq(rng.nextInt(model.size))
+          model += k -> (model(k) + 100)
+          publish(None)
+        } else {
+          // bucket-scoped rewrite: choose buckets, mutate their keys
+          val bs = (0 until Buckets).filter(_ => rng.nextBoolean()).toSet
+          val chosen = if (bs.isEmpty) Set(rng.nextInt(Buckets)) else bs
+          // mutate: update / retire / insert within the chosen buckets
+          model.foreach { case (k, v) =>
+            if (chosen.contains(bucketOf(k))) {
+              val dice = rng.nextDouble()
+              if (dice < 0.3) model += k -> (v + 1)
+              else if (dice < 0.45) model -= k
+            }
+          }
+          // occasional NULL-key row churn (lives in bucket 0)
+          if (chosen.contains(0) && rng.nextDouble() < 0.3) {
+            if (model.contains(None) && rng.nextBoolean()) model -= None
+            else model += (None: Key) -> (seed * 1000 + op).toDouble
+          }
+          // 0-2 fresh keys inside chosen buckets
+          (0 until rng.nextInt(3)).foreach { _ =>
+            val b = chosen.toSeq(rng.nextInt(chosen.size))
+            val k = (rng.nextInt(40) * Buckets + b).toLong
+            model += (Some(k): Key) -> (seed + op + k).toDouble
+          }
+          // writer contract: a rewritten bucket is never left empty
+          chosen.foreach { b =>
+            if (!model.keys.exists(k => bucketOf(k) == b))
+              model += (Some((40 * Buckets + b).toLong): Key) -> 1.0
+          }
+          publish(Some(chosen))
+        }
+        if (rng.nextDouble() < 0.25) {
+          val retain = 1 + rng.nextInt(2)
+          Commit.vacuum(spark, root, retain)
+          vacuumedBelow = cursors.takeRight(retain).head._1
+        }
+      }
+
+      val curSnap = Snap(model, evolved)
+      val want = conform(curSnap, evolved)
+
+      // check from a sample of cursors: always the oldest (most likely
+      // vacuumed) and newest, plus up to 2 random interior ones
+      val picks = (Seq(cursors.head, cursors.last) ++
+        (0 until 2).map(_ => cursors(rng.nextInt(cursors.size)))).distinct
+      for ((v, snap) <- picks) {
+        Commit.changesSinceKeyed(spark, root, v, Seq("user_id")) match {
+          case Some(feed) =>
+            assert(v >= vacuumedBelow, s"seed=$seed: vacuumed cursor $v served")
+            val rows = decode(feed)
+            val old = conform(snap, evolved)
+            // (a) apply: delete then upsert reproduces the snapshot
+            var applied = old
+            rows.filter(_._4 == "delete").foreach { case (k, _, _, _) =>
+              applied -= k }
+            rows.filter(_._4 == "upsert").foreach { case (k, v2, w2, _) =>
+              applied += k -> (v2, w2) }
+            assert(applied === want,
+              s"seed=$seed cursor=$v: apply(feed) != current snapshot")
+            // (b) no identical-row redelivery
+            rows.filter(_._4 == "upsert").foreach { case (k, v2, w2, _) =>
+              assert(old.get(k) !== Some((v2, w2)),
+                s"seed=$seed cursor=$v: unchanged row for key $k re-delivered")
+            }
+            // (c) deletes are exactly the vanished keys
+            val delKeys = rows.filter(_._4 == "delete").map(_._1)
+            assert(delKeys === snap.rows.keySet.diff(curSnap.rows.keySet),
+              s"seed=$seed cursor=$v: delete set wrong")
+          case None =>
+            // (d) must be a genuinely unreconstructable cursor, and the
+            // fallback converges through the same apply path
+            assert(v < vacuumedBelow,
+              s"seed=$seed: live cursor $v refused")
+            val fb = Commit.fullAsUpserts(spark, root, Seq("user_id")).get
+            val rows = decode(fb)
+            assert(rows.forall(_._4 == "upsert"), s"seed=$seed: non-upsert in fallback")
+            val applied = rows.map { case (k, v2, w2, _) => k -> (v2, w2) }.toMap
+            assert(applied === want,
+              s"seed=$seed: fullAsUpserts apply != current snapshot")
+        }
+      }
+    }
+  }
+
+  test("CDF conforms evolved column TYPES by casting the old side (int -> long)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("commit-fuzz-type").toString + "/t"
+    val v1 = Seq((1L, 10, 0), (2L, 20, 0), (5L, 50, 1))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    // full rewrite with n evolved int -> long; only user 2's value changed
+    val v2 = Seq((1L, 10L, 0), (2L, 21L, 0), (5L, 50L, 1))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val rows = feed.select("user_id", "n", "_change")
+      .as[(Long, Long, String)].collect().toSet
+    // users 1 and 5 are value-identical across the type change: a
+    // coercion-blind diff would re-deliver them as upserts
+    assert(rows === Set((2L, 21L, "upsert")), rows.toString)
+  }
+}

@@ -377,6 +377,34 @@ class CommitSpec extends SparkSpec {
       (1L, 2.0, Some("x"), "upsert"), (2L, 3.0, Some("y"), "upsert")), rows)
   }
 
+  test("an empty bucketed publish refuses to wipe an existing table") {
+    val root = tmp("commit-empty-wipe")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root)
+    val before = Commit.read(spark, root).get
+      .select("user_id", "v").as[(Long, Double)].collect().toSet
+    // an empty DataFrame writes no bucket= dirs; committing it would
+    // degrade the table to a whole-dir EMPTY snapshot (carried = Nil)
+    val e = intercept[IllegalArgumentException] {
+      Commit.publishBuckets(statusDf().filter(lit(false)), root)
+    }
+    assert(e.getMessage.contains("no bucket dirs"), e.getMessage)
+    assert(Commit.read(spark, root).get.select("user_id", "v")
+      .as[(Long, Double)].collect().toSet === before,
+      "reader state changed after the refused empty publish")
+    // the incremental maintainers no-op BEFORE the guard: an empty
+    // micro-batch/refresh batch bumps no version and publishes nothing
+    graft.warehouse.GoldStage.refreshHourly(
+      Tables.events(spark, sf0001).filter(lit(false)), root + "-gold")
+    assert(Commit.read(spark, root + "-gold").isEmpty,
+      "empty refresh batch must not create a table")
+    graft.streaming.Streams.statusUpsert(
+      Seq.empty[(Long, java.sql.Timestamp, Double, String, Long)]
+        .toDF("user_id", "ts", "value", "event_type", "event_id"),
+      root + "-status")
+    assert(Commit.read(spark, root + "-status").isEmpty,
+      "empty status micro-batch must not create a table")
+  }
+
   test("publish derives the recorded schema from footers — identical to spark.read inference") {
     val root = tmp("commit-schema-footer")
     val df = Seq((1L, 1, 1.5, 2.5f, "a", java.math.BigDecimal.valueOf(125, 2)))

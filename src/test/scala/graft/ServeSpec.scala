@@ -102,6 +102,30 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("warm() refreshes every route off the request path — the post-publish hook") {
+    val srv = new DashboardServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      // cold fill through requests, as a running server would have
+      for (q <- DashboardServer.DashboardQueries)
+        assert(get(port, s"/api/$q").statusCode() == 200)
+      DashboardServer.DashboardQueries.foreach(q =>
+        assert(srv.computeCount(q) == 1L))
+      // a publish swaps tables → the publisher warms; every route must
+      // RECOMPUTE (TTL-fresh entries are stale-by-content after a
+      // publish) exactly once, with no request involved
+      srv.warm()
+      DashboardServer.DashboardQueries.foreach(q =>
+        assert(srv.computeCount(q) == 2L, s"$q not refreshed by warm()"))
+      // the first hit after the publish is a cache hit, not a recompute
+      for (q <- DashboardServer.DashboardQueries) {
+        assert(get(port, s"/api/$q").statusCode() == 200)
+        assert(srv.computeCount(q) == 2L,
+          s"$q recomputed on the first post-publish request")
+      }
+    } finally srv.stop()
+  }
+
   test("single-flight: racing expired requests observe exactly one recompute") {
     val now = new java.util.concurrent.atomic.AtomicLong(0L)
     val srv = new DashboardServer(spark, sf0001,
