@@ -24,8 +24,11 @@ object TempRoot {
   /** A fresh directory under the session root — same contract as
     * `Files.createTempDirectory(prefix)`, but reclaimed at JVM exit.
     */
-  def fresh(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  def fresh(prefix: String): String = freshDir(prefix).toString
+
+  /** Path-typed variant (drop-in for `Files.createTempDirectory`). */
+  def freshDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}

@@ -90,7 +90,7 @@ class CommitFuzzSpec extends SparkSpec {
   test("seeded publish/rewrite/retire/vacuum sequences uphold the CDF contract") {
     for (seed <- 1 to 20) {
       val rng = new scala.util.Random(seed)
-      val root = Files.createTempDirectory(s"commit-fuzz-$seed").toString + "/t"
+      val root = graft.util.TempRoot.freshDir(s"commit-fuzz-$seed").toString + "/t"
       var model = Map[Key, Double](
         (0L to 7L).map(k => (Some(k): Key) -> (k + seed).toDouble): _*)
       var evolved = false
@@ -201,7 +201,7 @@ class CommitFuzzSpec extends SparkSpec {
 
   test("CDF conforms evolved column TYPES by casting the old side (int -> long)") {
     import spark.implicits._
-    val root = Files.createTempDirectory("commit-fuzz-type").toString + "/t"
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-type").toString + "/t"
     val v1 = Seq((1L, 10, 0), (2L, 20, 0), (5L, 50, 1))
       .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
     Commit.publishBuckets(v1, root)

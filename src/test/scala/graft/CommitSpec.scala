@@ -16,7 +16,7 @@ class CommitSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString + "/table"
+    graft.util.TempRoot.freshDir(prefix).toString + "/table"
 
   private def statusDf(rows: (Long, Double)*) =
     rows.toDF("user_id", "v")
@@ -496,7 +496,7 @@ class CommitSpec extends SparkSpec {
 
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
-    val landing = Files.createTempDirectory("commit-landing").toString
+    val landing = graft.util.TempRoot.freshDir("commit-landing").toString
     spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(landing)
     val n = Sources.compactCommit(spark, landing, root)
     assert(n === 1) // tiny input compacts to one file

@@ -112,8 +112,8 @@ class ConnectorsSpec extends SparkSpec {
 
   test("connector landings flow through the ingestion sweep and the " +
       "pipeline-replay chain unchanged") {
-    val landing = java.nio.file.Files
-      .createTempDirectory("connectors-landing").toString + "/landing"
+    val landing = graft.util.TempRoot
+      .freshDir("connectors-landing").toString + "/landing"
     val loc = Connectors.Location("London", "Central", 51.5074, -0.1278)
     val endpoints = Seq(
       Connectors.eaFlood(fixture("ea_stations.json"), eaReadings, 4, 1),

@@ -19,7 +19,7 @@ class EmbedNormAuditSpec extends SparkSpec {
 
   test("q_embed_norm_audit: gate is non-vacuous and zero-variance labels report 0") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-embaudit").toString
+    val dir = graft.util.TempRoot.freshDir("graft-embaudit").toString
     def vec(x: Double): Array[Float] = Array(x.toFloat, 0f, 0f, 0f)
     val rows =
       (0 until 10).map(i =>

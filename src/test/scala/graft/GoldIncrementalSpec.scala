@@ -24,8 +24,8 @@ class GoldIncrementalSpec extends SparkSpec {
       .collect().map(_.toString).sorted
 
   test("three time-ordered batches fold to the exact from-scratch table") {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-gold-inc").toString + "/hourly"
+    val path = graft.util.TempRoot
+      .freshDir("graft-gold-inc").toString + "/hourly"
     val ev = events
     val cuts = ev.stat.approxQuantile("event_id", Array(0.5, 0.8), 0.0)
     val batches = Seq(
@@ -59,8 +59,8 @@ class GoldIncrementalSpec extends SparkSpec {
   }
 
   test("a batch keyed to one bucket writes only that bucket into the new version") {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-gold-inc2").toString + "/hourly"
+    val path = graft.util.TempRoot
+      .freshDir("graft-gold-inc2").toString + "/hourly"
     val ev = events
     GoldStage.refreshHourly(ev.filter(col("event_id") % 2 === 0), path)
     def fileStamps(): Map[String, Long] = {

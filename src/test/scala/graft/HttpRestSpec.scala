@@ -19,8 +19,8 @@ class HttpRestSpec extends SparkSpec {
     val srv = new DashboardServer(spark, sf0001,
       queryNames = Seq("q_dash_districts", "q_dash_metrics"))
     val port = srv.start()
-    val landing = java.nio.file.Files
-      .createTempDirectory("http_rest_landing").toString
+    val landing = graft.util.TempRoot
+      .freshDir("http_rest_landing").toString
     try {
       val breakers = scala.collection.mutable.Map.empty[String, Rest.CircuitBreaker]
       val ing = new Rest.Ingestion(

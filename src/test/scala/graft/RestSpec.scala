@@ -63,7 +63,7 @@ class RestSpec extends SparkSpec {
       .toDF("station", "obs_time", "level_m", "catchment")
 
   test("runOnce: priority order, schema union with missing columns, landing parquet") {
-    val landing = java.nio.file.Files.createTempDirectory("rest_landing").toString + "/data"
+    val landing = graft.util.TempRoot.freshDir("rest_landing").toString + "/data"
     val endpoints = Seq(
       Endpoint("flood", priority = 2, _ => floodFetch),
       Endpoint("weather", priority = 1, _ => weatherFetch))
@@ -87,7 +87,7 @@ class RestSpec extends SparkSpec {
   }
 
   test("landing dir is streamable: readStream over REST batches matches batch read") {
-    val landing = java.nio.file.Files.createTempDirectory("rest_landing3").toString + "/data"
+    val landing = graft.util.TempRoot.freshDir("rest_landing3").toString + "/data"
     val endpoints = Seq(
       Endpoint("weather", priority = 1, _ => weatherFetch),
       Endpoint("flood", priority = 2, _ => floodFetch))
@@ -105,7 +105,7 @@ class RestSpec extends SparkSpec {
   }
 
   test("runOnce: failing endpoint trips its breaker; healthy endpoints still land") {
-    val landing = java.nio.file.Files.createTempDirectory("rest_landing2").toString + "/data"
+    val landing = graft.util.TempRoot.freshDir("rest_landing2").toString + "/data"
     val (clock, setTime) = newClock()
     val endpoints = Seq(
       Endpoint("weather", priority = 1, _ => weatherFetch),

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class ScaleUpSpec extends SparkSpec {
 
   private lazy val outDir = {
-    val d = java.nio.file.Files.createTempDirectory("graft-scaleup").toString
+    val d = graft.util.TempRoot.freshDir("graft-scaleup").toString
     ScaleUp.build(spark, sf0001, d, 2)
     d
   }
@@ -20,7 +20,7 @@ class ScaleUpSpec extends SparkSpec {
   private def src(name: String) = Tables.table(spark, sf0001, name)
 
   test("k=1 is the identity: same rows, untouched content") {
-    val d1 = java.nio.file.Files.createTempDirectory("graft-scaleup1").toString
+    val d1 = graft.util.TempRoot.freshDir("graft-scaleup1").toString
     ScaleUp.build(spark, sf0001, d1, 1)
     assert(Tables.table(spark, d1, "lineitem").count() ===
       src("lineitem").count())

@@ -16,7 +16,7 @@ class SkippingSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString + "/table"
+    graft.util.TempRoot.freshDir(prefix).toString + "/table"
 
   /** Four buckets with DISJOINT v ranges: bucket b holds v in
     * [100b, 100b+9], names prefixed per bucket, note null only in
@@ -361,13 +361,13 @@ class SkippingSpec extends SparkSpec {
       w.close()
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val d1 = Files.createTempDirectory("nanos-ntz").toString
+    val d1 = graft.util.TempRoot.freshDir("nanos-ntz").toString
     writeNanos(d1, adjusted = false)
     val s1 = Skipping.harvest(conf, new org.apache.hadoop.fs.Path(d1)).get
     assert(s1.cols("ts") ===
       Skipping.ColStat("tn", "1000000", "2000000", 0L),
       "NANOS lo must floor, hi must ceil, local semantics → tn")
-    val d2 = Files.createTempDirectory("nanos-utc").toString
+    val d2 = graft.util.TempRoot.freshDir("nanos-utc").toString
     writeNanos(d2, adjusted = true)
     val s2 = Skipping.harvest(conf, new org.apache.hadoop.fs.Path(d2)).get
     assert(s2.cols("ts").t === "tu", "instant semantics → tu")
@@ -377,11 +377,11 @@ class SkippingSpec extends SparkSpec {
     import graft.sources.Skipping
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val good = Files.createTempDirectory("hm-good").toString + "/t"
+    val good = graft.util.TempRoot.freshDir("hm-good").toString + "/t"
     spark.range(5).toDF("x").write.parquet(good)
-    val corrupt = Files.createTempDirectory("hm-corrupt").toString
+    val corrupt = graft.util.TempRoot.freshDir("hm-corrupt").toString
     Files.writeString(Paths.get(corrupt, "part-0.parquet"), "not parquet")
-    val missing = Files.createTempDirectory("hm-gone").toString + "/nope"
+    val missing = graft.util.TempRoot.freshDir("hm-gone").toString + "/nope"
     val out = Skipping.harvestMany(conf, Seq(
       "good" -> new Path(good),
       "corrupt" -> new Path(corrupt),

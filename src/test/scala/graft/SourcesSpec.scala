@@ -9,7 +9,7 @@ class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft-src").toString
+    graft.util.TempRoot.freshDir("graft-src").toString
 
   test("S1/S2: CSV round-trip, explicit schema beats inference") {
     val dir = tmp()

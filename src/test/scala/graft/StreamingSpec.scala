@@ -201,7 +201,7 @@ class StreamingSpec extends SparkSpec {
     // (same checkpoint) sees only part2 files, yet the complete-mode
     // aggregate must still include part1 — that's the recovered state.
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("recover").toString
+    val dir = graft.util.TempRoot.freshDir("recover").toString
     val landing = s"$dir/in"
     val ckpt = s"$dir/ckpt"
     def land(rows: Seq[(Timestamp, String, Double)]): Unit =
@@ -262,7 +262,7 @@ class StreamingSpec extends SparkSpec {
 
   test("statusUpsert keeps the latest reading per user across batches") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("status").toString
+    val dir = graft.util.TempRoot.freshDir("status").toString
     val path = s"$dir/status"
     val b1 = Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L))
       .toDF("user_id", "ts", "value", "event_type", "event_id")
@@ -279,7 +279,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Files.createTempDirectory("status_bkt").toString
+    val dir = graft.util.TempRoot.freshDir("status_bkt").toString
     val path = s"$dir/status"
     def bucketFiles(v: Int, b: Int): Map[String, Long] = {
       val p = Paths.get(path, s"v=$v", s"bucket=$b")
@@ -324,7 +324,7 @@ class StreamingSpec extends SparkSpec {
     // machinery (file source, checkpoint, StreamingQueryException).
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
-    val dir = java.nio.file.Files.createTempDirectory("upsert_restart").toString
+    val dir = graft.util.TempRoot.freshDir("upsert_restart").toString
     val landing = s"$dir/in"
     val ckpt = s"$dir/ckpt"
     val path = s"$dir/status"
@@ -401,7 +401,7 @@ class StreamingSpec extends SparkSpec {
     // equal the previous snapshot exactly
     import spark.implicits._
     val path =
-      java.nio.file.Files.createTempDirectory("status_idem").toString + "/status"
+      graft.util.TempRoot.freshDir("status_idem").toString + "/status"
     val batch = Seq(
       (1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L),
       (1L, ts(200), 3.0, "flow", 3L))

@@ -63,7 +63,7 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("bucketsFor sizes bucket counts to the snapshot, pow2, clamped") {
-    val d = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    val d = graft.util.TempRoot.freshDir("graft-bk").toString
     // a "table" of ~96 MB (sparse file won't do — write real bytes? no:
     // getContentSummary reports the logical length, a truncate works)
     val f = java.nio.file.Paths.get(s"$d/t.parquet")
