@@ -36,4 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 222-query suite churns thousands of whole-stage-codegen classes
+  // (the nearest-centroid literal trees alone are ~100 KB of generated
+  // code each); at the JVM's default 240 MB the code cache fills
+  // mid-suite, the JIT stops compiling, and later PURE-JAVA hot loops
+  // (the javax.imageio/JPEG codec paths behind q_mm_*) run interpreted
+  // — measured r16: q_mm_resize 1.6 s after a light query vs 6.2 s
+  // after the codegen-heavy ml family; 1 GB restores 2.2 s under load.
+  // Virtual reservation only — resident use stays at actual code size.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -31,6 +31,19 @@ import java.util.zip.{Adler32, CRC32}
   */
 object Media {
 
+  // Every payload this module decodes or encodes is an in-memory byte
+  // array — but ImageIO's DEFAULT stream wrapping is disk-backed
+  // (FileCacheImageInput/OutputStream): one temp FILE created, written,
+  // and deleted per image/frame codec call. Across a bench pass that is
+  // gigabytes of /tmp writeback for data already in RAM, and the dirty-
+  // page flush backlog it creates showed up as PROGRESSIVE multi-second
+  // stalls on later iterations (r16: q_mm_frames 1.1 → 7.4 s across 5
+  // iterations, with the box's loadavg driven by D-state kernel
+  // writeback workers, zero GC). MemoryCache wrapping keeps the whole
+  // path in memory; executors already size batches to hold the decoded
+  // frames, so there is no new memory exposure.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Fixture image dimensions per doc — small constants so the corpus
     * of PNGs stays tiny; the DuckDB oracle states these same formulas.
     */
