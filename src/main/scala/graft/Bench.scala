@@ -328,7 +328,20 @@ object Bench {
         "per invocation to the corpus-scan crossJoin recompute — also " +
         "the phase most sensitive to box load, which explains the " +
         "4.17 s driver vs 1.47 s quiet r15 discrepancy; solo rerun " +
-        "after staging: 1.29 s)")
+        "after staging: 1.29 s)"),
+      "q_mm_decode" -> ("r16: ImageIO's default DISK-backed stream " +
+        "cache created+deleted one temp file per image/frame codec " +
+        "call on in-memory byte arrays; the writeback backlog stalled " +
+        "iterations progressively (1.1->7.4 s). setUseCache(false): " +
+        "0.77 s in-suite, zero reruns. Same fix covers q_mm_resize/" +
+        "q_mm_frames/q_mm_phash"),
+      "_session" -> ("cross-session comparisons: this VM's host speed " +
+        "moves day to day — compare against the same run's controls, " +
+        "not a prior session's absolute numbers (r16 quiet vs r15 " +
+        "quiet: untouched CPU-bound controls q_pca_power 1.29->2.16 " +
+        "and q_pagerank 1.16->1.84 shifted uniformly with tight " +
+        "iterations, while builder-touched queries improved on the " +
+        "same box: q_ann_recall 1.47->1.20)")
     )
     val notesJson = attributionNotes.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
