@@ -802,6 +802,16 @@ object Commit {
     * in `df` are written; the rest carry forward from the current
     * manifest. This is the incremental-upsert publication: bounded
     * write amplification AND a transactional boundary.
+    *
+    * Contract edges: a rewritten bucket carries ALL its surviving keys
+    * (bucket-wholesale, like a Delta partition overwrite), and a
+    * bucket cannot be published EMPTY — partitionBy writes no dir for
+    * an empty input, so "present but empty" is not expressible here.
+    * An empty `df` against an existing table is therefore refused
+    * (it would otherwise commit a whole-dir empty snapshot replacing
+    * the table); retiring a bucket's last row takes a full rewrite or
+    * [[publishDir]], and incremental maintainers should no-op on
+    * empty batches (refreshHourly/statusUpsert do).
     */
   def publishBuckets(df: DataFrame, root: String,
       bucketCol: String = "bucket",

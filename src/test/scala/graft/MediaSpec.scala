@@ -11,6 +11,17 @@ class MediaSpec extends SparkSpec {
     (2L, "video payload " * 20), (5L, "another video " * 3))
     .toDF("doc_id", "text")
 
+  test("ImageIO stream caching stays OFF — codec payloads never touch disk") {
+    // the r16 finding: the JDK default wraps every codec stream in a
+    // disk-backed cache (one temp file per image/frame call on
+    // in-memory byte arrays), whose writeback backlog stalled bench
+    // iterations progressively. Media's init turns it off; a refactor
+    // that drops that line would regress silently — this pins it.
+    Media.decode(Media.asMedia(docs)).collect() // forces Media init
+    assert(!javax.imageio.ImageIO.getUseCache,
+      "ImageIO.setUseCache(false) lost — every decode would write a temp file")
+  }
+
   test("decode emits one typed metadata row per payload, deterministic") {
     val d1 = Media.decode(Media.asMedia(docs)).collect().sortBy(_.getLong(0))
     val d2 = Media.decode(Media.asMedia(docs)).collect().sortBy(_.getLong(0))
