@@ -134,7 +134,10 @@ object Bench {
     def timed(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] = {
-      once(name, fn)
+      // the warm execution is off the clock AND off the books: letting
+      // it bump `failures` would make errors[q] exceed the number of
+      // timed observations (impossible-looking counts in BENCH_DETAIL)
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       (1 to n).map { _ =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()

@@ -844,6 +844,15 @@ object Warehouse {
           pmod(col("user_id"), lit(5)) =!= 2)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      // the oracle states carry-forward for EXACTLY buckets {0,3}: a
+      // fixture where either residue class is empty would make v2 a
+      // narrower rewrite than the SQL assumes — fail loudly here, not
+      // as an inscrutable hash mismatch at the gate
+      val wrote = v2.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      require(wrote == Set(0, 3),
+        s"fixture must populate buckets 0 and 3 (got $wrote); the oracle " +
+          "states carry-forward for exactly these")
       graft.sources.Commit.publishBuckets(v2.repartition(col("bucket")), path)
       graft.sources.Commit.vacuum(s, path)
       require(

@@ -117,37 +117,36 @@ final class DashboardServer(
     * entry there is nothing stale to serve, so followers wait on the
     * winner's future instead of stampeding the cluster.
     */
-  /** Run `name`'s Spark job and swap the fresh payload into the cache
-    * — single-flighted: a concurrent caller joins the winner's future
-    * instead of launching a second identical job.
+  /** The single-flight winner's body: run `name`'s Spark job, swap the
+    * fresh payload into the cache, settle `mine`. Callers hold the
+    * flight (their putIfAbsent won with `mine`).
     */
-  private def recompute(name: String): String = {
-    val mine = new java.util.concurrent.CompletableFuture[String]()
-    val winner = inflight.putIfAbsent(name, mine)
-    if (winner == null) {
-      try {
-        val json = toJson(SparkEntry.queries(name)(spark, dataDir))
-        computes.merge(name, 1L, (a, b) => a + b)
-        // stamp AFTER the recompute: the TTL measures payload AGE.
-        // Stamping before would shorten a t-second query's effective
-        // TTL to ttl−t, making slow queries refresh more often than
-        // the 30 s contract.
-        cache.put(name, (json, clock()))
-        mine.complete(json)
-        json
-      } catch {
-        case e: Throwable => mine.completeExceptionally(e); throw e
-      } finally inflight.remove(name, mine)
-    } else winner.join() // exactly one compute, everyone shares it
-  }
+  private def computeAndCache(name: String,
+      mine: java.util.concurrent.CompletableFuture[String]): String =
+    try {
+      val json = toJson(SparkEntry.queries(name)(spark, dataDir))
+      computes.merge(name, 1L, (a, b) => a + b)
+      // stamp AFTER the recompute: the TTL measures payload AGE.
+      // Stamping before would shorten a t-second query's effective
+      // TTL to ttl−t, making slow queries refresh more often than
+      // the 30 s contract.
+      cache.put(name, (json, clock()))
+      mine.complete(json)
+      json
+    } catch {
+      case e: Throwable => mine.completeExceptionally(e); throw e
+    } finally inflight.remove(name, mine)
 
   private def payload(name: String): String = {
     val hit = cache.get(name)
     if (hit != null && clock() - hit._2 < ttlMillis) hit._1
     else {
-      val running = inflight.get(name)
-      if (running != null && hit != null) hit._1 // stale-while-revalidate
-      else recompute(name) // cold, or this request wins the flight
+      val mine = new java.util.concurrent.CompletableFuture[String]()
+      val winner = inflight.putIfAbsent(name, mine)
+      if (winner == null) computeAndCache(name, mine)
+      else if (hit != null) hit._1 // stale-while-revalidate, even when
+                                   // the race was lost after the check
+      else winner.join() // cold: exactly one compute, everyone shares it
     }
   }
 
@@ -161,10 +160,25 @@ final class DashboardServer(
     * steady state; measured in SERVE_LATENCY.json's
     * first_hit_after_publish column). Unconditional on purpose:
     * after a publish a TTL-fresh entry is fresh-by-age but
-    * stale-by-content. Errors propagate — a publisher would rather
+    * stale-by-content — and for the same reason warm() must OWN each
+    * flight it counts: a request-path flight that started BEFORE the
+    * publish computes pre-publish rows, so joining it (and returning
+    * success) would leave stale-by-content data cached for a full TTL.
+    * Any such in-flight compute is waited out, then re-run fresh.
+    * Errors from OUR OWN flight propagate — a publisher would rather
     * know its refresh broke a route than serve a stale page forever.
     */
-  def warm(): Unit = queryNames.foreach(recompute)
+  def warm(): Unit = queryNames.foreach { name =>
+    var owned = false
+    while (!owned) {
+      val mine = new java.util.concurrent.CompletableFuture[String]()
+      val winner = inflight.putIfAbsent(name, mine)
+      if (winner == null) { computeAndCache(name, mine); owned = true }
+      // a pre-publish flight's failure is not ours to report — wait it
+      // out (success or failure) and run our own post-publish compute
+      else try winner.join() catch { case _: Throwable => () }
+    }
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json"): Unit = {

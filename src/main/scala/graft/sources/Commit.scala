@@ -351,14 +351,32 @@ object Commit {
       val curRows = readEntries(cur, if (wholeDir) cur.entries else changed)
       val cols = curRows.columns.toSeq
       val oldRows = {
-        val o0 = applySchema(readEntries(base, oldSide), cur.schema, bc)
+        // the old side is read under ITS OWN committed schema, then
+        // conformed to the current read COLUMN-WISE: missing columns
+        // null-fill at the current type; same-named columns whose TYPE
+        // evolved (int→long, …) cast to the current type so the
+        // null-safe struct compare doesn't misclassify unchanged rows
+        // — but ONLY when the cast is provably lossless (canUpCast).
+        // A blanket applySchema(cur.schema) here would force-cast the
+        // old side: under NARROWING evolution that throws on overflow
+        // (ANSI) or wraps/nulls (non-ANSI), either corrupting KEY
+        // equality and suppressing real changes, or failing the whole
+        // feed over one out-of-range historical value. For non-upcast
+        // pairs the raw column is kept and the comparison rides
+        // Spark's own widening coercion, which is exact there.
+        val o0 = readEntries(base, oldSide)
         val have = o0.columns.toSet
-        // same-named columns whose TYPE evolved (int→long, …) must be
-        // cast to the current type too, or the null-safe struct compare
-        // would coerce ad hoc and misclassify unchanged rows as upserts
         o0.select(cols.map(x =>
-          if (have.contains(x)) col(x).cast(curRows.schema(x).dataType).as(x)
-          else lit(null).cast(curRows.schema(x).dataType).as(x)): _*)
+          if (!have.contains(x))
+            lit(null).cast(curRows.schema(x).dataType).as(x)
+          else {
+            val from = o0.schema(x).dataType
+            val to = curRows.schema(x).dataType
+            if (from != to &&
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to))
+              col(x).cast(to).as(x)
+            else col(x)
+          }): _*)
       }
       require(keyCols.nonEmpty && keyCols.forall(cols.contains),
         s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
@@ -381,8 +399,14 @@ object Commit {
         .withColumn("_m_old", lit(1))
       val keyExpr = keyCols.map(k => col(k) <=> col(s"_o_$k")).reduce(_ && _)
       val joined = c.join(o, keyExpr, "full_outer")
-      val rowEq = struct(cols.map(col): _*) <=>
-        struct(cols.map(x => col(s"_o_$x")): _*)
+      // row change is a CONJUNCTION of per-column null-safe equalities
+      // (identical to the struct <=> it replaces when types match —
+      // struct() operands are never null themselves): scalar <=>
+      // coerces an int/long type-evolution pair to the wider type,
+      // while struct <=> refuses mismatched field types outright,
+      // which is exactly the non-upcast-evolution case the conform
+      // step above deliberately leaves uncast
+      val rowEq = cols.map(x => col(x) <=> col(s"_o_$x")).reduce(_ && _)
       val upserts = joined
         .filter(col("_m_cur").isNotNull && (col("_m_old").isNull || !rowEq))
         .select(cols.map(col) :+ lit("upsert").as("_change"): _*)

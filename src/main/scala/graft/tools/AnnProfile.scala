@@ -45,7 +45,10 @@ object AnnProfile {
     t("stage: pq")(graft.warehouse.VectorStage.pqCodes(spark, sfDir).count())
     t("stage: truth")(graft.warehouse.VectorStage.annTruth(spark, sfDir).count())
 
-    val NQ = 20; val TopK = 10
+    // the SHARED audit geometry — if it changes, this tool must keep
+    // profiling the same query shape q_ann_recall runs
+    val NQ = graft.queries.Vectors.AuditNQ
+    val TopK = graft.queries.Vectors.AuditTopK
     (1 to 4).foreach { iter =>
       Console.out.println(s"--- iteration $iter ---")
       import org.apache.spark.sql.expressions.Window

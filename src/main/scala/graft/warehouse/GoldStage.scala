@@ -308,10 +308,8 @@ object GoldStage {
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so this stays exact)
-    val existingTouched =
-      if (touched.isEmpty) None
-      else graft.sources.Commit.readWhere(spark, path,
-        s"bucket in (${touched.mkString(",")})")
+    val existingTouched = graft.sources.Commit.readWhere(spark, path,
+      s"bucket in (${touched.mkString(",")})")
     // ONE hash aggregation, ONE exchange, does the batch's partial
     // build, the fold into current state, AND the bucket alignment of
     // the output files: raw rows enter as singleton partials

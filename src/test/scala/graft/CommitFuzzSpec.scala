@@ -216,4 +216,25 @@ class CommitFuzzSpec extends SparkSpec {
     // coercion-blind diff would re-deliver them as upserts
     assert(rows === Set((2L, 21L, "upsert")), rows.toString)
   }
+
+  test("CDF never NARROW-casts the old side (long -> int would wrap and lie)") {
+    import spark.implicits._
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-narrow").toString + "/t"
+    // v1: n is LONG, user 1 holds 2^32+5 — a value an int cast WRAPS to 5
+    val v1 = Seq((1L, 4294967301L, 0), (2L, 20L, 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    // v2: full rewrite evolves n to INT; user 1's value is now 5 — a
+    // REAL change that a wrap-blind cast(old as int) would suppress
+    // (4294967301L wraps to exactly 5); user 2 is value-identical
+    val v2 = Seq((1L, 5, 0), (2L, 20, 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val rows = feed.select("user_id", "_change")
+      .as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "upsert")),
+      s"narrowing evolution: user 1's real change must deliver, user 2's " +
+        s"unchanged row must not — got $rows")
+  }
 }
