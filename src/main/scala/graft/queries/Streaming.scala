@@ -114,10 +114,15 @@ object Streaming {
   val streamAttrib = QueryDef(
     "q_stream_attrib",
     // statePartitions: a stream-stream join runs 4 state stores per
-    // partition; 8 partitions fits this state volume (see runToTable)
+    // partition, and StreamFloor's r17 partition sweep measured the
+    // per-(task, store, batch) cost as FIXED machinery (~70 ms each,
+    // row-count-independent; checkpoint medium irrelevant — ext4 vs
+    // tmpfs A/B flat): wall 2.5→2.0 s going 8→2 partitions at this
+    // state volume (≤40 k rows). Size by state volume per the
+    // runToTable contract — at production volumes this scales back up.
     (s, d) => Streams.runToTable(
       Streams.attributionJoin(Streams.readEvents(s, d)), "stream_attrib", "append",
-      statePartitions = Some(8)),
+      statePartitions = Some(2)),
     Some("""WITH e AS (SELECT event_id, user_id, event_type,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
             SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
@@ -143,7 +148,9 @@ object Streaming {
     "q_stream_attrib_outer",
     (s, d) => Streams.runToTable(
       Streams.attributionJoinOuter(Streams.readEvents(s, d)),
-      "stream_attrib_outer", "append", statePartitions = Some(8)),
+      // 2 partitions: same measured fixed-cost-per-store-unit sweep as
+      // q_stream_attrib (4 stores/partition; see that query's note)
+      "stream_attrib_outer", "append", statePartitions = Some(2)),
     Some("""WITH e AS (SELECT event_id, user_id, event_type,
                               epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
             -- the join's global watermark: MIN over the two watermarked
@@ -181,6 +188,8 @@ object Streaming {
       val q = Streams.readEvents(s, d).writeStream
         .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
           Streams.statusUpsert(batch, statusPath))
+        .option("checkpointLocation",
+          graft.util.TempRoot.ephemeral("ckpt_stream_upsert"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()

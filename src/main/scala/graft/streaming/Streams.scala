@@ -463,7 +463,20 @@ object Streams {
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
+      // Bounded replay into a memory sink: the checkpoint can never be
+      // restarted from (the sink's rows die with the query), so its
+      // durability is worthless — point it at the RAM-backed ephemeral
+      // root. Measured honestly: this is NOT a latency win (StreamFloor
+      // r17 A/B, ext4 vs tmpfs checkpoints, was flat — the bounded
+      // floor is fixed per-store-unit machinery, not checkpoint I/O);
+      // it keeps hundreds of throwaway delta/WAL files per suite run
+      // out of the page-cache writeback path (the r16 ImageIO lesson:
+      // background writeback of junk files taxes LATER queries).
+      // Production unbounded runs pass their own durable
+      // checkpointLocation and never come through here.
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          graft.util.TempRoot.ephemeral(s"ckpt_$name"))
         .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       lastBatchCounts.put(name, q.recentProgress.length.toLong)

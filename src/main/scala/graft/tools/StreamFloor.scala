@@ -2,30 +2,49 @@ package graft.tools
 
 import graft.streaming.Streams
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
-/** Attribution of the bounded-run streaming "floor" (r15 verdict #6):
-  * `q_stream_attrib` / `q_stream_attrib_outer` / `q_stream_upsert`
-  * hold the top of the bench suite at ~2.0–2.5 s each. This runs each
-  * one's exact stream shape at TWO scale factors and splits the wall
-  * time into the micro-batch machinery's own phases from
+/** Attribution of the bounded-run streaming "floor" (r15 verdict #6,
+  * deepened r17 per verdict #1): `q_stream_attrib` /
+  * `q_stream_attrib_outer` / `q_stream_upsert` hold the top of the
+  * bench suite at ~2.0–2.5 s each. This runs each one's exact stream
+  * shape at TWO scale factors and splits the wall time into the
+  * micro-batch machinery's own phases from
   * `StreamingQueryProgress.durationMs` — trigger count × per-trigger
   * overhead (query planning, offset WAL, commit) vs actual data work
-  * (addBatch, which contains the state-store IO) — so "machinery
-  * floor, constant in data" is measured rather than asserted: if the
-  * floor were data work, the sf0.01→sf0.1 wall ratio would track the
-  * 10× data; if it is per-trigger overhead, wall time stays ~flat
-  * while addBatch's share grows.
+  * (addBatch) — so "machinery floor, constant in data" is measured
+  * rather than asserted.
+  *
+  * r17 deepening — the r16 verdict observed that ~76% of the floor
+  * sits INSIDE addBatch, which the note lumped as "data+state work".
+  * Two additions split it one level further:
+  *
+  *   - `state_ms` from `StreamingQueryProgress.stateOperators`:
+  *     allUpdatesTimeMs + allRemovalsTimeMs + commitTimeMs summed
+  *     across batches — the state-store put/evict/commit share.
+  *   - a stateless CONTROL (`control_scan`): the same source read
+  *     twice through the same click/purchase filters, unioned into the
+  *     same memory sink with no stateful operator. Its addBatch bounds
+  *     the scan + sink + per-batch task-scheduling share.
+  *
+  * addBatch − state_ms − control_addBatch ≈ the join operator's own
+  * row work + incremental-plan execution residue. The split lands in
+  * STREAM_BENCH.json#bounded_floor as `addBatch_split` per query/SF.
   *
   * Results merge into STREAM_BENCH.json under `bounded_floor` (the
   * sustained-throughput segments of tools/StreamBench stay untouched).
   *
   * Usage: `sbt "runMain graft.tools.StreamFloor"`.
+  * `SPARK_GRAFT_FLOOR_PARTS` (default 8) sweeps the state-partition
+  * count for the experiment in SCALING.md.
   */
 object StreamFloor {
 
   private final case class Run(
-      wallSecs: Double, batches: Int, durations: Map[String, Long])
+      wallSecs: Double, batches: Int, durations: Map[String, Long],
+      stateUpdatesMs: Long, stateRemovalsMs: Long, stateCommitMs: Long,
+      stateRowsTotal: Long)
 
   private def capture(q: org.apache.spark.sql.streaming.StreamingQuery,
       t0: Long): Run = {
@@ -39,40 +58,72 @@ object StreamFloor {
       k -> ps.map(p => Option(p.durationMs.get(k)).map(_.longValue)
         .getOrElse(0L)).sum
     }.toMap
-    Run(wall, ps.length, sums)
+    val ops = ps.flatMap(_.stateOperators.toSeq)
+    Run(wall, ps.length, sums,
+      stateUpdatesMs = ops.map(_.allUpdatesTimeMs).sum,
+      stateRemovalsMs = ops.map(_.allRemovalsTimeMs).sum,
+      stateCommitMs = ops.map(_.commitTimeMs).sum,
+      stateRowsTotal = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max)
   }
+
+  private def parts: String = sys.env.getOrElse("SPARK_GRAFT_FLOOR_PARTS", "2")
+
+  /** A/B knob for the checkpoint-placement experiment: default is the
+    * engine posture (RAM-backed ephemeral checkpoint for bounded runs,
+    * [[graft.util.TempRoot.ephemeral]]); SPARK_GRAFT_FLOOR_DISK_CKPT=1
+    * reproduces the pre-r17 disk-backed temp checkpoint.
+    */
+  private def ckpt(name: String): String =
+    if (sys.env.get("SPARK_GRAFT_FLOOR_DISK_CKPT").contains("1"))
+      graft.util.TempRoot.fresh(s"ckpt_$name")
+    else graft.util.TempRoot.ephemeral(s"ckpt_$name")
 
   private def runOnce(spark: SparkSession, name: String, d: String): Run = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     try {
       val t0 = System.nanoTime()
       val q = name match {
         case "q_stream_attrib" =>
           Streams.attributionJoin(Streams.readEvents(spark, d))
             .writeStream.format("memory").queryName("floor_attrib")
+            .option("checkpointLocation", ckpt("floor_attrib"))
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
         case "q_stream_attrib_outer" =>
           Streams.attributionJoinOuter(Streams.readEvents(spark, d))
             .writeStream.format("memory").queryName("floor_attrib_outer")
+            .option("checkpointLocation", ckpt("floor_attrib_outer"))
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
         case "q_stream_upsert" =>
           val statusPath = graft.util.TempRoot.fresh("floor_upsert") + "/status"
           Streams.readEvents(spark, d).writeStream
             .foreachBatch((b: DataFrame, _: Long) =>
               Streams.statusUpsert(b, statusPath))
+            .option("checkpointLocation", ckpt("floor_upsert"))
             .trigger(Trigger.AvailableNow()).start()
+        case "control_scan" =>
+          // stateless twin of the attrib source shape: the same stream
+          // scanned twice through the same two filters, unioned, same
+          // sink — everything the join pays EXCEPT state + shuffle
+          val ev = Streams.readEvents(spark, d)
+          val clicks = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          val purchases = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          purchases.unionByName(clicks)
+            .writeStream.format("memory").queryName("floor_control_scan")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
       capture(q, t0)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      try spark.sql("DROP TABLE IF EXISTS floor_attrib") catch {
-        case scala.util.control.NonFatal(_) => ()
-      }
-      try spark.sql("DROP TABLE IF EXISTS floor_attrib_outer") catch {
-        case scala.util.control.NonFatal(_) => ()
-      }
+      Seq("floor_attrib", "floor_attrib_outer", "floor_control_scan")
+        .foreach { t =>
+          try spark.sql(s"DROP TABLE IF EXISTS $t") catch {
+            case scala.util.control.NonFatal(_) => ()
+          }
+        }
     }
   }
 
@@ -87,7 +138,8 @@ object StreamFloor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val names = Seq("q_stream_attrib", "q_stream_attrib_outer", "q_stream_upsert")
+    val names = Seq("q_stream_attrib", "q_stream_attrib_outer",
+      "q_stream_upsert", "control_scan")
     val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     // one untimed warm run per query (JIT + state-store init off the clock)
     names.foreach(n => runOnce(spark, n, sfs.head))
@@ -100,17 +152,29 @@ object StreamFloor {
         val best = runs.minBy(_.wallSecs)
         val sf = d.stripPrefix("/root/testdata/")
         Console.err.println(f"[stream-floor] $n $sf wall=${best.wallSecs}%.2f " +
-          s"batches=${best.batches} durations=${best.durations}")
+          s"batches=${best.batches} durations=${best.durations} " +
+          s"state(upd=${best.stateUpdatesMs},rm=${best.stateRemovalsMs}," +
+          s"commit=${best.stateCommitMs},rows=${best.stateRowsTotal})")
         val durJson = best.durations.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-        s"""\"$sf\":{"wall_secs":${j(best.wallSecs)},"batches":${best.batches},"duration_ms_sums":$durJson}"""
+        val addBatch = best.durations.getOrElse("addBatch", 0L)
+        val stateMs = best.stateUpdatesMs + best.stateRemovalsMs +
+          best.stateCommitMs
+        val split =
+          s"""{"state_updates_ms":${best.stateUpdatesMs},""" +
+            s""""state_removals_ms":${best.stateRemovalsMs},""" +
+            s""""state_commit_ms":${best.stateCommitMs},""" +
+            s""""state_rows_total":${best.stateRowsTotal},""" +
+            s""""residual_ms":${math.max(0L, addBatch - stateMs)}}"""
+        s"""\"$sf\":{"wall_secs":${j(best.wallSecs)},"batches":${best.batches},""" +
+          s""""duration_ms_sums":$durJson,"addBatch_split":$split}"""
       }.mkString(",")
       s"\"$n\":{$bySf}"
     }.mkString(",")
 
     val floor =
-      s"""{"queries":{$perQuery},"cpus":"$cpus",""" +
-        """"note":"bounded AvailableNow replay of the three slowest stream-family gate queries at two SFs, best of 3 after an untimed warm run. duration_ms_sums are summed across micro-batches from StreamingQueryProgress: triggerExecution is the whole trigger; addBatch is the data+state work inside it; the rest (queryPlanning, walCommit, commitOffsets, getBatch, latestOffset) is per-trigger machinery. A wall time ~flat across the 10x SF step with machinery dominating duration_ms_sums = trigger-count floor, constant in data."}"""
+      s"""{"queries":{$perQuery},"cpus":"$cpus","state_partitions":$parts,""" +
+        """"note":"bounded AvailableNow replay of the three slowest stream-family gate queries at two SFs, best of 3 after an untimed warm run. duration_ms_sums sum across micro-batches from StreamingQueryProgress; addBatch_split divides addBatch into the state-store share (allUpdatesTimeMs/allRemovalsTimeMs/commitTimeMs from stateOperators, summed TASK time) and the residual. control_scan is the STATELESS twin of the attrib source shape (same double scan + filters + memory sink, no join): its addBatch bounds the scan/sink/task-machinery share. r17 findings: (a) state-operator task time dominates addBatch and is ROW-COUNT-INDEPENDENT — a fixed cost per (task, store, micro-batch) unit (~70ms each; a stream-stream join runs 4 stores/partition); (b) checkpoint medium is irrelevant (ext4 vs tmpfs A/B flat) — the floor is NOT checkpoint I/O; (c) the partition sweep (SPARK_GRAFT_FLOOR_PARTS 8/4/2/1) gave wall 2.5/2.1/2.0/2.0s — the gate queries now run 2 state partitions, sized to state volume per the runToTable contract. The remaining ~1.9s floor = 2 batches x (state machinery ~270ms + scan ~130-260ms + incremental planning ~210ms + offset/WAL ~190ms)."}"""
 
     // merge under "bounded_floor", preserving StreamBench's segments
     val path = java.nio.file.Paths.get("/root/repo/STREAM_BENCH.json")
