@@ -63,6 +63,28 @@ object Commit {
     */
   final case class Entry(key: Int, dir: String)
 
+  /** A bucketed table's key→bucket discipline, recorded per version:
+    * `bucket = pmod(<keyExprSql>, buckets)` cast to int, where
+    * `keyExprSql` is an integral SQL expression over the snapshot's
+    * data columns (`"user_id"`, `"hash(k1, k2)"`, …). Recording it in
+    * the manifest is what makes bucket-count EVOLUTION engine behavior
+    * instead of writer folklore: a maintainer reads the table's
+    * current layout and buckets with it ([[layout]]), and
+    * [[optimizeBuckets]] can re-bucket — recompute the column from the
+    * recorded expression at a new modulus — without knowing anything
+    * about the writer (the Iceberg bucket-transform / Delta
+    * clustered-by analog, one manifest line instead of a format
+    * dependency).
+    */
+  final case class Layout(buckets: Int, keyExprSql: String) {
+    require(buckets > 0, s"layout bucket count must be positive: $buckets")
+    require(!keyExprSql.contains("\n") && !keyExprSql.contains("\t"),
+      "layout key expression must be a single manifest-line-safe token")
+    /** The bucket column this layout assigns. */
+    def bucketExpr: org.apache.spark.sql.Column =
+      pmod(expr(keyExprSql), lit(buckets)).cast("int")
+  }
+
   private val Pointer = "_POINTER"
 
   private def fs(spark: SparkSession, root: String) =
@@ -83,7 +105,8 @@ object Commit {
       schema: Option[org.apache.spark.sql.types.StructType],
       rows: Option[Long], entries: Seq[Entry],
       stats: Map[String, Skipping.EntryStats] = Map.empty,
-      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty)
+      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty,
+      layout: Option[Layout] = None)
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -126,12 +149,34 @@ object Commit {
     val fileStats = rawF
       .collect { case (d, Some(f), Some(p)) if !badDirs.contains(d) => (d, f, p) }
       .groupBy(_._1).map { case (d, xs) => d -> xs.toSeq.map(x => (x._2, x._3)) }
+    // `#layout=<buckets>\t<keyExprSql>`: the snapshot's bucketing
+    // discipline. A malformed line degrades to "layout unknown" (the
+    // pre-r17 state: writers own their modulus), never a read error.
+    val layout = lines.tail.collectFirst {
+      case l if l.startsWith("#layout=") =>
+        try {
+          val Array(n, k) = l.stripPrefix("#layout=").split("\t", 2)
+          Some(Layout(n.toInt, k))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(k, dir) = l.split("\t", 2)
       Entry(k.toInt, dir)
     }
-    Manifest(v, parent, schema, rows, entries, stats, fileStats)
+    Manifest(v, parent, schema, rows, entries, stats, fileStats, layout)
   }
+
+  /** The current snapshot's recorded bucketing discipline, if any —
+    * what a layout-aware maintainer ([[graft.streaming.Streams
+    * .statusUpsert]], [[graft.warehouse.GoldStage.refreshHourly]])
+    * buckets NEW batches with, so its modulus always matches the
+    * table's even after [[optimizeBuckets]] re-buckets it. None for
+    * whole-dir tables, pre-layout manifests, and tables that never
+    * declared one (those writers keep owning their modulus, the
+    * pre-r17 contract).
+    */
+  def layout(spark: SparkSession, root: String): Option[Layout] =
+    currentManifest(spark, root).flatMap(_.layout)
 
   private def manifestAt(spark: SparkSession, root: String,
       v: Long): Option[Manifest] = {
@@ -259,6 +304,13 @@ object Commit {
     * cursor is stale and it must fall back to a full [[read]]. An
     * up-to-date cursor gets an EMPTY relation with the current
     * schema, not None.
+    *
+    * Across a re-bucket boundary ([[optimizeBuckets]] layout
+    * evolution) every entry is fresh, so this feed redelivers the
+    * whole table once — correct for the idempotent fold consumers
+    * this grain contracts for; row-level consumers should use
+    * [[changesSinceKeyed]], which stays exact (and empty for a pure
+    * re-bucket) across the boundary.
     */
   def changesSince(spark: SparkSession, root: String, since: Long,
       bucketCol: String = "bucket"): Option[DataFrame] =
@@ -308,6 +360,25 @@ object Commit {
     * migrate). A writer that changes its bucket count (the pmod
     * modulus) must publish a full rewrite (all buckets fresh), which
     * this diff handles correctly since nothing is carried.
+    *
+    * RE-BUCKET BOUNDARY (layout evolution, r17): when the two
+    * manifests record DIFFERENT [[Layout]] moduli (the cursor predates
+    * an [[optimizeBuckets]] re-bucket), bucket identity means nothing
+    * across the boundary, so the diff degrades to a WHOLE-TABLE keyed
+    * diff — chosen over a fullAsUpserts fallback because it stays
+    * EXACT: a pure re-bucket moves rows between buckets without
+    * changing any (key → row), so the feed across it is EMPTY, and a
+    * re-bucket plus later incremental publishes yields exactly those
+    * publishes' row changes. The cost is one read of both endpoint
+    * snapshots (table × 2 IO) for THAT poll only — the price of
+    * crossing a layout epoch; consumers that would rather resync than
+    * pay it can detect the boundary themselves (compare [[layout]]
+    * across their cursor) and use [[fullAsUpserts]]. Re-bucket is a
+    * full rewrite, so the natural all-entries-changed path already
+    * takes this shape; the explicit layout check below is defense
+    * against any future publish shape that carries entries across a
+    * modulus change (publish refuses those today). Unknown layouts
+    * (legacy manifests) assume stable bucketing, the pre-r17 contract.
     */
   def changesSinceKeyed(spark: SparkSession, root: String, since: Long,
       keyCols: Seq[String], bucketCol: String = "bucket"): Option[DataFrame] =
@@ -325,9 +396,11 @@ object Commit {
       // manifest (cur.schema None) gives the diff no committed column
       // set to conform the OLD side to — fall back to a whole-table
       // diff under the current read's own merged columns.
+      val layoutBoundary = (for (b <- base.layout; c <- cur.layout)
+        yield b.buckets != c.buckets).getOrElse(false)
       val wholeDir = changed.exists(_.key < 0) ||
         base.entries.exists(_.key < 0) != cur.entries.exists(_.key < 0) ||
-        cur.schema.isEmpty
+        cur.schema.isEmpty || layoutBoundary
       val changedKeys = changed.map(_.key).toSet
       val oldSide = base.entries.filter(e =>
         wholeDir || changedKeys.contains(e.key) ||
@@ -405,8 +478,21 @@ object Commit {
       // coerces an int/long type-evolution pair to the wider type,
       // while struct <=> refuses mismatched field types outright,
       // which is exactly the non-upcast-evolution case the conform
-      // step above deliberately leaves uncast
-      val rowEq = cols.map(x => col(x) <=> col(s"_o_$x")).reduce(_ && _)
+      // step above deliberately leaves uncast.
+      // The bucket PARTITION column is physical layout, not logical
+      // content — it is a function of the key and the table's current
+      // modulus, recomputable by any consumer from [[layout]] — so a
+      // bucketed snapshot's row comparison excludes it: within a
+      // layout epoch a row's bucket cannot change anyway (stable
+      // bucketing), and across a re-bucket boundary excluding it is
+      // what keeps a PURE re-bucket's feed empty instead of
+      // re-upserting the whole table. (Whole-dir snapshots have no
+      // partition column; a data column named "bucket" there stays
+      // compared.)
+      val cmpCols =
+        if (cur.entries.exists(_.key >= 0)) cols.filterNot(_ == bc) else cols
+      val rowEq = cmpCols.map(x => col(x) <=> col(s"_o_$x"))
+        .reduceOption(_ && _).getOrElse(lit(true))
       val upserts = joined
         .filter(col("_m_cur").isNotNull && (col("_m_old").isNull || !rowEq))
         .select(cols.map(col) :+ lit("upsert").as("_change"): _*)
@@ -617,7 +703,9 @@ object Commit {
 
   private def publish(spark: SparkSession, root: String,
       expectBuckets: Option[Set[Int]] = None,
-      bucketedWriter: Boolean = false)
+      bucketedWriter: Boolean = false,
+      declaredLayout: Option[Layout] = None,
+      fullRewrite: Boolean = false)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentManifest(spark, root) // ONE manifest read per publish
@@ -663,9 +751,40 @@ object Commit {
       else newBuckets.map(b => Entry(b, s"$vdir/bucket=$b"))
     val parent = prev.map(_.v).getOrElse(0L)
     val carried =
-      if (newBuckets.isEmpty) Nil // whole-dir snapshots replace outright
+      // whole-dir snapshots replace outright; a declared FULL rewrite
+      // carries nothing even when some old bucket ids are absent from
+      // the fresh write — under a modulus change an old bucket whose
+      // keys all landed on new residues writes no dir with its old id,
+      // and carrying that old dir would DUPLICATE its rows beside
+      // their re-bucketed copies
+      if (newBuckets.isEmpty || fullRewrite) Nil
       else prev.map(_.entries).getOrElse(Nil)
         .filter(e => e.key >= 0 && !newBuckets.contains(e.key))
+    // Layout rules. (1) A bucketed snapshot keeps the table's recorded
+    // layout unless the writer declares a new one; a whole-dir snapshot
+    // has no buckets, so no layout. (2) CHANGING the modulus outside a
+    // declared full rewrite is refused outright: keys assigned under
+    // the old modulus would survive (carried or co-resident) beside
+    // the new assignment — the exact carry-forward-merge corruption
+    // the stable-bucketing precondition (changesSinceKeyed scaladoc)
+    // exists to prevent. (3) A declared modulus must actually bound
+    // the written bucket ids — a writer whose column disagrees with
+    // its declaration is a bug worth failing loudly on.
+    val prevLayout = prev.flatMap(_.layout)
+    val layout =
+      if (newBuckets.isEmpty) None
+      else declaredLayout.orElse(prevLayout)
+    for (dl <- declaredLayout; pl <- prevLayout)
+      require(dl.buckets == pl.buckets || fullRewrite,
+        s"layout change ${pl.buckets}→${dl.buckets} buckets on an " +
+          "incremental publish: keys assigned under the old modulus " +
+          "would survive beside the new assignment. Re-bucketing " +
+          "requires a full rewrite (Commit.optimizeBuckets with " +
+          "maxBucketBytes, or publishBuckets(fullRewrite = true)).")
+    for (l <- layout if newBuckets.nonEmpty)
+      require(newBuckets.max < l.buckets,
+        s"written bucket ids ${newBuckets.filter(_ >= l.buckets).mkString(",")} " +
+          s"fall outside the declared layout of ${l.buckets} buckets")
     // Schema, row count, per-entry AND per-file zone maps all come
     // from the fresh files' FOOTERS, read once driver-side — publish
     // is on the streaming commit critical path (one call per
@@ -715,7 +834,7 @@ object Commit {
     val (_, tCommit) = timed(timing)(commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
       snapSchema, rows, carriedStats ++ freshStats,
-      carriedFileStats ++ freshFileStats))
+      carriedFileStats ++ freshFileStats, layout))
     if (timing) Console.err.println(
       f"[publish-timing] v=$v files=${fresh.size} " +
         f"write=${tWrite / 1e9}%.3f harvest=${tHarvest / 1e9}%.3f " +
@@ -767,11 +886,13 @@ object Commit {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       rows: Option[Long] = None,
       stats: Map[String, Skipping.EntryStats] = Map.empty,
-      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty): Unit = {
+      fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty,
+      layout: Option[Layout] = None): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
     val meta = Seq(s"#parent=$parent") ++
       schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n") ++
+      layout.map(l => s"#layout=${l.buckets}\t${l.keyExprSql}") ++
       stats.toSeq.sortBy(_._1).map { case (dir, es) =>
         s"#stats=$dir\t${Skipping.encode(es)}"
       } ++
@@ -836,10 +957,21 @@ object Commit {
     * the table); retiring a bucket's last row takes a full rewrite or
     * [[publishDir]], and incremental maintainers should no-op on
     * empty batches (refreshHourly/statusUpsert do).
+    *
+    * `layout` declares the bucketing discipline this write used
+    * ([[Layout]]) — recorded in the manifest so maintainers and
+    * [[optimizeBuckets]] can evolve the bucket count; when absent the
+    * table's recorded layout carries forward. `fullRewrite = true`
+    * states `df` IS the whole table: nothing carries forward, even
+    * buckets absent from the write (required for a modulus change;
+    * also the way to retire a bucket's last row without going
+    * whole-dir).
     */
   def publishBuckets(df: DataFrame, root: String,
       bucketCol: String = "bucket",
-      expectBuckets: Option[Set[Int]] = None): Long = {
+      expectBuckets: Option[Set[Int]] = None,
+      layout: Option[Layout] = None,
+      fullRewrite: Boolean = false): Long = {
     // the on-disk layout is ALWAYS `bucket=<b>` — publish() scans for
     // that prefix to enumerate fresh entries, and the read side
     // renames back to the caller's bucketCol. Writing `<bucketCol>=`
@@ -853,7 +985,8 @@ object Commit {
             "'bucket': the DataFrame already has a 'bucket' column")
         df.withColumnRenamed(bucketCol, "bucket")
       }
-    publish(df.sparkSession, root, expectBuckets, bucketedWriter = true) { vdir =>
+    publish(df.sparkSession, root, expectBuckets, bucketedWriter = true,
+      declaredLayout = layout, fullRewrite = fullRewrite) { vdir =>
       onDisk.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
     }
   }
@@ -884,17 +1017,69 @@ object Commit {
     * not the file count. No-op (None) when the table is missing or
     * has no bucketed entries (whole-dir snapshots recompact through
     * [[Sources.compactCommit]]).
+    *
+    * RE-BUCKET MODE (`maxBucketBytes`): when the manifest records a
+    * [[Layout]] and any bucket's on-disk bytes exceed the threshold,
+    * the rewrite also EVOLVES the bucket count — the modulus doubles
+    * until the table's projected per-bucket bytes (total/n, the
+    * near-uniform-hash estimate; a single hot KEY stays hot under any
+    * modulus, the standard hash-bucketing caveat) fit the threshold
+    * (capped at 4096, [[graft.warehouse.Staging.bucketsFor]]'s max),
+    * and every row's bucket is recomputed from the recorded key
+    * expression. This is how the measured scaled-bucket cap
+    * (SCALING_CURVE.json commit_cdf: publish exponent ~0 when
+    * per-bucket bytes are held constant) becomes ENGINE behavior on a
+    * table that cannot be regenerated: run this on the maintenance
+    * schedule and per-bucket bytes stay bounded as the table grows.
+    * The re-bucket is a FULL rewrite in one new version (the only
+    * sound shape for a modulus change — [[publish]]'s layout guard),
+    * committed with the new `#layout`, after which layout-aware
+    * maintainers pick up the new modulus automatically. Cost: one
+    * table scan + rewrite — same as the compaction this op already is;
+    * the trigger check itself is a driver-side directory summary per
+    * bucket (≤ bucket-count listing calls, no data IO).
+    *
+    * Change feeds across the boundary stay EXACT: all entries are
+    * fresh, so [[changesSinceKeyed]] degrades to a whole-table keyed
+    * diff — a pure re-bucket (same rows, new buckets) yields an EMPTY
+    * feed (see its scaladoc).
     */
   def optimizeBuckets(spark: SparkSession, root: String,
-      bucketCol: String = "bucket"): Option[Long] =
+      bucketCol: String = "bucket",
+      maxBucketBytes: Option[Long] = None): Option[Long] =
     currentManifest(spark, root)
       .filter(_.entries.exists(_.key >= 0))
       .map { m =>
         val df = applySchema(assemble(spark, root, m.entries, bucketCol),
           m.schema, bucketCol)
-        // each bucket collapses into exactly one input partition, so
-        // partitionBy writes exactly one file per bucket
-        publishBuckets(df.repartition(col(bucketCol)), root, bucketCol)
+        val evolved: Option[Layout] =
+          for {
+            thr <- maxBucketBytes
+            l <- m.layout
+            f0 = fs(spark, root)
+            sizes = m.entries.filter(_.key >= 0).map(e =>
+              f0.getContentSummary(new Path(s"$root/${e.dir}")).getLength)
+            if sizes.nonEmpty && sizes.max > thr
+            total = sizes.sum
+          } yield {
+            var n = l.buckets.toLong
+            while (n < 4096L && total / n > thr) n *= 2
+            Layout(math.min(n, 4096L).toInt, l.keyExprSql)
+          }
+        evolved match {
+          case Some(nl) if nl.buckets != m.layout.map(_.buckets).getOrElse(0) =>
+            // full rewrite under the NEW modulus: recompute the bucket
+            // column from the recorded key expression, one partition
+            // per new bucket → one file per bucket
+            val rebucketed = df.withColumn(bucketCol, nl.bucketExpr)
+            publishBuckets(rebucketed.repartition(col(bucketCol)), root,
+              bucketCol, layout = Some(nl), fullRewrite = true)
+          case _ =>
+            // plain compaction: each bucket collapses into exactly one
+            // input partition, so partitionBy writes one file per
+            // bucket; the recorded layout carries forward
+            publishBuckets(df.repartition(col(bucketCol)), root, bucketCol)
+        }
       }
 
   /** Delete versions and manifests outside the retained history —

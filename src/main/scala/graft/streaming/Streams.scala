@@ -370,8 +370,16 @@ object Streams {
   def statusUpsert(batch: DataFrame, statusPath: String,
       buckets: Int = 16): Unit = {
     val spark = batch.sparkSession
+    // layout-aware bucketing: the table's RECORDED modulus wins over
+    // the parameter (which only sizes a table being created), so after
+    // Commit.optimizeBuckets re-buckets the table, every later upsert
+    // assigns keys under the evolved modulus — without this, a stale
+    // writer modulus would put a user's row in a bucket the carry-
+    // forward merge never folds, duplicating the key across buckets.
+    val eff = graft.sources.Commit.layout(spark, statusPath)
+      .map(_.buckets).getOrElse(buckets)
     def bucketed(df: DataFrame) =
-      df.withColumn("bucket", pmod(col("user_id"), lit(buckets)).cast("int"))
+      df.withColumn("bucket", pmod(col("user_id"), lit(eff)).cast("int"))
     // cached: the touched-bucket probe and the merge write both consume
     // the incoming reduction — without the cache every micro-batch pays
     // its aggregation twice. One row per user in the batch; unpersisted
@@ -413,7 +421,8 @@ object Streams {
     // Per-bucket volume is bounded by the micro-batch, so the narrowed
     // write parallelism costs nothing.
     graft.sources.Commit.publishBuckets(
-      merged.repartition(col("bucket")), statusPath)
+      merged.repartition(col("bucket")), statusPath,
+      layout = Some(graft.sources.Commit.Layout(eff, "user_id")))
     } finally { incoming.unpersist(); () }
   }
 

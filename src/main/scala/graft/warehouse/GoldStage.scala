@@ -284,8 +284,14 @@ object GoldStage {
       graft.util.PhaseTimer.gated(
         "SPARK_GRAFT_PUBLISH_TIMING", "refresh-timing", label)(body)
     val spark = batch.sparkSession
+    // layout-aware bucketing (same contract as Streams.statusUpsert):
+    // the table's recorded modulus wins — `buckets` only sizes a table
+    // being created — so a Commit.optimizeBuckets re-bucket evolves
+    // every later refresh's assignment with it
+    val eff = graft.sources.Commit.layout(spark, path)
+      .map(_.buckets).getOrElse(buckets)
     def bucketed(df: DataFrame) = df.withColumn("bucket",
-      pmod(col("user_id"), lit(buckets)).cast("int"))
+      pmod(col("user_id"), lit(eff)).cast("int"))
     // the touched-bucket probe reads ONLY the key column (column
     // pruning keeps the parquet scan to user_id + the caller's filter
     // columns) — the expensive per-row work (JSON quality extraction,
@@ -296,7 +302,7 @@ object GoldStage {
     // materialization per refresh (measured as the dominant cost of
     // the gold replay after the write itself).
     val touched = t("touched-probe")(batch
-      .select(pmod(col("user_id"), lit(buckets)).cast("int").as("bucket"))
+      .select(pmod(col("user_id"), lit(eff)).cast("int").as("bucket"))
       .distinct()
       .collect().map(r => Int.box(r.getInt(0))).toSeq)
     // empty batch → no-op, no version bump (the Delta MERGE-with-empty-
@@ -352,7 +358,8 @@ object GoldStage {
     // TASKS as well as bytes — the shape the scale claim states.
     t("merge+publish")(graft.sources.Commit.publishBuckets(
       mergeBucketAligned(unioned, touched.size), path,
-      expectBuckets = Some(touched.map(_.intValue).toSet)))
+      expectBuckets = Some(touched.map(_.intValue).toSet),
+      layout = Some(graft.sources.Commit.Layout(eff, "user_id"))))
   }
 
   /** Reader for the incrementally-maintained hourly fact — resolves
