@@ -136,8 +136,16 @@ object Bench {
         n: Int): Seq[Double] = {
       // the warm execution is off the clock AND off the books: letting
       // it bump `failures` would make errors[q] exceed the number of
-      // timed observations (impossible-looking counts in BENCH_DETAIL)
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      // timed observations (impossible-looking counts in BENCH_DETAIL).
+      // Its existence IS disclosed in the artifact's note string, and a
+      // warm-run failure is logged to stderr (not swallowed silently) —
+      // if the query is genuinely broken the timed iterations will
+      // record the same error in `errors`, so nothing is hidden.
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] untimed warm run of $name failed: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       (1 to n).map { _ =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
@@ -226,6 +234,29 @@ object Bench {
     // interference — on a contended box compare mins, not medians.
     val mins = timings.map { case (name, times) => name -> times.min }
     val total = results.map(_._2).sum
+    // Calibration controls: cross-round quiet totals have moved ~20% on
+    // host weather alone (r15 101.4 s -> r16 123.4 s with untouched
+    // CPU-bound queries shifting uniformly). Five never-touched, tight
+    // CPU-bound iteration queries (power iteration, pagerank, BPE
+    // merges, Lloyd, ACF) are pinned with their reference medians from
+    // the r16 quiet committed run; controls_ratio = median over the
+    // controls of (this run's median / pinned reference median) is THIS
+    // box-and-day's speed relative to the reference run, and
+    // value_normalized = value / controls_ratio is the host-speed-
+    // normalized total that is comparable across rounds without
+    // forensics. If a control query's plan is ever changed, re-pin its
+    // reference median in the same commit.
+    val controlRefMedians = Seq( // r16 quiet run (contended=false)
+      "q_pca_power" -> 1.934, "q_pagerank" -> 1.749,
+      "q_bpe_merges" -> 1.030, "q_kmeans_lloyd" -> 1.216,
+      "q_acf" -> 0.751)
+    val resultsMap = results.toMap
+    val controlRatios = controlRefMedians.flatMap { case (q, ref) =>
+      resultsMap.get(q).map(cur => q -> cur / ref)
+    }
+    val controlsRatio =
+      if (controlRatios.isEmpty) 1.0 else median(controlRatios.map(_._2))
+    val totalNormalized = total / controlsRatio
     // The harness keeps only the last ~2000 chars of output. A 94-query
     // map is ~3 kB — it gets truncated mid-line and the driver records
     // parsed:null (observed in BENCH_r01..r03). So the printed contract
@@ -338,6 +369,13 @@ object Bench {
         "iterations progressively (1.1->7.4 s). setUseCache(false): " +
         "0.77 s in-suite, zero reruns. Same fix covers q_mm_resize/" +
         "q_mm_frames/q_mm_phash"),
+      "q_auc" -> ("r17: tools/AucProfile attributed the r16 1.4x quiet " +
+        "spread (median 1.31, min 0.93 — reproduced SOLO, GC flat) to " +
+        "subtree RECOMPUTE: the KS path re-derived scored+rank and the " +
+        "centroid agg ran ~3x per invocation, and the KS stage alone " +
+        "was 1.4-3.4 s bimodal. Rewritten: AUC and KS both fold out of " +
+        "ONE cumulative window over tie-group bounds (bit-identical " +
+        "integers, oracle unchanged). Solo median 1.54 -> 0.73 s"),
       "_session" -> ("cross-session comparisons: this VM's host speed " +
         "moves day to day — compare against the same run's controls, " +
         "not a prior session's absolute numbers (r16 quiet vs r15 " +
@@ -349,6 +387,11 @@ object Bench {
     val notesJson = attributionNotes.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val controlRefMap = controlRefMedians.toMap
+    val controlsJson = controlRatios.map { case (q, ratio) =>
+      s"\"" + q + "\":{\"median\":" + f2(resultsMap(q)) +
+        ",\"reference\":" + controlRefMap(q) + ",\"ratio\":" + f2(ratio) + "}"
+    }.mkString("{", ",", "}")
     // A filtered run (SPARK_GRAFT_BENCH_ONLY) is a local-iteration tool;
     // it must never clobber the committed full-suite artifact (a 1-query
     // partial once replaced the 209-query detail the grader reads).
@@ -356,12 +399,12 @@ object Bench {
       else "/root/repo/BENCH_DETAIL_partial.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations (outlier-adjudicated, see adjudicated); under contention (contended=true) compare queries_min, not medians"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs pinned r16 quiet control medians)"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"detail":"${detailPath.stripPrefix("/root/repo/")}","sf":"$sfTag","loadavg":${loadBefore.headOption.getOrElse(-1.0)},"contended":$contended,"rerun":${adjudicated.size},"unresolved":${unresolved.size}}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"n_queries":${results.size},"queries":$qs,"detail":"${detailPath.stripPrefix("/root/repo/")}","sf":"$sfTag","loadavg":${loadBefore.headOption.getOrElse(-1.0)},"contended":$contended,"rerun":${adjudicated.size},"unresolved":${unresolved.size}}""")
     System.out.flush()
   }
 }

@@ -1161,12 +1161,23 @@ object Ml {
     * boundaries (scores pre-rounded to 6, so tie groups agree across
     * engines); each rate is one BIGINT/BIGINT divide.
     *
-    * Scale shape: centroids are a 10-row broadcast (exact DECIMAL
-    * means, the q_embed_centroids recipe); scoring is a map-only ×10
-    * label fan-out of the corpus; ranks are per-label windows over that
-    * fan-out — the one sort this query pays, hash-partitioned by
-    * label, never global; everything downstream is per-label aggs and
-    * 10-row broadcast joins.
+    * Scale shape (r17 rewrite — AucProfile attributed the r16 quiet
+    * spread to subtree RECOMPUTE: the old plan derived AUC from a
+    * row-level rank window and KS from a second pass whose broadcast
+    * side re-derived the rank path, so `scored` + the centroid agg ran
+    * ~3× per invocation and the KS stage alone was 1.4–3.4 s solo):
+    * centroids are a 10-row broadcast (exact DECIMAL means, the
+    * q_embed_centroids recipe); scoring is a map-only ×10 label
+    * fan-out of the corpus; then EVERYTHING reduces through one
+    * per-(label, tie-group) agg — `bounds`, whose cardinality is
+    * bounded by distinct round-6 scores (≤ 2·10^6 per label at ANY
+    * corpus size) — and both AUC and KS come out of ONE cumulative
+    * window over it: rank-of-tie-group = rows-before + 1, so
+    * Σ_pos(2·rmin + cnt − 1) = Σ_groups bp·(2·before + bp + bn + 1),
+    * and the descending KS cumulatives are n − ascending-before. One
+    * scan, one shuffle to bounds, one bounded-cardinality sort, no
+    * joins, no recompute — integer-exact and bit-identical to the
+    * windowed form (the oracle SQL still computes it that way).
     */
   val auc = QueryDef(
     "q_auc",
@@ -1184,37 +1195,45 @@ object Ml {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
           .as("cv"))
       val scored = e.crossJoin(broadcast(cents))
-        .select(col("clabel"), col("vec_id"),
+        .select(col("clabel"),
           (col("label") === col("clabel")).cast("long").as("p"),
           round(VF.cosineSpark("embedding", "cv"), 6).as("sc"))
-      val ranked = scored
-        .withColumn("rmin",
-          rank().over(Window.partitionBy("clabel").orderBy("sc")).cast("long"))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy("clabel", "sc")))
-      val aucDf = ranked.groupBy("clabel")
-        .agg(sum(col("p")).as("n_pos"),
-          (count(lit(1)) - sum(col("p"))).as("n_neg"),
-          sum(when(col("p") === 1, lit(2) * col("rmin") + col("cnt") - 1)
-            .otherwise(0)).as("s2"))
-        .select(col("clabel"), col("n_pos"), col("n_neg"),
-          round((col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-            (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+      // per-(label, distinct score) tie groups: positives + negatives
       val bounds = scored.groupBy("clabel", "sc")
         .agg(sum(col("p")).as("bp"), (count(lit(1)) - sum(col("p"))).as("bn"))
-      val wCum = Window.partitionBy("clabel").orderBy(desc("sc"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ks = bounds
-        .withColumn("cp", sum(col("bp")).over(wCum))
-        .withColumn("cn", sum(col("bn")).over(wCum))
-        .join(broadcast(aucDf.select(col("clabel"), col("n_pos"), col("n_neg"))),
-          Seq("clabel"))
-        .groupBy("clabel")
-        .agg(round(max(abs(col("cp").cast("double") / col("n_pos").cast("double")
-          - col("cn").cast("double") / col("n_neg").cast("double"))), 6).as("ks"))
-      aucDf.join(broadcast(ks), Seq("clabel"))
+      val wBefore = Window.partitionBy("clabel").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("clabel")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val g = bounds
+        // rows strictly below this tie group: rmin = before + 1
+        .withColumn("before",
+          coalesce(sum(col("bp") + col("bn")).over(wBefore), lit(0L)))
+        .withColumn("bp_before", coalesce(sum(col("bp")).over(wBefore), lit(0L)))
+        .withColumn("bn_before", coalesce(sum(col("bn")).over(wBefore), lit(0L)))
+        .withColumn("np", sum(col("bp")).over(wAll))
+        .withColumn("nn", sum(col("bn")).over(wAll))
+      val agg = g.groupBy("clabel").agg(
+        sum(col("bp")).as("n_pos"),
+        sum(col("bn")).as("n_neg"),
+        // Σ over positive ROWS of (2·rmin + cnt − 1), folded per group
+        sum(col("bp") * (lit(2) * col("before") + col("bp") + col("bn") + 1))
+          .as("s2"),
+        // KS at tie-group boundaries, scores descending: the desc
+        // cumulative counts are (total − asc strictly-before) — the
+        // SAME integers the old desc window produced, divided/rounded
+        // with the same double arithmetic for bit-identical results
+        round(max(abs(
+          (col("np") - col("bp_before")).cast("double") / col("np").cast("double")
+            - (col("nn") - col("bn_before")).cast("double")
+              / col("nn").cast("double"))), 6).as("ks"))
+      agg
         .select(col("clabel").as("label"), col("n_pos"), col("n_neg"),
-          col("auc"), round(lit(2) * col("auc") - 1, 6).as("gini"), col("ks"))
+          round((col("s2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+          col("ks"))
+        .select(col("label"), col("n_pos"), col("n_neg"), col("auc"),
+          round(lit(2) * col("auc") - 1, 6).as("gini"), col("ks"))
     },
     Some(s"""WITH cents AS (
               SELECT label AS clabel,

@@ -874,7 +874,76 @@ object Warehouse {
             SELECT user_id, n, bucket, 'upsert' AS _change FROM snap""")
   )
 
+  /** The change feed ACROSS a bucket-count re-bucket boundary, under
+    * the driver gate (r17 — companion to [[cdfKeyed]]/[[cdfFallback]];
+    * RebucketSpec covers the chosen-example edges, this puts the
+    * boundary semantics behind the DuckDB oracle at both SFs):
+    * publish v1 under a recorded 4-bucket layout, let
+    * `Commit.optimizeBuckets(maxBucketBytes)` EVOLVE the modulus (the
+    * threshold is half of v1's measured per-bucket bytes, so the
+    * engine must double at least once — asserted), then assert
+    * in-query that the feed across the PURE re-bucket is EMPTY (same
+    * keys→rows, new physical buckets: the bucket partition column is
+    * layout, not content). A v3 full rewrite with a different slice
+    * then publishes real changes, and the gated output is the keyed
+    * feed from the PRE-re-bucket cursor — crossing the layout epoch —
+    * which must equal a plain keyed diff of the two logical snapshots,
+    * restated modulus-free in DuckDB (the output deliberately excludes
+    * the bucket column: the evolved modulus is data-dependent and the
+    * feed's content must not depend on it).
+    */
+  val rebucketCdf = QueryDef(
+    "q_rebucket_cdf",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val path = graft.util.TempRoot.fresh("graft-rebucket-cdf") + "/state"
+      val v1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(4)).cast("int"))
+      graft.sources.Commit.publishBuckets(v1.repartition(col("bucket")), path,
+        layout = Some(graft.sources.Commit.Layout(4, "user_id")))
+      // threshold = live-bytes / (2·modulus): max bucket ≥ avg > thr
+      // triggers, and one doubling fits — the engine decides, no
+      // pre-scaled fixture
+      val dataBytes = {
+        import scala.jdk.CollectionConverters._
+        graft.sources.Commit.current(s, path).get._2.map { e =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(path, e.dir))
+            .iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        }.sum
+      }
+      graft.sources.Commit.optimizeBuckets(s, path,
+        maxBucketBytes = Some(math.max(dataBytes / 8L, 1L)))
+      val evolved = graft.sources.Commit.layout(s, path).get.buckets
+      require(evolved > 4, s"re-bucket must have evolved the modulus " +
+        s"(still $evolved buckets)")
+      require(graft.sources.Commit.changesSinceKeyed(s, path, 1L,
+        Seq("user_id")).get.count() == 0L,
+        "a PURE re-bucket must yield an EMPTY keyed feed")
+      val v3 = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .withColumn("bucket", pmod(col("user_id"), lit(evolved)).cast("int"))
+      graft.sources.Commit.publishBuckets(v3.repartition(col("bucket")), path,
+        fullRewrite = true)
+      graft.sources.Commit.changesSinceKeyed(s, path, 1L, Seq("user_id"))
+        .get.select(col("user_id"), col("n"), col("_change"))
+    },
+    Some("""WITH v1 AS (SELECT user_id, COUNT(*) AS n
+                 FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            v3 AS (SELECT user_id, COUNT(*) AS n
+                 FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+            ups AS (SELECT v3.user_id, v3.n, 'upsert' AS _change
+                    FROM v3 LEFT JOIN v1 ON v3.user_id = v1.user_id
+                    WHERE v1.user_id IS NULL OR v1.n <> v3.n),
+            dels AS (SELECT v1.user_id, v1.n, 'delete' AS _change
+                     FROM v1 LEFT JOIN v3 ON v1.user_id = v3.user_id
+                     WHERE v3.user_id IS NULL)
+            SELECT * FROM ups UNION ALL SELECT * FROM dels""")
+  )
+
   def all: Seq[QueryDef] = Seq(dimDate, starFact, starRollup, scd2, factEnhanced,
     basketLift, dimWeather, dimMaintenance, factEnvironmental, goldIncremental,
-    zorderLayout, snapshotDiff, cdfKeyed, cdfFallback)
+    zorderLayout, snapshotDiff, cdfKeyed, cdfFallback, rebucketCdf)
 }

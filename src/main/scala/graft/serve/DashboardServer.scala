@@ -169,14 +169,28 @@ final class DashboardServer(
     * know its refresh broke a route than serve a stale page forever.
     */
   def warm(): Unit = queryNames.foreach { name =>
-    var owned = false
-    while (!owned) {
+    // Bounded ownership loop. Only the FIRST lost race can hand us a
+    // flight that started pre-publish (it held the slot before we
+    // arrived); any flight joined on a later attempt was created after
+    // our previous join returned — i.e. after warm() was invoked, hence
+    // post-publish — so its successful result is fresh-by-content and
+    // acceptable without a re-run. That makes the loop terminate after
+    // at most two successful joins even under a pathological stream of
+    // request-path flights (zero TTL or a stubbed clock in tests); the
+    // attempt cap is a belt-and-suspenders bound for the remaining case
+    // of repeatedly FAILING post-publish flights, where giving up and
+    // leaving the route to the request path beats spinning forever.
+    var done = false
+    var attempts = 0
+    while (!done && attempts < 8) {
+      attempts += 1
       val mine = new java.util.concurrent.CompletableFuture[String]()
       val winner = inflight.putIfAbsent(name, mine)
-      if (winner == null) { computeAndCache(name, mine); owned = true }
+      if (winner == null) { computeAndCache(name, mine); done = true }
       // a pre-publish flight's failure is not ours to report — wait it
       // out (success or failure) and run our own post-publish compute
-      else try winner.join() catch { case _: Throwable => () }
+      else try { winner.join(); done = attempts > 1 }
+      catch { case _: Throwable => () }
     }
   }
 

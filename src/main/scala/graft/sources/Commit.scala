@@ -202,17 +202,61 @@ object Commit {
     else Some(parseManifest(readSmall(f, new Path(root, readSmall(f, ptr).trim))))
   }
 
+  /** The `#parent=` pointer of manifest `v` WITHOUT decoding the rest
+    * of the file (schema JSON, zone-map stats — the expensive lines):
+    * the chain walk's unit cost. A 100 TB table accumulates thousands
+    * of versions whose manifests each carry per-bucket and per-file
+    * stats; walking lineage through [[parseManifest]] would make every
+    * history/CDF-membership question O(versions × stats volume), so
+    * the walk reads headers only. None = manifest missing (vacuumed or
+    * never committed); Some(0) = pre-lineage manifest (chain ends).
+    */
+  private def parentAt(f: org.apache.hadoop.fs.FileSystem, root: String,
+      v: Long): Option[Long] = {
+    val mf = new Path(root, s"manifest-$v.txt")
+    if (!f.exists(mf)) None
+    else readSmall(f, mf).linesIterator.collectFirst {
+      case l if l.startsWith("#parent=") => l.stripPrefix("#parent=").toLong
+    }.orElse(Some(0L))
+  }
+
+  /** Is version `v` on the committed chain and still reconstructable?
+    * The membership question [[changesSinceKeyed]]/[[changesSince]]/
+    * [[readAt]] ask per call — answered by walking parent HEADERS from
+    * the current pointer and STOPPING at the first version ≤ `v`
+    * (versions strictly decrease down the chain, so nothing below the
+    * cursor needs visiting): O(distance(head, v)) header reads, never
+    * O(full history), and none of them decode stats. This is what
+    * keeps CDF cost flat in CHAIN DEPTH (the differ itself only ever
+    * reads the two endpoint manifests) — measured in
+    * SCALING_CURVE.json's commit_cdf.versions_deep segment.
+    */
+  private def chainContains(spark: SparkSession, root: String,
+      v: Long): Boolean = {
+    val f = fs(spark, root)
+    var at = current(spark, root).map(_._1) // invariant: manifest exists
+    var found = false
+    while (!found && at.exists(_ >= v)) {
+      if (at.get == v) found = true
+      else at = parentAt(f, root, at.get).filter(p =>
+        p > 0 && f.exists(new Path(root, s"manifest-$p.txt")))
+    }
+    found
+  }
+
   /** COMMITTED versions still reconstructable on disk, newest first:
     * the `#parent=` chain walked from the current pointer until a
     * vacuumed-away (or pre-lineage) manifest ends it. A manifest that
     * never got its pointer swap is NOT in any chain — a crashed
-    * publish can never resurface as "history".
+    * publish can never resurface as "history". Header-only parses
+    * ([[parentAt]]): O(history) small reads, no stats decode.
     */
   def history(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
     val head = current(spark, root).map(_._1)
     Iterator.iterate(head) {
-      case Some(v) => manifestAt(spark, root, v)
-        .map(_.parent).filter(p => p > 0 && manifestAt(spark, root, p).nonEmpty)
+      case Some(v) => parentAt(f, root, v)
+        .filter(p => p > 0 && f.exists(new Path(root, s"manifest-$p.txt")))
       case None => None
     }.takeWhile(_.nonEmpty).map(_.get).toSeq
   }
@@ -227,7 +271,7 @@ object Commit {
     */
   def readAt(spark: SparkSession, root: String, v: Long,
       bucketCol: String = "bucket"): Option[DataFrame] =
-    if (!history(spark, root).contains(v)) None
+    if (!chainContains(spark, root, v)) None
     else manifestAt(spark, root, v).map(m =>
       applySchema(assemble(spark, root, m.entries, bucketCol), m.schema,
         if (m.entries.exists(_.key >= 0)) bucketCol else "bucket"))
@@ -316,7 +360,7 @@ object Commit {
       bucketCol: String = "bucket"): Option[DataFrame] =
     for {
       cur <- currentManifest(spark, root)
-      if history(spark, root).contains(since)
+      if chainContains(spark, root, since)
       base <- manifestAt(spark, root, since)
     } yield {
       val baseline = base.entries.toSet
@@ -384,7 +428,7 @@ object Commit {
       keyCols: Seq[String], bucketCol: String = "bucket"): Option[DataFrame] =
     for {
       cur <- currentManifest(spark, root)
-      if history(spark, root).contains(since)
+      if chainContains(spark, root, since)
       base <- manifestAt(spark, root, since)
     } yield {
       val bc = if (cur.entries.exists(_.key >= 0)) bucketCol else "bucket"
@@ -451,6 +495,22 @@ object Commit {
             else col(x)
           }): _*)
       }
+      // columns whose type evolved in a NON-upcast way (the conform step
+      // above left them in the old type): their row-equality below must
+      // not ride Spark's binary-comparison coercion, which for e.g. a
+      // string-vs-long pair compares through DOUBLE and would classify
+      // two values above 2^53 that round to the same double as
+      // "unchanged" — a suppressed change, the one failure mode a CDF
+      // must never have. These pairs compare by exact string RENDERING
+      // instead (lossless for every scalar type; deterministic for
+      // nested types): renderings that differ are always a real
+      // difference, and a cross-type rendering collision ("2020-01-01"
+      // as date vs string) is a value-equal pair. Erring looser is
+      // impossible by construction; erring stricter (a spurious upsert)
+      // merely redelivers a row the consumer applies idempotently.
+      val nonUpcastCols = cols.filter { x =>
+        oldRows.schema(x).dataType != curRows.schema(x).dataType
+      }.toSet
       require(keyCols.nonEmpty && keyCols.forall(cols.contains),
         s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
       // the diff's internal marker/prefixed names must not collide with
@@ -470,7 +530,16 @@ object Commit {
       val c = curRows.withColumn("_m_cur", lit(1))
       val o = oldRows.select(cols.map(x => col(x).as(s"_o_$x")): _*)
         .withColumn("_m_old", lit(1))
-      val keyExpr = keyCols.map(k => col(k) <=> col(s"_o_$k")).reduce(_ && _)
+      // key identity under non-upcast key evolution uses the same exact
+      // string-rendering compare as row equality (same 2^53 hazard),
+      // and reads naturally: old key "42" and evolved key 42L are the
+      // SAME logical key, so the feed upserts it rather than
+      // delete+reinsert.
+      val keyExpr = keyCols.map { k =>
+        if (nonUpcastCols.contains(k))
+          col(k).cast("string") <=> col(s"_o_$k").cast("string")
+        else col(k) <=> col(s"_o_$k")
+      }.reduce(_ && _)
       val joined = c.join(o, keyExpr, "full_outer")
       // row change is a CONJUNCTION of per-column null-safe equalities
       // (identical to the struct <=> it replaces when types match —
@@ -491,14 +560,31 @@ object Commit {
       // compared.)
       val cmpCols =
         if (cur.entries.exists(_.key >= 0)) cols.filterNot(_ == bc) else cols
-      val rowEq = cmpCols.map(x => col(x) <=> col(s"_o_$x"))
-        .reduceOption(_ && _).getOrElse(lit(true))
+      val rowEq = cmpCols.map { x =>
+        if (nonUpcastCols.contains(x))
+          col(x).cast("string") <=> col(s"_o_$x").cast("string")
+        else col(x) <=> col(s"_o_$x")
+      }.reduceOption(_ && _).getOrElse(lit(true))
       val upserts = joined
         .filter(col("_m_cur").isNotNull && (col("_m_old").isNull || !rowEq))
         .select(cols.map(col) :+ lit("upsert").as("_change"): _*)
       val deletes = joined.filter(col("_m_cur").isNull)
         .select(cols.map(x => col(s"_o_$x").as(x)) :+
           lit("delete").as("_change"): _*)
+      // OUTPUT TYPES (documented contract): upserts carry the CURRENT
+      // snapshot's types; deletes carry the `since` snapshot's types
+      // for any column whose evolution was not a lossless upcast —
+      // deliberately, because a delete row addresses a key in the
+      // CONSUMER'S copy of `since`, and force-casting it to the current
+      // type could null or corrupt exactly the key it must delete
+      // (long key 2^35 under long->int narrowing has no current-type
+      // representation). unionByName therefore widens such a column to
+      // the least common type of the two sides (int+long -> long,
+      // long+string -> string) — wider than the current snapshot's
+      // column, exact for integral and string widenings (an
+      // integral+fractional pair widens to double, Spark's union rule,
+      // exact up to 2^53). Consumers that conform the feed to the
+      // current schema should do so AFTER applying deletes.
       upserts.unionByName(deletes)
     }
 

@@ -299,6 +299,67 @@ object ScaleBench {
       // the touched bucket's bytes stay CONSTANT as the table grows —
       // this curve is the measured cap on the growth term
       val perPointScaled = sweep(sf => math.max(16, (16 * sf / 0.1).round.toInt))
+      // r17: ENGINE-behavior variant. The scaled curve above sizes the
+      // bucket count at CREATION — production tables can't regenerate.
+      // Here every point builds at the same FIXED 16-bucket layout,
+      // then Commit.optimizeBuckets(maxBucketBytes) decides for itself
+      // whether to evolve the modulus (threshold = the smallest
+      // point's measured per-bucket bytes ×1.25, so the smallest point
+      // keeps 16 and larger points MUST re-bucket to hold per-bucket
+      // bytes ~constant); the layout-aware refreshHourly then buckets
+      // the one-user batch under the EVOLVED modulus automatically.
+      // These exponents are the per-bucket growth term capped by the
+      // engine's own maintenance op, no pre-scaled fixtures anywhere.
+      var thrAuto: Option[Long] = None
+      def pointAuto(dir: String): (Double, Double, Int) = {
+        val tmp = java.nio.file.Files.createTempDirectory("scale-cdf-auto")
+        val path = tmp.toString + "/hourly"
+        val ev = graft.Tables.events(spark, dir)
+        def clock(body: => Unit): Double = {
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        try {
+          graft.warehouse.GoldStage.refreshHourly(ev, path, 16)
+          if (thrAuto.isEmpty) {
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val bytes = hp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+              .getContentSummary(hp).getLength
+            thrAuto = Some(math.max(bytes / 16L * 5L / 4L, 1L))
+          }
+          graft.sources.Commit.optimizeBuckets(spark, path,
+            maxBucketBytes = thrAuto)
+          val vOpt = graft.sources.Commit.current(spark, path).get._1
+          val nb = graft.sources.Commit.layout(spark, path)
+            .map(_.buckets).getOrElse(16)
+          val u = ev.agg(org.apache.spark.sql.functions.min("user_id"))
+            .head.getLong(0)
+          val batch = ev.filter(org.apache.spark.sql.functions
+            .col("user_id") === u)
+          val tSmall = clock(
+            graft.warehouse.GoldStage.refreshHourly(batch, path, 16))
+          val tCdf = clock {
+            graft.sources.Commit.changesSinceKeyed(spark, path, vOpt,
+              Seq("user_id", "event_type", "h")).get.count(); ()
+          }
+          (tSmall, tCdf, nb)
+        } finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      val perPointAuto = points.map { case (label, dir, sf) =>
+        val runs = (1 to iters).map(_ => pointAuto(dir))
+        System.gc()
+        val best = (runs.map(_._1).min, runs.map(_._2).min, runs.head._3)
+        System.err.println(
+          f"[scale][cdf] $label AUTO buckets=${best._3} small=${best._1}%.2f cdf=${best._2}%.2f s")
+        (label, sf, best)
+      }
       def seg(pp: Seq[(String, Double, (Double, Double, Double))],
           pick: ((Double, Double, Double)) => Double): (String, String) = {
         val pts = pp.map { case (_, sf, b) => (sf, pick(b)) }
@@ -311,12 +372,25 @@ object ScaleBench {
       val (cSecs, cExp) = seg(perPoint, _._3)
       val (s2Secs, s2Exp) = seg(perPointScaled, _._2)
       val (c2Secs, c2Exp) = seg(perPointScaled, _._3)
+      def segA(pick: ((Double, Double, Int)) => Double): (String, String) = {
+        val pts = perPointAuto.map { case (_, sf, b) => (sf, pick(b)) }
+        val secs = perPointAuto.map { case (l, _, b) =>
+          s"\"$l\":${jNum(pick(b))}" }.mkString("{", ",", "}")
+        (secs, jNum(slope(pts.takeRight(2))))
+      }
+      val (s3Secs, s3Exp) = segA(_._1)
+      val (c3Secs, c3Exp) = segA(_._2)
+      val autoBk = perPointAuto.map { case (l, _, b) => s"\"$l\":${b._3}" }
+        .mkString("{", ",", "}")
       s"""{"full_build":{"secs_min":$bSecs,"exponent_top":$bExp},""" +
         s""""touched_bucket_publish":{"secs_min":$sSecs,"exponent_top":$sExp},""" +
         s""""changes_since_keyed":{"secs_min":$cSecs,"exponent_top":$cExp},""" +
         s""""touched_bucket_publish_scaled_buckets":{"secs_min":$s2Secs,"exponent_top":$s2Exp},""" +
         s""""changes_since_keyed_scaled_buckets":{"secs_min":$c2Secs,"exponent_top":$c2Exp},""" +
-        s""""note":"full_build is ∝ table (expect ~linear). r16 phase split (SPARK_GRAFT_PUBLISH_TIMING): in the one-bucket publish, manifest commit 14-21 ms, footer harvest 13-18 ms and the touched-bucket probe ~0.1 s are FLAT across 100×; the residual growth (the r15 exponent 0.44) is the one-bucket WRITE — per-bucket bytes ∝ table at the fixed 16-bucket layout. The *_scaled_buckets curves hold per-bucket bytes constant (bucket count ∝ table, the Staging.bucketsFor posture) and are the measured cap on that term."}"""
+        s""""touched_bucket_publish_auto_rebucket":{"secs_min":$s3Secs,"exponent_top":$s3Exp},""" +
+        s""""changes_since_keyed_auto_rebucket":{"secs_min":$c3Secs,"exponent_top":$c3Exp},""" +
+        s""""auto_rebucket_buckets":$autoBk,""" +
+        s""""note":"full_build is ∝ table (expect ~linear). r16 phase split (SPARK_GRAFT_PUBLISH_TIMING): in the one-bucket publish, manifest commit 14-21 ms, footer harvest 13-18 ms and the touched-bucket probe ~0.1 s are FLAT across 100×; the residual growth (the r15 exponent 0.44) is the one-bucket WRITE — per-bucket bytes ∝ table at the fixed 16-bucket layout. The *_scaled_buckets curves hold per-bucket bytes constant (bucket count ∝ table, the Staging.bucketsFor posture) and are the measured cap on that term. The *_auto_rebucket curves (r17) build every point at the FIXED 16-bucket layout and let Commit.optimizeBuckets(maxBucketBytes) evolve the modulus itself — the cap as ENGINE behavior, no pre-scaled fixtures; auto_rebucket_buckets records the modulus the engine chose per point, and the CDF poll is from the post-re-bucket cursor (steady state; the one boundary-crossing poll pays a whole-table keyed diff by contract)."}"""
     }
 
     // ---- adversarially-skewed points (join/graph/dedup under hot keys) ----
@@ -381,6 +455,59 @@ object ScaleBench {
         s""""note":"hot keys own ~20% of fact rows (ScaleUp.buildSkewed); exponent_top fits sk0.1->sk0.3 with skew held constant; vs_plain_sf03 is the skew cost at equal row count. AQE skew-join + degree caps + df-capped index buckets are the engaged mitigations."}"""
     }
 
+    // ---- versions_deep: CDF cost vs version-CHAIN depth ----
+    // commit_cdf above scales the TABLE under a constant-depth cursor;
+    // a 100 TB table also accumulates VERSIONS. The differ reads only
+    // the two ENDPOINT manifests, and the cursor's membership check
+    // (Commit.chainContains) walks parent HEADERS from the pointer,
+    // stopping at the cursor — no stats decode, no full-history walk —
+    // so cost must be ~flat in depth. Measured here with depth as the
+    // ONLY variable: 1 full publish + 120 single-bucket publishes that
+    // all touch the SAME key, then changesSinceKeyed from cursors 1 /
+    // 10 / 100 versions behind the head. The delivered diff is one
+    // bucket × 2 at every depth (identical data work), so any growth
+    // is pure chain overhead — the term being measured.
+    val verDepthOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_VERDEPTH", "1") != "0"
+    val verDeepJson = if (!verDepthOn) "null" else {
+      val tmp = java.nio.file.Files.createTempDirectory("scale-verdepth")
+      val path = tmp.toString + "/t"
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val sq = spark.sqlContext
+        import sq.implicits._
+        def df(rows: Seq[(Long, Double)]) = rows.toDF("user_id", "v")
+          .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+        graft.sources.Commit.publishBuckets(
+          df((0L until 64L).map(k => k -> k.toDouble)), path) // v1: full
+        (1 to 120).foreach { i => // v2..v121: same key, new value
+          graft.sources.Commit.publishBuckets(df(Seq(7L -> (1000.0 + i))), path)
+        }
+        val head = graft.sources.Commit.current(spark, path).get._1
+        val pts = Seq(1, 10, 100).map { d =>
+          val ts = (1 to math.max(iters, 3)).map { _ =>
+            val t0 = System.nanoTime()
+            graft.sources.Commit.changesSinceKeyed(spark, path, head - d,
+              Seq("user_id")).get.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          System.err.println(f"[scale][verdepth] depth=$d best=${ts.min}%.3f s")
+          (d, ts.min)
+        }
+        val secs = pts.map { case (d, t) => s"\"$d\":${jNum(t)}" }
+          .mkString("{", ",", "}")
+        val e = slope(pts.takeRight(2).map { case (d, t) => (d.toDouble, t) })
+        s"""{"secs_min":$secs,"exponent_top":${jNum(e)},"versions":121,""" +
+          s""""note":"changesSinceKeyed from cursors 1/10/100 versions behind a 121-version chain; every publish touched the same bucket, so diff data work is identical at all depths and growth would be pure chain overhead. Membership walks parent headers only and stops at the cursor (O(depth) small reads, no stats decode); the diff reads the two endpoint manifests."}"""
+      } finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
     val ptJson = points.map { case (l, d, sf) =>
       s"""{"label":"$l","sf":$sf,"dir":"$d"""" +
         genSecs.get(l).map(s => s""","gen_secs":${jNum(s)}""").getOrElse("") + "}"
@@ -389,7 +516,7 @@ object ScaleBench {
 
     val out =
       s"""{"points":$ptJson,"iters":$iters,"families":$famJson,""" +
-        s""""stage_builds":$stageJson,"commit_cdf":$cdfJson,"skewed":$skewJson,""" +
+        s""""stage_builds":$stageJson,"commit_cdf":$cdfJson,"versions_deep":$verDeepJson,"skewed":$skewJson,""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"build_iters":$buildIters,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","cpus":"$cpus",""" +
         s""""note":"exponents fit on per-SF min times (contention-robust); exponent_top (slope over the two largest SFs) is the cluster-scale statistic; exponent_fit includes overhead-dominated small points and reads low. sf>=0.3 points are ScaleUp-derived from sf0.1 (key-shifted, content-decorrelated replicas)."}"""
     // a filtered run (family filter, or a segment switched off) is a
@@ -397,7 +524,8 @@ object ScaleBench {
     // full-sweep artifact (the same _partial contract as Bench's
     // SPARK_GRAFT_BENCH_ONLY)
     val curvePath =
-      if (onlyFam.isEmpty && cdfOn && skewOn) "/root/repo/SCALING_CURVE.json"
+      if (onlyFam.isEmpty && cdfOn && skewOn && verDepthOn)
+        "/root/repo/SCALING_CURVE.json"
       else "/root/repo/SCALING_CURVE_partial.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(curvePath), out)

@@ -52,15 +52,19 @@ class CommitFuzzSpec extends SparkSpec {
 
   private def wOf(v: Double): Double = v * 2 + 1
 
-  private def bucketOf(k: Key): Int =
-    k.map(u => (u % Buckets).toInt).getOrElse(0)
+  /** Bucket under the CURRENT modulus — the r17 re-bucket op evolves
+    * it mid-sequence, and the model must track assignments exactly as
+    * the recorded layout ("coalesce(user_id, 0)") does.
+    */
+  private def bucketOf(k: Key, mod: Int): Int =
+    k.map(u => (u % mod).toInt).getOrElse(0)
 
   private def toDf(rows: Map[Key, Double], evolved: Boolean,
-      onlyBuckets: Option[Set[Int]]) = {
+      onlyBuckets: Option[Set[Int]], mod: Int) = {
     import spark.implicits._
     val picked = rows.toSeq
-      .filter { case (k, _) => onlyBuckets.forall(_.contains(bucketOf(k))) }
-      .map { case (k, v) => (k, v, bucketOf(k)) }
+      .filter { case (k, _) => onlyBuckets.forall(_.contains(bucketOf(k, mod))) }
+      .map { case (k, v) => (k, v, bucketOf(k, mod)) }
     val base = picked.toDF("user_id", "v", "bucket")
       .withColumn("bucket", col("bucket").cast("int"))
     if (evolved) base.withColumn("w", col("v") * 2 + 1)
@@ -88,6 +92,7 @@ class CommitFuzzSpec extends SparkSpec {
     }.toMap
 
   test("seeded publish/rewrite/retire/vacuum sequences uphold the CDF contract") {
+    var rebucketDoublings = 0 // across all seeds: the op must actually fire
     for (seed <- 1 to 20) {
       val rng = new scala.util.Random(seed)
       val root = graft.util.TempRoot.freshDir(s"commit-fuzz-$seed").toString + "/t"
@@ -97,9 +102,11 @@ class CommitFuzzSpec extends SparkSpec {
       // recorded consumer cursors: version -> model snapshot then
       var cursors = Vector.empty[(Long, Snap)]
       var vacuumedBelow = 0L // versions < this are gone
+      var mod = Buckets // current bucket modulus (re-bucket op evolves it)
 
       def publish(only: Option[Set[Int]]): Unit = {
-        val v = Commit.publishBuckets(toDf(model, evolved, only), root)
+        val v = Commit.publishBuckets(toDf(model, evolved, only, mod), root,
+          layout = Some(Commit.Layout(mod, "coalesce(user_id, 0)")))
         cursors :+= (v, Snap(model, evolved))
       }
       publish(None) // v1: full baseline
@@ -116,13 +123,39 @@ class CommitFuzzSpec extends SparkSpec {
           val k = model.keys.toSeq(rng.nextInt(model.size))
           model += k -> (model(k) + 100)
           publish(None)
+        } else if (rng.nextDouble() < 0.18) {
+          // r17 RE-BUCKET op: optimizeBuckets(maxBucketBytes) evolves
+          // the modulus as a full rewrite under the recorded key
+          // expression — a NO-OP on the model's logical content (same
+          // key -> value map), so every CDF clause must hold across it
+          // unchanged, and a cursor AT the re-bucket version must see
+          // only later publishes' row changes. The threshold is picked
+          // to force exactly one doubling: total/(2*mod) — max bucket
+          // bytes >= avg > thr triggers, and the doubled modulus fits.
+          val dataBytes = {
+            import scala.jdk.CollectionConverters._
+            Commit.current(spark, root).get._2.map { e =>
+              java.nio.file.Files.walk(java.nio.file.Paths.get(root, e.dir))
+                .iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(java.nio.file.Files.size(_)).sum
+            }.sum
+          }
+          val thr = math.max(dataBytes / (2L * mod), 1L)
+          val v = Commit.optimizeBuckets(spark, root,
+            maxBucketBytes = Some(thr)).get
+          val newMod = Commit.layout(spark, root).get.buckets
+          assert(newMod >= mod, s"seed=$seed: modulus shrank $mod->$newMod")
+          if (newMod > mod) rebucketDoublings += 1
+          mod = newMod
+          cursors :+= (v, Snap(model, evolved))
         } else {
           // bucket-scoped rewrite: choose buckets, mutate their keys
-          val bs = (0 until Buckets).filter(_ => rng.nextBoolean()).toSet
-          val chosen = if (bs.isEmpty) Set(rng.nextInt(Buckets)) else bs
+          val bs = (0 until mod).filter(_ => rng.nextBoolean()).toSet
+          val chosen = if (bs.isEmpty) Set(rng.nextInt(mod)) else bs
           // mutate: update / retire / insert within the chosen buckets
           model.foreach { case (k, v) =>
-            if (chosen.contains(bucketOf(k))) {
+            if (chosen.contains(bucketOf(k, mod))) {
               val dice = rng.nextDouble()
               if (dice < 0.3) model += k -> (v + 1)
               else if (dice < 0.45) model -= k
@@ -136,13 +169,13 @@ class CommitFuzzSpec extends SparkSpec {
           // 0-2 fresh keys inside chosen buckets
           (0 until rng.nextInt(3)).foreach { _ =>
             val b = chosen.toSeq(rng.nextInt(chosen.size))
-            val k = (rng.nextInt(40) * Buckets + b).toLong
+            val k = (rng.nextInt(40) * mod + b).toLong
             model += (Some(k): Key) -> (seed + op + k).toDouble
           }
           // writer contract: a rewritten bucket is never left empty
           chosen.foreach { b =>
-            if (!model.keys.exists(k => bucketOf(k) == b))
-              model += (Some((40 * Buckets + b).toLong): Key) -> 1.0
+            if (!model.keys.exists(k => bucketOf(k, mod) == b))
+              model += (Some((40L * mod + b)): Key) -> 1.0
           }
           publish(Some(chosen))
         }
@@ -197,6 +230,9 @@ class CommitFuzzSpec extends SparkSpec {
         }
       }
     }
+    assert(rebucketDoublings > 0,
+      "no sequence ever doubled the modulus — the re-bucket op is not " +
+        "being exercised by the fuzz")
   }
 
   test("CDF conforms evolved column TYPES by casting the old side (int -> long)") {
@@ -236,5 +272,51 @@ class CommitFuzzSpec extends SparkSpec {
     assert(rows === Set((1L, "upsert")),
       s"narrowing evolution: user 1's real change must deliver, user 2's " +
         s"unchanged row must not — got $rows")
+  }
+
+  test("string -> long evolution compares EXACTLY above 2^53 " +
+      "(binary-comparison coercion through double would suppress it)") {
+    import spark.implicits._
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-str").toString + "/t"
+    // v1: n is STRING; user 1 holds 2^53+1 — a value double cannot
+    // represent (it rounds to 2^53). user 2 is a small value.
+    val v1 = Seq((1L, "9007199254740993", 0), (2L, "20", 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    // v2: full rewrite evolves n to LONG; user 1's value is now 2^53 —
+    // a REAL change whose old and new values coerce to the SAME double,
+    // so a string-vs-long `<=>` (which compares through double) would
+    // classify it unchanged. user 2 is value-identical ("20" vs 20L).
+    val v2 = Seq((1L, 9007199254740992L, 0), (2L, 20L, 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val rows = feed.select(col("user_id"), col("n").cast("string"), col("_change"))
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((1L, "9007199254740992", "upsert")),
+      s"2^53 hazard: user 1's change must deliver, user 2 must not — got $rows")
+  }
+
+  test("KEY evolution above 2^53 keeps key identity exact: old and new " +
+      "keys that collide as doubles are delete + upsert, not a merge") {
+    import spark.implicits._
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-key").toString + "/t"
+    // v1: user_id is STRING; one key is 2^53+1, one is small
+    val v1 = Seq(("9007199254740993", 1.0, 0), ("7", 2.0, 0))
+      .toDF("user_id", "v", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    // v2: full rewrite evolves user_id to LONG; the big key is REPLACED
+    // by 2^53 (same double!), key 7 unchanged in key and value
+    val v2 = Seq((9007199254740992L, 3.0, 0), (7L, 2.0, 0))
+      .toDF("user_id", "v", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    // output key type widens to STRING (deletes address the consumer's
+    // old-typed copy — the documented non-upcast output contract)
+    val rows = feed.select(col("user_id").cast("string"), col("_change"))
+      .as[(String, String)].collect().toSet
+    assert(rows === Set(
+      ("9007199254740992", "upsert"), ("9007199254740993", "delete")),
+      s"double-collided keys must stay distinct — got $rows")
   }
 }

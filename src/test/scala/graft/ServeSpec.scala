@@ -314,6 +314,58 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("route payload contract: every dashboard + monitoring route's " +
+      "JSON keys match its gate query's schema, in column order") {
+    // The page at "/" and every programmatic consumer read the /api
+    // routes' object keys positionally-by-name; a drift in toJson
+    // (reordered, renamed, dropped columns) would break all of them
+    // silently while ServeSpec's cache/flight tests stay green. This
+    // pins the payload shape to the SAME schemas the correctness gate
+    // verifies (SparkEntry.queries), so a column rename fails here
+    // exactly when it fails the oracle — one contract, two surfaces.
+    val routes =
+      DashboardServer.DashboardQueries ++ DashboardServer.MonitoringQueries
+    val srv = new DashboardServer(spark, sf0001, queryNames = routes)
+    val port = srv.start()
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      routes.foreach { name =>
+        val want = SparkEntry.queries(name)(spark, sf0001).schema.fields.toSeq
+        val body = get(port, s"/api/$name").body()
+        val arr = om.readTree(body)
+        assert(arr.isArray && arr.size() > 0, s"$name: empty or non-array payload")
+        (0 until arr.size()).foreach { i =>
+          val row = arr.get(i)
+          assert(row.isObject, s"$name[$i]: not an object")
+          val keys = {
+            val it = row.fieldNames(); val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next()
+            b.result()
+          }
+          // Jackson preserves insertion order, so this also pins the
+          // COLUMN ORDER the page renders left-to-right
+          assert(keys == want.map(_.name),
+            s"$name[$i]: payload keys $keys != schema ${want.map(_.name)}")
+          // type sanity per column: numerics serialize as JSON numbers
+          // (or null; NaN/Infinity as quoted strings), never as text
+          want.foreach { f =>
+            val v = row.get(f.name)
+            f.dataType match {
+              case _: org.apache.spark.sql.types.NumericType =>
+                assert(v.isNull || v.isNumber ||
+                  (v.isTextual && Set("NaN", "Infinity", "-Infinity")(v.asText())),
+                  s"$name[$i].${f.name}: numeric column serialized as $v")
+              case org.apache.spark.sql.types.BooleanType =>
+                assert(v.isNull || v.isBoolean,
+                  s"$name[$i].${f.name}: boolean column serialized as $v")
+              case _ => ()
+            }
+          }
+        }
+      }
+    } finally srv.stop()
+  }
+
   test("rejects unknown query names at construction") {
     intercept[IllegalArgumentException] {
       new DashboardServer(spark, sf0001, queryNames = Seq("q_not_a_query"))
