@@ -251,9 +251,16 @@ object Bench {
       "q_bpe_merges" -> 1.030, "q_kmeans_lloyd" -> 1.216,
       "q_acf" -> 0.751)
     val resultsMap = results.toMap
-    val controlRatios = controlRefMedians.flatMap { case (q, ref) =>
-      resultsMap.get(q).map(cur => q -> cur / ref)
-    }
+    // the reference medians were measured at sf0.1 — at any other SF
+    // the controls measure DATA SCALE, not host speed, and normalizing
+    // by them would fabricate a garbage cross-round number; emit the
+    // identity calibration instead
+    val controlsValid = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val controlRatios =
+      if (!controlsValid) Nil
+      else controlRefMedians.flatMap { case (q, ref) =>
+        resultsMap.get(q).map(cur => q -> cur / ref)
+      }
     val controlsRatio =
       if (controlRatios.isEmpty) 1.0 else median(controlRatios.map(_._2))
     val totalNormalized = total / controlsRatio

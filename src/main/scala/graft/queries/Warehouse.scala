@@ -905,15 +905,7 @@ object Warehouse {
       // threshold = live-bytes / (2·modulus): max bucket ≥ avg > thr
       // triggers, and one doubling fits — the engine decides, no
       // pre-scaled fixture
-      val dataBytes = {
-        import scala.jdk.CollectionConverters._
-        graft.sources.Commit.current(s, path).get._2.map { e =>
-          java.nio.file.Files.walk(java.nio.file.Paths.get(path, e.dir))
-            .iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_))
-            .map(java.nio.file.Files.size(_)).sum
-        }.sum
-      }
+      val dataBytes = graft.sources.Commit.liveDataBytes(s, path).get
       graft.sources.Commit.optimizeBuckets(s, path,
         maxBucketBytes = Some(math.max(dataBytes / 8L, 1L)))
       val evolved = graft.sources.Commit.layout(s, path).get.buckets

@@ -169,19 +169,26 @@ final class DashboardServer(
     * know its refresh broke a route than serve a stale page forever.
     */
   def warm(): Unit = queryNames.foreach { name =>
-    // Bounded ownership loop. Only the FIRST lost race can hand us a
-    // flight that started pre-publish (it held the slot before we
-    // arrived); any flight joined on a later attempt was created after
-    // our previous join returned — i.e. after warm() was invoked, hence
-    // post-publish — so its successful result is fresh-by-content and
-    // acceptable without a re-run. That makes the loop terminate after
-    // at most two successful joins even under a pathological stream of
-    // request-path flights (zero TTL or a stubbed clock in tests); the
-    // attempt cap is a belt-and-suspenders bound for the remaining case
-    // of repeatedly FAILING post-publish flights, where giving up and
-    // leaving the route to the request path beats spinning forever.
+    // Bounded ownership loop. A joined flight is acceptable without a
+    // re-run only when it verifiably started AFTER warm() began: a
+    // DIFFERENT future than the one joined on the previous attempt
+    // qualifies — its creator won putIfAbsent, which requires the
+    // previous flight's removal, which happens after our own earlier
+    // putIfAbsent lost to it, i.e. after warm() started (and warm()
+    // runs after the publish). Comparing by REFERENCE matters:
+    // computeAndCache completes its future BEFORE the finally removes
+    // it from the map, so the same pre-publish flight can win
+    // putIfAbsent twice in a row — a plain "accept on attempt ≥ 2"
+    // would cache its stale-by-content payload for a full TTL. That
+    // makes the loop terminate after at most a few successful joins
+    // even under a pathological stream of request-path flights (zero
+    // TTL or a stubbed clock in tests); the attempt cap is a
+    // belt-and-suspenders bound for repeatedly FAILING post-publish
+    // flights, where giving up and leaving the route to the request
+    // path beats spinning forever.
     var done = false
     var attempts = 0
+    var lastJoined: java.util.concurrent.CompletableFuture[String] = null
     while (!done && attempts < 8) {
       attempts += 1
       val mine = new java.util.concurrent.CompletableFuture[String]()
@@ -189,8 +196,11 @@ final class DashboardServer(
       if (winner == null) { computeAndCache(name, mine); done = true }
       // a pre-publish flight's failure is not ours to report — wait it
       // out (success or failure) and run our own post-publish compute
-      else try { winner.join(); done = attempts > 1 }
-      catch { case _: Throwable => () }
+      else {
+        try { winner.join(); done = (lastJoined ne null) && (winner ne lastJoined) }
+        catch { case _: Throwable => () }
+        lastJoined = winner
+      }
     }
   }
 

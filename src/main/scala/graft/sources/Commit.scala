@@ -215,9 +215,48 @@ object Commit {
       v: Long): Option[Long] = {
     val mf = new Path(root, s"manifest-$v.txt")
     if (!f.exists(mf)) None
-    else readSmall(f, mf).linesIterator.collectFirst {
-      case l if l.startsWith("#parent=") => l.stripPrefix("#parent=").toLong
-    }.orElse(Some(0L))
+    else {
+      // STREAMED, not slurped: `#parent=` is the first metadata line
+      // ([[commitManifest]]), so this reads one buffer of a file whose
+      // tail may hold megabytes of stats — the walk is O(1) bytes per
+      // step, not just O(1) decode. Legacy pre-lineage manifests have
+      // no #parent line; the scan stops at the first entry line.
+      val in = f.open(mf)
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        br.readLine() // the version line
+        var line = br.readLine()
+        var out: Option[Long] = Some(0L)
+        var done = false
+        while (!done && line != null) {
+          if (line.startsWith("#parent=")) {
+            out = Some(line.stripPrefix("#parent=").toLong); done = true
+          } else if (!line.startsWith("#")) done = true
+          else line = br.readLine()
+        }
+        out
+      } finally in.close()
+    }
+  }
+
+  /** The version the pointer currently names, WITHOUT reading the head
+    * manifest at all: the pointer's one-line content is the manifest
+    * FILE NAME, which encodes it. [[chainContains]]/[[history]] start
+    * here so a membership question never pays the head manifest's
+    * schema-JSON + stats parse (the callers that need the parsed head
+    * already hold it).
+    */
+  private def headVersion(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Long] = {
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val name = readSmall(f, ptr).trim
+      try Some(name.stripPrefix("manifest-").stripSuffix(".txt").toLong)
+        .filter(_ => f.exists(new Path(root, name)))
+      catch { case _: NumberFormatException => None }
+    }
   }
 
   /** Is version `v` on the committed chain and still reconstructable?
@@ -234,7 +273,7 @@ object Commit {
   private def chainContains(spark: SparkSession, root: String,
       v: Long): Boolean = {
     val f = fs(spark, root)
-    var at = current(spark, root).map(_._1) // invariant: manifest exists
+    var at = headVersion(f, root) // invariant: manifest exists
     var found = false
     while (!found && at.exists(_ >= v)) {
       if (at.get == v) found = true
@@ -253,7 +292,7 @@ object Commit {
     */
   def history(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
-    val head = current(spark, root).map(_._1)
+    val head = headVersion(f, root)
     Iterator.iterate(head) {
       case Some(v) => parentAt(f, root, v)
         .filter(p => p > 0 && f.exists(new Path(root, s"manifest-$p.txt")))
@@ -473,14 +512,27 @@ object Commit {
         // null-fill at the current type; same-named columns whose TYPE
         // evolved (int→long, …) cast to the current type so the
         // null-safe struct compare doesn't misclassify unchanged rows
-        // — but ONLY when the cast is provably lossless (canUpCast).
-        // A blanket applySchema(cur.schema) here would force-cast the
-        // old side: under NARROWING evolution that throws on overflow
-        // (ANSI) or wraps/nulls (non-ANSI), either corrupting KEY
-        // equality and suppressing real changes, or failing the whole
-        // feed over one out-of-range historical value. For non-upcast
-        // pairs the raw column is kept and the comparison rides
-        // Spark's own widening coercion, which is exact there.
+        // — but ONLY when the cast is VALUE-lossless. Spark's
+        // Cast.canUpCast is necessary but not sufficient: it follows
+        // numeric PRECEDENCE (long ≤ double), which blesses long→
+        // double and int/long→float casts that lose integer precision
+        // above 2^53 / 2^24 — a conform through those would suppress
+        // exactly the changes this feed must never drop (caught by
+        // CommitFuzzSpec's long→double 2^53 case). A blanket
+        // applySchema(cur.schema) here would be worse still: under
+        // NARROWING evolution it throws on overflow (ANSI) or wraps
+        // (non-ANSI). Non-lossless pairs keep the raw column and
+        // compare through evolvedEq below.
+        def lossless(from: org.apache.spark.sql.types.DataType,
+            to: org.apache.spark.sql.types.DataType): Boolean = {
+          import org.apache.spark.sql.types._
+          (from, to) match {
+            case (LongType, DoubleType | FloatType) => false
+            case (IntegerType, FloatType) => false
+            case _ =>
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
+          }
+        }
         val o0 = readEntries(base, oldSide)
         val have = o0.columns.toSet
         o0.select(cols.map(x =>
@@ -489,9 +541,7 @@ object Commit {
           else {
             val from = o0.schema(x).dataType
             val to = curRows.schema(x).dataType
-            if (from != to &&
-              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to))
-              col(x).cast(to).as(x)
+            if (from != to && lossless(from, to)) col(x).cast(to).as(x)
             else col(x)
           }): _*)
       }
@@ -501,16 +551,50 @@ object Commit {
       // string-vs-long pair compares through DOUBLE and would classify
       // two values above 2^53 that round to the same double as
       // "unchanged" — a suppressed change, the one failure mode a CDF
-      // must never have. These pairs compare by exact string RENDERING
-      // instead (lossless for every scalar type; deterministic for
-      // nested types): renderings that differ are always a real
-      // difference, and a cross-type rendering collision ("2020-01-01"
-      // as date vs string) is a value-equal pair. Erring looser is
-      // impossible by construction; erring stricter (a spurious upsert)
-      // merely redelivers a row the consumer applies idempotently.
+      // must never have. Tiered exact equality instead:
+      //  (a) both sides atomic and mutually castable: ROUND-TRIP
+      //      compare — the old value cast to the current type must
+      //      equal the new value AND cast back to itself, proving the
+      //      conversion lossless for THIS value. Exact both ways: a
+      //      value the current type cannot represent fails the round
+      //      trip (2^53+1 as double, 2^32+5 as int) and reports
+      //      changed, while value-equal pairs (20L vs 20.0 under a
+      //      long→double evolution, "20" vs 20L) compare unchanged —
+      //      no per-poll full-table churn after the evolution;
+      //  (b) nested or not mutually castable: exact JSON rendering of
+      //      the single-field struct (injective per type — unlike raw
+      //      string casts, where array<string> ["1, 2"] and array<int>
+      //      [1, 2] both render "[1, 2]"; JSON quotes strings). Any
+      //      cross-type ambiguity errs as a spurious upsert, which
+      //      consumers apply idempotently — never as a suppression.
       val nonUpcastCols = cols.filter { x =>
         oldRows.schema(x).dataType != curRows.schema(x).dataType
       }.toSet
+      def evolvedEq(x: String): org.apache.spark.sql.Column = {
+        val from = oldRows.schema(x).dataType
+        val to = curRows.schema(x).dataType
+        def atomic(dt: org.apache.spark.sql.types.DataType) = dt match {
+          case _: org.apache.spark.sql.types.StructType |
+               _: org.apache.spark.sql.types.ArrayType |
+               _: org.apache.spark.sql.types.MapType => false
+          case _ => true
+        }
+        val castable = {
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          Cast.canCast(from, to) && Cast.canCast(to, from)
+        }
+        if (atomic(from) && atomic(to) && castable) {
+          // try_cast, not cast: ANSI mode (Spark 4 default) THROWS on
+          // a narrowing overflow, failing the whole feed over one
+          // historical out-of-range value. try_cast nulls it instead,
+          // and a nulled conversion can never claim equality with a
+          // non-null old value — the round-trip conjunct compares the
+          // null back-cast against the non-null original and fails.
+          val conv = col(s"_o_$x").try_cast(to)
+          (conv <=> col(x)) && (conv.try_cast(from) <=> col(s"_o_$x"))
+        } else
+          to_json(struct(col(x))) <=> to_json(struct(col(s"_o_$x").as(x)))
+      }
       require(keyCols.nonEmpty && keyCols.forall(cols.contains),
         s"keyCols ${keyCols.mkString(",")} must be columns of the snapshot")
       // the diff's internal marker/prefixed names must not collide with
@@ -530,14 +614,15 @@ object Commit {
       val c = curRows.withColumn("_m_cur", lit(1))
       val o = oldRows.select(cols.map(x => col(x).as(s"_o_$x")): _*)
         .withColumn("_m_old", lit(1))
-      // key identity under non-upcast key evolution uses the same exact
-      // string-rendering compare as row equality (same 2^53 hazard),
-      // and reads naturally: old key "42" and evolved key 42L are the
-      // SAME logical key, so the feed upserts it rather than
-      // delete+reinsert.
+      // key identity under non-upcast key evolution uses the same
+      // tiered exact compare as row equality (same 2^53 hazard), and
+      // reads naturally: old key "42" and evolved key 42L are the SAME
+      // logical key (round trip holds), so the feed upserts it rather
+      // than delete+reinsert, while old 2^53+1 and new 2^53 stay
+      // DISTINCT keys. The equi conjunct keeps the join hashable; the
+      // round-trip conjunct planes as a join filter.
       val keyExpr = keyCols.map { k =>
-        if (nonUpcastCols.contains(k))
-          col(k).cast("string") <=> col(s"_o_$k").cast("string")
+        if (nonUpcastCols.contains(k)) evolvedEq(k)
         else col(k) <=> col(s"_o_$k")
       }.reduce(_ && _)
       val joined = c.join(o, keyExpr, "full_outer")
@@ -561,8 +646,7 @@ object Commit {
       val cmpCols =
         if (cur.entries.exists(_.key >= 0)) cols.filterNot(_ == bc) else cols
       val rowEq = cmpCols.map { x =>
-        if (nonUpcastCols.contains(x))
-          col(x).cast("string") <=> col(s"_o_$x").cast("string")
+        if (nonUpcastCols.contains(x)) evolvedEq(x)
         else col(x) <=> col(s"_o_$x")
       }.reduceOption(_ && _).getOrElse(lit(true))
       val upserts = joined
@@ -694,6 +778,28 @@ object Commit {
     * column dropped later never leaks back into an old snapshot.
     * Pre-schema manifests read as the files merge (legacy behavior).
     */
+  /** Nested nullability widened to the read-side reality: parquet
+    * cannot enforce Catalyst's strict nested nullability round-trip,
+    * so a snapshot whose writer carried e.g. `array<int, containsNull
+    * = false>` (any Seq[Int] encoder) must not record a cast target
+    * ANSI cast refuses from the scan's nullable reading — that made
+    * the table unreadable after its own publish. Top-level field
+    * nullability is untouched (column-level casts ignore it).
+    */
+  private def widenNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = widenNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(widenNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(widenNullability(m.keyType),
+        widenNullability(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def applySchema(df: DataFrame,
       schema: Option[org.apache.spark.sql.types.StructType],
       bucketCol: String): DataFrame =
@@ -705,7 +811,7 @@ object Commit {
         // null-fills the column
         val name = if (fld.name == "bucket") bucketCol else fld.name
         (if (df.columns.contains(name)) col(name)
-         else lit(null)).cast(fld.dataType).as(name)
+         else lit(null)).cast(widenNullability(fld.dataType)).as(name)
       }: _*)
     }
 
@@ -1130,6 +1236,19 @@ object Commit {
     * diff — a pure re-bucket (same rows, new buckets) yields an EMPTY
     * feed (see its scaladoc).
     */
+  /** Total on-disk bytes of the CURRENT snapshot's entries (live data
+    * only — superseded versions' garbage excluded): the sizing input a
+    * caller needs to pick an [[optimizeBuckets]] `maxBucketBytes`
+    * threshold, resolved through the same Hadoop FileSystem every
+    * other Commit path uses. None before any commit.
+    */
+  def liveDataBytes(spark: SparkSession, root: String): Option[Long] =
+    currentManifest(spark, root).map { m =>
+      val f = fs(spark, root)
+      m.entries.map(e =>
+        f.getContentSummary(new Path(s"$root/${e.dir}")).getLength).sum
+    }
+
   def optimizeBuckets(spark: SparkSession, root: String,
       bucketCol: String = "bucket",
       maxBucketBytes: Option[Long] = None): Option[Long] =

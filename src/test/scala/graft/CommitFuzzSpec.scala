@@ -132,16 +132,7 @@ class CommitFuzzSpec extends SparkSpec {
           // only later publishes' row changes. The threshold is picked
           // to force exactly one doubling: total/(2*mod) — max bucket
           // bytes >= avg > thr triggers, and the doubled modulus fits.
-          val dataBytes = {
-            import scala.jdk.CollectionConverters._
-            Commit.current(spark, root).get._2.map { e =>
-              java.nio.file.Files.walk(java.nio.file.Paths.get(root, e.dir))
-                .iterator().asScala
-                .filter(java.nio.file.Files.isRegularFile(_))
-                .map(java.nio.file.Files.size(_)).sum
-            }.sum
-          }
-          val thr = math.max(dataBytes / (2L * mod), 1L)
+          val thr = math.max(Commit.liveDataBytes(spark, root).get / (2L * mod), 1L)
           val v = Commit.optimizeBuckets(spark, root,
             maxBucketBytes = Some(thr)).get
           val newMod = Commit.layout(spark, root).get.buckets
@@ -318,5 +309,54 @@ class CommitFuzzSpec extends SparkSpec {
     assert(rows === Set(
       ("9007199254740992", "upsert"), ("9007199254740993", "delete")),
       s"double-collided keys must stay distinct — got $rows")
+  }
+
+  test("long -> double evolution: value-equal rows are NOT churned; a " +
+      "value double cannot represent IS delivered (round-trip compare)") {
+    import spark.implicits._
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-lngdbl").toString + "/t"
+    // v1: n is LONG; user 2 holds 2^53+1 (not a double)
+    val v1 = Seq((1L, 20L, 0), (2L, 9007199254740993L, 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    // v2: full rewrite evolves n to DOUBLE (canUpCast(long, double) is
+    // false). user 1's 20.0 equals the old 20L — a rendering compare
+    // ("20" vs "20.0") would re-deliver the WHOLE table as upserts on
+    // every poll after such an evolution; the round trip suppresses
+    // it. user 2's 2^53 is what 2^53+1 rounds to — equal as doubles,
+    // but the round trip back to long exposes the loss: delivered.
+    val v2 = Seq((1L, 20.0, 0), (2L, 9.007199254740992e15, 0))
+      .toDF("user_id", "n", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val rows = feed.select("user_id", "_change")
+      .as[(Long, String)].collect().toSet
+    assert(rows === Set((2L, "upsert")),
+      s"long->double: user 1 must not churn, user 2's lossy value must " +
+        s"deliver — got $rows")
+  }
+
+  test("NESTED non-upcast evolution compares by JSON rendering: " +
+      "array<string> [\"1, 2\"] vs array<int> [1, 2] is a CHANGE") {
+    import spark.implicits._
+    val root = graft.util.TempRoot.freshDir("commit-fuzz-nested").toString + "/t"
+    // raw string rendering of both values is "[1, 2]" — a plain
+    // cast-to-string compare would suppress this real change
+    val v1 = Seq((1L, Seq("1, 2"), 0), (2L, Seq("9"), 0))
+      .toDF("user_id", "c", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v1, root)
+    val v2 = Seq((1L, Seq(1, 2), 0), (2L, Seq(9), 0))
+      .toDF("user_id", "c", "bucket").withColumn("bucket", col("bucket").cast("int"))
+    Commit.publishBuckets(v2, root)
+    val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+    val changed = feed.select("user_id", "_change")
+      .as[(Long, String)].collect().toSet
+    // user 1 MUST deliver; user 2 (["9"] vs [9]) may legitimately
+    // deliver too (JSON quotes strings, so cross-type nested pairs err
+    // as spurious upserts — the safe direction) but must never be a
+    // delete
+    assert(changed.contains((1L, "upsert")),
+      s"nested rendering collision suppressed a real change — got $changed")
+    assert(changed.forall(_._2 == "upsert"), s"no deletes expected: $changed")
   }
 }
