@@ -376,6 +376,13 @@ object Bench {
         "iterations progressively (1.1->7.4 s). setUseCache(false): " +
         "0.77 s in-suite, zero reruns. Same fix covers q_mm_resize/" +
         "q_mm_frames/q_mm_phash"),
+      "q_pagerank" -> ("durable: the 20-iteration decimal-exact power " +
+        "loop is warm-in bimodal — the FIRST execution of a wave pays " +
+        "JIT ramp across 20 tight stages (r16 solo: 1.25-2.1 s over 8 " +
+        "iterations with GC <= 0.11 s, monotone decrease within each " +
+        "wave). When it lands in `unresolved`, compare queries_min: " +
+        "the steady mode is ~1.0-1.2 s. Also a calibration control, " +
+        "so its own drift is visible in `controls`"),
       "q_auc" -> ("r17: tools/AucProfile attributed the r16 1.4x quiet " +
         "spread (median 1.31, min 0.93 — reproduced SOLO, GC flat) to " +
         "subtree RECOMPUTE: the KS path re-derived scored+rank and the " +
