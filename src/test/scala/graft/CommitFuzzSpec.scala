@@ -336,6 +336,84 @@ class CommitFuzzSpec extends SparkSpec {
         s"deliver — got $rows")
   }
 
+  test("seeded TYPE-evolution sequences: the tiered compare agrees with " +
+      "exact decimal arithmetic on boundary-rich numeric pairs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Property: publish v1 with column n of type A, full-rewrite v2
+    // with type B; the feed must deliver EXACTLY the keys whose
+    // REPRESENTED values differ as exact decimals — never suppressing
+    // a change (the 2^53 class) and never churning a value-equal row
+    // (the 20L-vs-20.0 class). "Represented" = after the write-side
+    // type's own rounding (a double column stores the nearest double),
+    // which the model applies with BigDecimal before comparing.
+    val types: Seq[DataType] =
+      Seq(IntegerType, LongType, DoubleType, DecimalType(20, 4))
+    // integer-valued candidates spanning every representability edge:
+    // int range, double's 2^53 mantissa cliff, long extremes
+    val boundary = Seq(0L, 1L, -7L, 20L, 2147483647L, 2147483652L,
+      -2147483653L, 9007199254740991L, 9007199254740992L,
+      9007199254740993L, 9007199254740995L, 123456789012L)
+    def representable(dt: DataType, v: Long): Boolean = dt match {
+      case IntegerType => v >= Int.MinValue && v <= Int.MaxValue
+      case _ => true
+    }
+    def rep(dt: DataType, v: Long): java.math.BigDecimal = dt match {
+      case DoubleType => new java.math.BigDecimal(v.toDouble) // nearest
+      case _ => java.math.BigDecimal.valueOf(v)
+    }
+    def cell(dt: DataType, v: Long): Any = dt match {
+      case IntegerType => v.toInt
+      case LongType => v
+      case DoubleType => v.toDouble
+      case d: DecimalType =>
+        java.math.BigDecimal.valueOf(v).setScale(d.scale)
+    }
+    for (seed <- 1 to 15) {
+      val rng = new scala.util.Random(100 + seed)
+      val a = types(rng.nextInt(types.size))
+      val b = types((types.indexOf(a) + 1 + rng.nextInt(types.size - 1))
+        % types.size)
+      val root = graft.util.TempRoot.freshDir(s"commit-tyfuzz-$seed").toString + "/t"
+      val pool = boundary.filter(v => representable(a, v) && representable(b, v))
+      // v1: 6-10 keys with values of type A
+      val keys = (0L until (6 + rng.nextInt(5))).toSeq
+      val v1 = keys.map(k => k -> pool(rng.nextInt(pool.size))).toMap
+      // v2: same logical table re-typed; mutate ~a third of the keys,
+      // retire one, add one
+      var v2 = v1
+      v2.keys.foreach(k => if (rng.nextDouble() < 0.35) v2 += k -> pool(rng.nextInt(pool.size)))
+      val retired = keys(rng.nextInt(keys.size))
+      v2 -= retired
+      v2 += (100L + seed) -> pool(rng.nextInt(pool.size))
+      def publish(m: Map[Long, Long], dt: DataType): Unit = {
+        val schema = StructType(Seq(
+          StructField("user_id", LongType, nullable = false),
+          StructField("n", dt, nullable = true),
+          StructField("bucket", IntegerType, nullable = false)))
+        val rows = m.toSeq.map { case (k, v) =>
+          Row(k, cell(dt, v), (k % 4).toInt) }
+        Commit.publishBuckets(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema), root,
+          fullRewrite = true)
+      }
+      publish(v1, a)
+      publish(v2, b)
+      val feed = Commit.changesSinceKeyed(spark, root, 1L, Seq("user_id")).get
+      val got = feed.select("user_id", "_change")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val wantUpserts = v2.collect {
+        case (k, v) if !v1.contains(k) ||
+          rep(a, v1(k)).compareTo(rep(b, v)) != 0 => (k, "upsert")
+      }.toSet
+      val wantDeletes = v1.keySet.diff(v2.keySet).map(k => (k, "delete"))
+      assert(got === (wantUpserts ++ wantDeletes),
+        s"seed=$seed ${a.simpleString}->${b.simpleString}: feed " +
+          s"diverged from exact-decimal model\n  got  = $got\n  want = " +
+          s"${wantUpserts ++ wantDeletes}\n  v1=$v1\n  v2=$v2")
+    }
+  }
+
   test("NESTED non-upcast evolution compares by JSON rendering: " +
       "array<string> [\"1, 2\"] vs array<int> [1, 2] is a CHANGE") {
     import spark.implicits._
