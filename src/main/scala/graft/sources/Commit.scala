@@ -175,8 +175,44 @@ object Commit {
     * declared one (those writers keep owning their modulus, the
     * pre-r17 contract).
     */
-  def layout(spark: SparkSession, root: String): Option[Layout] =
-    currentManifest(spark, root).flatMap(_.layout)
+  def layout(spark: SparkSession, root: String): Option[Layout] = {
+    // streamed header read, not a currentManifest parse: maintainers
+    // call this once per MICRO-BATCH (statusUpsert, refreshHourly), and
+    // a full parse decodes every zone-map stats line — O(stats volume)
+    // on the streaming commit critical path. `#layout=` is written in
+    // the meta block BEFORE the stats lines (commitManifest), so the
+    // scan stops at the first stats or entry line.
+    val f = fs(spark, root)
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val mf = new Path(root, readSmall(f, ptr).trim)
+      if (!f.exists(mf)) None
+      else {
+        val in = f.open(mf)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          var line = br.readLine()
+          var out: Option[Layout] = None
+          var done = false
+          while (!done && line != null) {
+            if (line.startsWith("#layout=")) {
+              out = try {
+                val Array(n, k) = line.stripPrefix("#layout=").split("\t", 2)
+                Some(Layout(n.toInt, k))
+              } catch { case scala.util.control.NonFatal(_) => None }
+              done = true
+            } else if (line.startsWith("#stats=") ||
+              line.startsWith("#fstats=") ||
+              (!line.startsWith("#") && !line.forall(_.isDigit))) done = true
+            else line = br.readLine()
+          }
+          out
+        } finally in.close()
+      }
+    }
+  }
 
   private def manifestAt(spark: SparkSession, root: String,
       v: Long): Option[Manifest] = {
@@ -479,8 +515,11 @@ object Commit {
       // manifest (cur.schema None) gives the diff no committed column
       // set to conform the OLD side to — fall back to a whole-table
       // diff under the current read's own merged columns.
+      // whole-Layout inequality, not just the modulus: a key-expression
+      // change re-assigns buckets at the same modulus, and trusting
+      // bucket identity across it would diff the wrong content
       val layoutBoundary = (for (b <- base.layout; c <- cur.layout)
-        yield b.buckets != c.buckets).getOrElse(false)
+        yield b != c).getOrElse(false)
       val wholeDir = changed.exists(_.key < 0) ||
         base.entries.exists(_.key < 0) != cur.entries.exists(_.key < 0) ||
         cur.schema.isEmpty || layoutBoundary
@@ -649,11 +688,36 @@ object Commit {
         if (nonUpcastCols.contains(x)) evolvedEq(x)
         else col(x) <=> col(s"_o_$x")
       }.reduceOption(_ && _).getOrElse(lit(true))
+      // OUTPUT column shape per evolved pair: unionByName widens the
+      // two sides to their least common type, which is EXACT for
+      // integral and string widenings but goes through DOUBLE when one
+      // side is float/double and the other an exact numeric — a long
+      // delete key 2^53+1 would come out as 2^53.0, addressing the
+      // WRONG row in the consumer's copy (a suppressed delete). Such
+      // pairs are delivered as their exact STRING rendering on BOTH
+      // sides instead; every other pair keeps its native types.
+      def lossyUnion(x: String): Boolean = {
+        import org.apache.spark.sql.types._
+        def fb(dt: DataType) = dt == DoubleType || dt == FloatType
+        def exact(dt: DataType) = dt match {
+          case ByteType | ShortType | IntegerType | LongType |
+               _: DecimalType => true
+          case _ => false
+        }
+        val from = oldRows.schema(x).dataType
+        val to = curRows.schema(x).dataType
+        (fb(from) && exact(to)) || (exact(from) && fb(to))
+      }
+      val stringOut = cols.filter(x =>
+        nonUpcastCols.contains(x) && lossyUnion(x)).toSet
+      def outCol(c: org.apache.spark.sql.Column, x: String) =
+        if (stringOut.contains(x)) c.cast("string").as(x) else c.as(x)
       val upserts = joined
         .filter(col("_m_cur").isNotNull && (col("_m_old").isNull || !rowEq))
-        .select(cols.map(col) :+ lit("upsert").as("_change"): _*)
+        .select(cols.map(x => outCol(col(x), x)) :+
+          lit("upsert").as("_change"): _*)
       val deletes = joined.filter(col("_m_cur").isNull)
-        .select(cols.map(x => col(s"_o_$x").as(x)) :+
+        .select(cols.map(x => outCol(col(s"_o_$x"), x)) :+
           lit("delete").as("_change"): _*)
       // OUTPUT TYPES (documented contract): upserts carry the CURRENT
       // snapshot's types; deletes carry the `since` snapshot's types
@@ -665,9 +729,10 @@ object Commit {
       // representation). unionByName therefore widens such a column to
       // the least common type of the two sides (int+long -> long,
       // long+string -> string) — wider than the current snapshot's
-      // column, exact for integral and string widenings (an
-      // integral+fractional pair widens to double, Spark's union rule,
-      // exact up to 2^53). Consumers that conform the feed to the
+      // column, exact for both sides; the one widening that would NOT
+      // be exact (integral/decimal vs float/double goes through
+      // double) is delivered as the exact string rendering instead
+      // (stringOut above). Consumers that conform the feed to the
       // current schema should do so AFTER applying deletes.
       upserts.unionByName(deletes)
     }
@@ -966,17 +1031,32 @@ object Commit {
     val layout =
       if (newBuckets.isEmpty) None
       else declaredLayout.orElse(prevLayout)
+    // the WHOLE layout, not just the modulus: a same-modulus change of
+    // the KEY EXPRESSION ("user_id" → "hash(user_id)") migrates keys
+    // between buckets exactly like a modulus change does — carried
+    // entries would hold rows beside their re-assigned copies, and the
+    // bucket-grain diff would keep trusting bucket identity
     for (dl <- declaredLayout; pl <- prevLayout)
-      require(dl.buckets == pl.buckets || fullRewrite,
-        s"layout change ${pl.buckets}→${dl.buckets} buckets on an " +
-          "incremental publish: keys assigned under the old modulus " +
-          "would survive beside the new assignment. Re-bucketing " +
-          "requires a full rewrite (Commit.optimizeBuckets with " +
-          "maxBucketBytes, or publishBuckets(fullRewrite = true)).")
-    for (l <- layout if newBuckets.nonEmpty)
+      require(dl == pl || fullRewrite,
+        s"layout change $pl→$dl on an incremental publish: keys " +
+          "assigned under the old discipline would survive beside the " +
+          "new assignment. Re-assigning buckets requires a full " +
+          "rewrite (Commit.optimizeBuckets with maxBucketBytes, or " +
+          "publishBuckets(fullRewrite = true)).")
+    for (l <- layout if newBuckets.nonEmpty) {
       require(newBuckets.max < l.buckets,
         s"written bucket ids ${newBuckets.filter(_ >= l.buckets).mkString(",")} " +
           s"fall outside the declared layout of ${l.buckets} buckets")
+      // a FIRST-TIME declaration over a legacy (layout-less) table must
+      // bound the CARRIED entries too: declaring 8 buckets over a
+      // 16-bucket table on an incremental publish would leave carried
+      // ids the declared modulus says cannot exist
+      require(fullRewrite || carried.forall(_.key < l.buckets),
+        s"carried bucket ids ${carried.map(_.key).filter(_ >= l.buckets)
+          .mkString(",")} fall outside the declared layout of " +
+          s"${l.buckets} buckets — the declaration does not describe " +
+          "this table; re-bucket with a full rewrite instead")
+    }
     // Schema, row count, per-entry AND per-file zone maps all come
     // from the fresh files' FOOTERS, read once driver-side — publish
     // is on the streaming commit critical path (one call per

@@ -36,8 +36,10 @@ import org.apache.spark.sql.streaming.Trigger
   * sustained-throughput segments of tools/StreamBench stay untouched).
   *
   * Usage: `sbt "runMain graft.tools.StreamFloor"`.
-  * `SPARK_GRAFT_FLOOR_PARTS` (default 8) sweeps the state-partition
-  * count for the experiment in SCALING.md.
+  * `SPARK_GRAFT_FLOOR_PARTS` (default 2 — the volume-sized posture the
+  * gate queries adopted after the r17 8/4/2/1 sweep; set 8 to
+  * reproduce the pre-r17 baseline) sweeps the state-partition count
+  * for the experiment in SCALING.md.
   */
 object StreamFloor {
 
@@ -112,6 +114,11 @@ object StreamFloor {
             .select(col("user_id"), col("ts"), col("event_id"))
           purchases.unionByName(clicks)
             .writeStream.format("memory").queryName("floor_control_scan")
+            // same checkpoint routing as the queries it controls for —
+            // otherwise the DISK_CKPT A/B would switch the stateful
+            // arms' medium while the control stayed on the default
+            // disk temp path, biasing the addBatch_split attribution
+            .option("checkpointLocation", ckpt("floor_control_scan"))
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
       capture(q, t0)

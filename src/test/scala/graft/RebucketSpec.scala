@@ -61,6 +61,41 @@ class RebucketSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("outside the declared layout"),
       err2.getMessage)
+    // a SAME-MODULUS key-expression change migrates keys between
+    // buckets exactly like a modulus change — refused on an
+    // incremental publish (the guard compares whole Layouts)
+    val err3 = intercept[IllegalArgumentException] {
+      Commit.publishBuckets(df(4, 1L -> 9.0), root,
+        layout = Some(Commit.Layout(4, "hash(user_id)")))
+    }
+    assert(err3.getMessage.contains("layout change"), err3.getMessage)
+    // ...and accepted as a declared full rewrite
+    Commit.publishBuckets(
+      Seq(1L -> 9.0, 2L -> 2.0).toDF("user_id", "v")
+        .withColumn("bucket",
+          pmod(expr("hash(user_id)"), lit(4)).cast("int")),
+      root, layout = Some(Commit.Layout(4, "hash(user_id)")),
+      fullRewrite = true)
+    assert(Commit.layout(spark, root) === Some(Commit.Layout(4, "hash(user_id)")))
+  }
+
+  test("a first-time layout declaration must bound the CARRIED bucket ids") {
+    val root = tmp("layout-legacy")
+    // legacy table: no layout recorded, buckets 0..7 exist
+    Commit.publishBuckets(df(8, (0L to 7L).map(k => k -> k.toDouble): _*), root)
+    assert(Commit.layout(spark, root).isEmpty)
+    // declaring 4 buckets on an INCREMENTAL publish would leave
+    // carried ids 4..7 the declaration says cannot exist
+    val err = intercept[IllegalArgumentException] {
+      Commit.publishBuckets(df(4, 1L -> 9.0), root,
+        layout = Some(Commit.Layout(4, "user_id")))
+    }
+    assert(err.getMessage.contains("carried bucket ids"), err.getMessage)
+    // a full rewrite under the declared discipline is the legal path
+    Commit.publishBuckets(df(4, (0L to 7L).map(k => k -> (k + 10.0)): _*),
+      root, layout = Some(Commit.Layout(4, "user_id")), fullRewrite = true)
+    assert(Commit.layout(spark, root) === Some(Commit.Layout(4, "user_id")))
+    assert(snap(root).map(_._1) === (0L to 7L).toSet)
   }
 
   test("re-bucket evolves the modulus, preserves content, retires absent old ids") {
