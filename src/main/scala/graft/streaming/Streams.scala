@@ -368,7 +368,19 @@ object Streams {
         col("s.value").as("last_value"), col("s.event_type").as("last_type"))
 
   def statusUpsert(batch: DataFrame, statusPath: String,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    // outermost timer: `upsert.total` minus the publish/layout/probe
+    // phases is statusUpsert's own planning residue, and addBatch
+    // minus `upsert.total` is the foreachBatch sink machinery —
+    // the split tools/StreamFloor reports (zero cost unless the env
+    // knob or StreamFloor's in-process sink is on)
+    graft.util.PhaseTimer.gated("SPARK_GRAFT_PUBLISH_TIMING",
+      "upsert", "total") {
+      statusUpsertInner(batch, statusPath, buckets)
+    }
+
+  private def statusUpsertInner(batch: DataFrame, statusPath: String,
+      buckets: Int): Unit = {
     val spark = batch.sparkSession
     // layout-aware bucketing: the table's RECORDED modulus wins over
     // the parameter (which only sizes a table being created), so after
@@ -376,8 +388,11 @@ object Streams {
     // assigns keys under the evolved modulus — without this, a stale
     // writer modulus would put a user's row in a bucket the carry-
     // forward merge never folds, duplicating the key across buckets.
-    val eff = graft.sources.Commit.layout(spark, statusPath)
-      .map(_.buckets).getOrElse(buckets)
+    val eff = graft.util.PhaseTimer.gated("SPARK_GRAFT_PUBLISH_TIMING",
+      "upsert", "layout_read") {
+      graft.sources.Commit.layout(spark, statusPath)
+        .map(_.buckets).getOrElse(buckets)
+    }
     def bucketed(df: DataFrame) =
       df.withColumn("bucket", pmod(col("user_id"), lit(eff)).cast("int"))
     // cached: the touched-bucket probe and the merge write both consume
@@ -387,8 +402,11 @@ object Streams {
     val incoming = bucketed(latestPerUser(batch)).cache()
     try {
     // ≤ `buckets` driver values — which partitions this batch touches
-    val touched = incoming.select("bucket").distinct()
-      .collect().map(r => Int.box(r.getInt(0))).toSeq
+    val touched = graft.util.PhaseTimer.gated("SPARK_GRAFT_PUBLISH_TIMING",
+      "upsert", "touched_probe") {
+      incoming.select("bucket").distinct()
+        .collect().map(r => Int.box(r.getInt(0))).toSeq
+    }
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so the merge stays exact)

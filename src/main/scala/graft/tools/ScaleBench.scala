@@ -56,7 +56,14 @@ object ScaleBench {
     "layout_cdc" -> Seq("q_snapshot_diff", "q_zorder_layout", "q_bloom_semijoin"),
     // round 11: evaluation family — ×|labels| window fan-out (auc),
     // contingency hash-aggs (mi), per-user lifetime reduction (survival)
-    "evaluation" -> Seq("q_auc", "q_mutual_information", "q_survival"))
+    "evaluation" -> Seq("q_auc", "q_mutual_information", "q_survival"),
+    // round 18 (r17 verdict #4): the steepest LLM-pipeline families get
+    // their own curves so the sf1 point tests their growth claims
+    // directly — semantic dedup's cellCount(n) sizing (pair volume
+    // linear in n only if cells actually track corpus growth) and the
+    // corpus funnel's one-projection/5-stage fan-out
+    "semantic_dedup" -> Seq("q_semantic_dedup"),
+    "corpus_funnel" -> Seq("q_corpus_funnel"))
 
   private def loadavg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
@@ -310,7 +317,33 @@ object ScaleBench {
       // the one-user batch under the EVOLVED modulus automatically.
       // These exponents are the per-bucket growth term capped by the
       // engine's own maintenance op, no pre-scaled fixtures anywhere.
-      var thrAuto: Option[Long] = None
+      // The threshold is derived EXPLICITLY from the minimum-SF point
+      // (not whichever point pointAuto happens to process first): one
+      // dedicated 16-bucket build of the smallest point measures its
+      // per-bucket bytes; ×1.25 means the smallest point keeps 16 and
+      // every larger point must evolve — the premise of the curve,
+      // now independent of the points sequence's order or filtering.
+      val thrAuto: Long = {
+        val minDir = points.minBy(_._3)._2
+        val tmp = java.nio.file.Files.createTempDirectory("scale-cdf-thr")
+        val path = tmp.toString + "/hourly"
+        try {
+          graft.warehouse.GoldStage.refreshHourly(
+            graft.Tables.events(spark, minDir), path, 16)
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val bytes = hp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(hp).getLength
+          math.max(bytes / 16L * 5L / 4L, 1L)
+        } finally {
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
       def pointAuto(dir: String): (Double, Double, Int) = {
         val tmp = java.nio.file.Files.createTempDirectory("scale-cdf-auto")
         val path = tmp.toString + "/hourly"
@@ -320,15 +353,8 @@ object ScaleBench {
         }
         try {
           graft.warehouse.GoldStage.refreshHourly(ev, path, 16)
-          if (thrAuto.isEmpty) {
-            val hp = new org.apache.hadoop.fs.Path(path)
-            val bytes = hp.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-              .getContentSummary(hp).getLength
-            thrAuto = Some(math.max(bytes / 16L * 5L / 4L, 1L))
-          }
           graft.sources.Commit.optimizeBuckets(spark, path,
-            maxBucketBytes = thrAuto)
+            maxBucketBytes = Some(thrAuto))
           val vOpt = graft.sources.Commit.current(spark, path).get._1
           val nb = graft.sources.Commit.layout(spark, path)
             .map(_.buckets).getOrElse(16)

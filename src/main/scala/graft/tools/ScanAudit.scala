@@ -103,17 +103,44 @@ object ScanAudit {
     }.mkString("{", ",", "}")
 
     val all = rows.flatMap(_._2)
-    val fullWide = rows.flatMap { case (n, ss, _) =>
+    // Full-width scans that are the QUERY CONTRACT, not a missed
+    // projection — an explicit, reasoned allowlist (r17 verdict #5):
+    // any OTHER full-width wide scan still lands in
+    // full_width_wide_scans and fails the audit's zero expectation.
+    val justified: Map[(String, String), String] = Map(
+      ("q_minhash_signatures", "dd_minhash_sig_") ->
+        ("the result set IS the full signature relation: doc_id + all " +
+          "16 minhash lanes + 4 band keys are the query's OUTPUT " +
+          "columns, hash-compared column-by-column by the oracle gate " +
+          "— no narrower read can produce it. The staged width is also " +
+          "what the band consumers need: candidatePairs scores " +
+          "collisions as lane-match count k/16, so all 16 lanes are " +
+          "load-bearing there too; an array-column restructure would " +
+          "read the same bytes through one column and lose per-lane " +
+          "statistics"))
+    def justification(q: String, table: String): Option[String] =
+      justified.collectFirst {
+        case ((jq, prefix), why) if jq == q && table.startsWith(prefix) => why
+      }
+    val (fullWideJust, fullWide) = rows.flatMap { case (n, ss, _) =>
       ss.filter(s => s.readCols == s.tableCols && s.tableCols > WideCols)
-        .map(s => s"""{"query":"$n","table":"${s.table}","cols":${s.tableCols}}""")
+        .map(s => (n, s))
+    }.partition { case (n, s) => justification(n, s.table).isDefined }
+    val fullWideJson = fullWide.map { case (n, s) =>
+      s"""{"query":"$n","table":"${s.table}","cols":${s.tableCols}}"""
+    }
+    val fullWideJustJson = fullWideJust.map { case (n, s) =>
+      s"""{"query":"$n","table":"${s.table}","cols":${s.tableCols},"why":"${
+        justification(n, s.table).get}"}"""
     }
     val summary =
       s"""{"queries_audited":${rows.size},"scans":${all.size},"pruned_scans":${
         all.count(s => s.readCols < s.tableCols)},"pushed_filter_scans":${
-        all.count(_.pushed)},"full_width_wide_scans":[${fullWide.mkString(",")}],"wide_threshold_cols":$WideCols,"streaming_twin_queries":[${
+        all.count(_.pushed)},"full_width_wide_scans":[${fullWideJson.mkString(",")}],"full_width_wide_scans_justified":[${
+        fullWideJustJson.mkString(",")}],"wide_threshold_cols":$WideCols,"streaming_twin_queries":[${
         streaming.map("\"" + _._1 + "\"").mkString(",")}]}"""
 
-    val json = s"""{"summary":$summary,"queries":$perQuery,"sf":"$dir","note":"static physical plans (AQE off); read_cols=parquet reader required schema width; full-width scans of tables wider than $WideCols cols are listed individually in summary.full_width_wide_scans; q_stream_* queries are audited via their static batch twins (StreamStatic.twins) and marked mode=static_batch_twin"}"""
+    val json = s"""{"summary":$summary,"queries":$perQuery,"sf":"$dir","note":"static physical plans (AQE off); read_cols=parquet reader required schema width; full-width scans of tables wider than $WideCols cols are listed individually in summary.full_width_wide_scans, except those whose full width is the query's own output contract — those carry their reason in summary.full_width_wide_scans_justified and the unjustified list is expected to stay empty; q_stream_* queries are audited via their static batch twins (StreamStatic.twins) and marked mode=static_batch_twin"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     spark.stop()
     println(summary)

@@ -46,7 +46,7 @@ object StreamFloor {
   private final case class Run(
       wallSecs: Double, batches: Int, durations: Map[String, Long],
       stateUpdatesMs: Long, stateRemovalsMs: Long, stateCommitMs: Long,
-      stateRowsTotal: Long)
+      stateRowsTotal: Long, phasesMs: Map[String, Long] = Map.empty)
 
   private def capture(q: org.apache.spark.sql.streaming.StreamingQuery,
       t0: Long): Run = {
@@ -83,6 +83,11 @@ object StreamFloor {
   private def runOnce(spark: SparkSession, name: String, d: String): Run = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // the upsert's foreachBatch interior (layout read, touched-bucket
+    // probe, Commit.publish write/harvest/manifest) is invisible to
+    // StreamingQueryProgress — it all lands in addBatch. PhaseTimer's
+    // in-process sink captures those phases per run.
+    if (name == "q_stream_upsert") graft.util.PhaseTimer.accumulate(true)
     try {
       val t0 = System.nanoTime()
       val q = name match {
@@ -121,8 +126,12 @@ object StreamFloor {
             .option("checkpointLocation", ckpt("floor_control_scan"))
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
-      capture(q, t0)
+      val run = capture(q, t0)
+      if (name == "q_stream_upsert")
+        run.copy(phasesMs = graft.util.PhaseTimer.totalsMs)
+      else run
     } finally {
+      graft.util.PhaseTimer.accumulate(false)
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       Seq("floor_attrib", "floor_attrib_outer", "floor_control_scan")
@@ -167,12 +176,23 @@ object StreamFloor {
         val addBatch = best.durations.getOrElse("addBatch", 0L)
         val stateMs = best.stateUpdatesMs + best.stateRemovalsMs +
           best.stateCommitMs
+        // r18: the upsert's addBatch residual names its interior — the
+        // PhaseTimer sink's per-phase totals from inside foreachBatch
+        // (upsert.total covers statusUpsert; publish.* are the Commit
+        // write/harvest/manifest phases within it; addBatch −
+        // upsert.total is the foreachBatch sink machinery itself)
+        val phasesJson =
+          if (best.phasesMs.isEmpty) ""
+          else best.phasesMs.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"\"$k\":$v" }
+            .mkString(""","upsert_phases_ms":{""", ",", "}")
         val split =
           s"""{"state_updates_ms":${best.stateUpdatesMs},""" +
             s""""state_removals_ms":${best.stateRemovalsMs},""" +
             s""""state_commit_ms":${best.stateCommitMs},""" +
             s""""state_rows_total":${best.stateRowsTotal},""" +
-            s""""residual_ms":${math.max(0L, addBatch - stateMs)}}"""
+            s""""residual_ms":${math.max(0L, addBatch - stateMs)}""" +
+            phasesJson + "}"
         s"""\"$sf\":{"wall_secs":${j(best.wallSecs)},"batches":${best.batches},""" +
           s""""duration_ms_sums":$durJson,"addBatch_split":$split}"""
       }.mkString(",")
