@@ -106,7 +106,8 @@ object Commit {
       rows: Option[Long], entries: Seq[Entry],
       stats: Map[String, Skipping.EntryStats] = Map.empty,
       fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty,
-      layout: Option[Layout] = None)
+      layout: Option[Layout] = None,
+      txns: Map[String, Long] = Map.empty)
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
@@ -159,12 +160,45 @@ object Commit {
           Some(Layout(n.toInt, k))
         } catch { case scala.util.control.NonFatal(_) => None }
     }.flatten
+    // `#txn=<appId>\t<version>`: the idempotent-writer watermark (the
+    // Delta txnAppId/txnVersion analog) — one line per app that has
+    // ever published with a txn; carried forward and max-merged by
+    // publish, so an at-least-once replayed micro-batch can ask "did
+    // my epoch already land?" through the SAME atomic pointer swap
+    // that made its data visible. A malformed line degrades to "no
+    // watermark for that app" (the writer re-applies — at-least-once,
+    // never silent loss).
+    val txns = lines.tail.filter(_.startsWith("#txn=")).flatMap { l =>
+      try {
+        val Array(app, ver) = l.stripPrefix("#txn=").split("\t", 2)
+        Some(app -> ver.toLong)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
     val entries = lines.tail.filterNot(_.startsWith("#")).map { l =>
       val Array(k, dir) = l.split("\t", 2)
       Entry(k.toInt, dir)
     }
-    Manifest(v, parent, schema, rows, entries, stats, fileStats, layout)
+    Manifest(v, parent, schema, rows, entries, stats, fileStats, layout, txns)
   }
+
+  /** The manifest header-order CONTRACT shared by [[commitManifest]]
+    * (the writer) and the streamed header readers ([[layout]],
+    * [[parentAt]]): light meta lines (`#parent`, `#schema`, `#rows`,
+    * `#layout`) are written BEFORE the heavy ones (`#stats`,
+    * `#fstats`), which precede the entry lines. The streamed readers
+    * may therefore stop at the first heavy-meta or entry line and
+    * still have seen every light line — that early stop is what keeps
+    * the lineage walk O(1) bytes per manifest when the stats tail is
+    * megabytes. Both sides reference THIS predicate (the writer via
+    * the order assertion in [[commitManifest]], the readers as their
+    * stop condition), and CommitSpec("streamed header readers agree
+    * with parseManifest") pins agreement on a freshly committed
+    * manifest, so a future reordering of meta lines fails loudly
+    * instead of making the readers silently return None/Some(0).
+    */
+  private[graft] val HeavyMetaPrefixes = Seq("#stats=", "#fstats=")
+  private def pastLightMeta(line: String): Boolean =
+    HeavyMetaPrefixes.exists(line.startsWith) || !line.startsWith("#")
 
   /** The current snapshot's recorded bucketing discipline, if any —
     * what a layout-aware maintainer ([[graft.streaming.Streams
@@ -193,6 +227,7 @@ object Commit {
         try {
           val br = new java.io.BufferedReader(
             new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          br.readLine() // the version line
           var line = br.readLine()
           var out: Option[Layout] = None
           var done = false
@@ -203,9 +238,49 @@ object Commit {
                 Some(Layout(n.toInt, k))
               } catch { case scala.util.control.NonFatal(_) => None }
               done = true
-            } else if (line.startsWith("#stats=") ||
-              line.startsWith("#fstats=") ||
-              (!line.startsWith("#") && !line.forall(_.isDigit))) done = true
+            } else if (pastLightMeta(line)) done = true
+            else line = br.readLine()
+          }
+          out
+        } finally in.close()
+      }
+    }
+  }
+
+  /** The idempotent-writer watermark for `appId`: the highest epoch id
+    * this app has ever committed into the table (the Delta
+    * txnAppId/txnVersion analog). An at-least-once replayed
+    * micro-batch whose epoch is ≤ this watermark already landed — its
+    * publish was made durable by the SAME pointer swap that recorded
+    * the watermark, so skipping the re-apply is exact, not heuristic.
+    * None = this app never published with a txn (or the table is
+    * empty): the writer applies. Streamed header read, same contract
+    * and cost as [[layout]] — once per micro-batch, O(1) bytes.
+    */
+  def lastTxn(spark: SparkSession, root: String,
+      appId: String): Option[Long] = {
+    val f = fs(spark, root)
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) None
+    else {
+      val mf = new Path(root, readSmall(f, ptr).trim)
+      if (!f.exists(mf)) None
+      else {
+        val prefix = s"#txn=$appId\t"
+        val in = f.open(mf)
+        try {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          br.readLine() // the version line
+          var line = br.readLine()
+          var out: Option[Long] = None
+          var done = false
+          while (!done && line != null) {
+            if (line.startsWith(prefix)) {
+              out = try Some(line.stripPrefix(prefix).toLong)
+              catch { case scala.util.control.NonFatal(_) => None }
+              done = true
+            } else if (pastLightMeta(line)) done = true
             else line = br.readLine()
           }
           out
@@ -247,7 +322,7 @@ object Commit {
     * the walk reads headers only. None = manifest missing (vacuumed or
     * never committed); Some(0) = pre-lineage manifest (chain ends).
     */
-  private def parentAt(f: org.apache.hadoop.fs.FileSystem, root: String,
+  private[graft] def parentAt(f: org.apache.hadoop.fs.FileSystem, root: String,
       v: Long): Option[Long] = {
     val mf = new Path(root, s"manifest-$v.txt")
     if (!f.exists(mf)) None
@@ -268,7 +343,7 @@ object Commit {
         while (!done && line != null) {
           if (line.startsWith("#parent=")) {
             out = Some(line.stripPrefix("#parent=").toLong); done = true
-          } else if (!line.startsWith("#")) done = true
+          } else if (pastLightMeta(line)) done = true
           else line = br.readLine()
         }
         out
@@ -962,13 +1037,18 @@ object Commit {
       expectBuckets: Option[Set[Int]] = None,
       bucketedWriter: Boolean = false,
       declaredLayout: Option[Layout] = None,
-      fullRewrite: Boolean = false)
+      fullRewrite: Boolean = false,
+      appTxn: Option[(String, Long)] = None)
       (write: String => Unit): Long = {
     val f = fs(spark, root)
+    // timing is wanted when either the env knob prints stderr lines OR
+    // a measurement main turned on PhaseTimer's in-process sink
+    // (tools/StreamFloor attributing the foreachBatch interior)
+    val tEn = timing || graft.util.PhaseTimer.accEnabled
     val prev = currentManifest(spark, root) // ONE manifest read per publish
     val v = nextVersion(spark, root, prev.map(_.v).getOrElse(0L))
     val vdir = s"v=$v"
-    val (_, tWrite) = timed(timing)(write(s"$root/$vdir"))
+    val (_, tWrite) = timed(tEn)(write(s"$root/$vdir"))
     val newBuckets = f.listStatus(new Path(root, vdir))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
@@ -1067,7 +1147,7 @@ object Commit {
     // one flat pool batch across ALL fresh entry dirs (an incremental
     // publish's fresh version is one dir per touched bucket — a
     // per-dir harvest loop would serialize their footer opens)
-    val (harvests, tHarvest) = timed(timing)(Skipping.harvestMany(conf,
+    val (harvests, tHarvest) = timed(tEn)(Skipping.harvestMany(conf,
       fresh.map(e => e.dir -> new Path(s"$root/${e.dir}"))))
     val freshStats = harvests.view.mapValues(_.entry).toMap
     // single-file entries: the entry box IS the file box — no #fstats
@@ -1103,10 +1183,24 @@ object Commit {
     val rows =
       if (freshStats.size == fresh.size) Some(freshStats.values.map(_.rows).sum)
       else footerRows(spark, s"$root/$vdir")
-    val (_, tCommit) = timed(timing)(commitManifest(spark, root, v, parent,
+    // idempotent-writer watermarks survive EVERY publish path (an
+    // optimizeBuckets compaction or an unrelated writer's publish must
+    // not wipe another app's replay cursor); a writer's own watermark
+    // only ever advances
+    val prevTxns = prev.map(_.txns).getOrElse(Map.empty)
+    val txns = appTxn.fold(prevTxns) { case (app, ver) =>
+      prevTxns.updated(app,
+        math.max(prevTxns.getOrElse(app, Long.MinValue), ver))
+    }
+    val (_, tCommit) = timed(tEn)(commitManifest(spark, root, v, parent,
       (carried ++ fresh).sortBy(_.key),
       snapSchema, rows, carriedStats ++ freshStats,
-      carriedFileStats ++ freshFileStats, layout))
+      carriedFileStats ++ freshFileStats, layout, txns))
+    if (tEn) {
+      graft.util.PhaseTimer.record("publish.write", tWrite)
+      graft.util.PhaseTimer.record("publish.harvest", tHarvest)
+      graft.util.PhaseTimer.record("publish.manifest", tCommit)
+    }
     if (timing) Console.err.println(
       f"[publish-timing] v=$v files=${fresh.size} " +
         f"write=${tWrite / 1e9}%.3f harvest=${tHarvest / 1e9}%.3f " +
@@ -1159,12 +1253,14 @@ object Commit {
       rows: Option[Long] = None,
       stats: Map[String, Skipping.EntryStats] = Map.empty,
       fileStats: Map[String, Seq[(String, Skipping.EntryStats)]] = Map.empty,
-      layout: Option[Layout] = None): Unit = {
+      layout: Option[Layout] = None,
+      txns: Map[String, Long] = Map.empty): Unit = {
     val f = fs(spark, root)
     val name = s"manifest-$v.txt"
     val meta = Seq(s"#parent=$parent") ++
       schema.map(st => s"#schema=${st.json}") ++ rows.map(n => s"#rows=$n") ++
       layout.map(l => s"#layout=${l.buckets}\t${l.keyExprSql}") ++
+      txns.toSeq.sortBy(_._1).map { case (app, ver) => s"#txn=$app\t$ver" } ++
       stats.toSeq.sortBy(_._1).map { case (dir, es) =>
         s"#stats=$dir\t${Skipping.encode(es)}"
       } ++
@@ -1173,6 +1269,15 @@ object Commit {
           s"#fstats=$dir\t$file\t${Skipping.encode(es)}"
         }
       }
+    // Writer-side enforcement of the header-order contract
+    // ([[HeavyMetaPrefixes]]): no line a streamed header reader needs
+    // (#parent, #layout) may follow the first heavy stats line, or
+    // layout()/parentAt() would stop before seeing it.
+    require(!meta
+      .dropWhile(l => !HeavyMetaPrefixes.exists(l.startsWith))
+      .exists(l => l.startsWith("#parent=") || l.startsWith("#layout=") ||
+        l.startsWith("#txn=")),
+      "manifest meta order violated: light header line after heavy stats lines")
     val body = (v.toString +: meta ++: entries.map(e => s"${e.key}\t${e.dir}"))
       .mkString("\n")
     val mf = new Path(root, name)
@@ -1231,6 +1336,13 @@ object Commit {
     * empty batches (refreshHourly/statusUpsert do).
     *
     * `layout` declares the bucketing discipline this write used
+    * `txn = Some((appId, epoch))` records the idempotent-writer
+    * watermark atomically with the data (the Delta txnAppId/txnVersion
+    * analog): an at-least-once caller (foreachBatch) checks
+    * [[lastTxn]] before applying and skips epochs ≤ the watermark —
+    * the exactly-once contract a NON-idempotent merge (additive fold)
+    * needs under micro-batch replay.
+    *
     * ([[Layout]]) — recorded in the manifest so maintainers and
     * [[optimizeBuckets]] can evolve the bucket count; when absent the
     * table's recorded layout carries forward. `fullRewrite = true`
@@ -1243,7 +1355,12 @@ object Commit {
       bucketCol: String = "bucket",
       expectBuckets: Option[Set[Int]] = None,
       layout: Option[Layout] = None,
-      fullRewrite: Boolean = false): Long = {
+      fullRewrite: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.contains("\n") && !app.contains("\t"),
+        s"txn appId must be a single manifest-line-safe token: '$app'")
+    }
     // the on-disk layout is ALWAYS `bucket=<b>` — publish() scans for
     // that prefix to enumerate fresh entries, and the read side
     // renames back to the caller's bucketCol. Writing `<bucketCol>=`
@@ -1258,7 +1375,8 @@ object Commit {
         df.withColumnRenamed(bucketCol, "bucket")
       }
     publish(df.sparkSession, root, expectBuckets, bucketedWriter = true,
-      declaredLayout = layout, fullRewrite = fullRewrite) { vdir =>
+      declaredLayout = layout, fullRewrite = fullRewrite,
+      appTxn = txn) { vdir =>
       onDisk.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
     }
   }

@@ -275,11 +275,22 @@ object GoldStage {
     * committed version dirs and writes a fresh one, no
     * read-what-you-overwrite materialization barrier is needed.
     * Unlike statusUpsert's last-writer-wins, an additive merge is NOT
-    * idempotent under batch replay: exactly-once batch delivery is
-    * the CALLER's contract (foreachBatch batchId dedup, or a MERGE
-    * keyed on a batch id column in production).
+    * idempotent under batch replay — so a streaming caller passes
+    * `txn = Some((appId, batchId))`: the epoch watermark commits in
+    * the SAME atomic pointer swap as the fold
+    * ([[graft.sources.Commit.lastTxn]], the Delta txnAppId/txnVersion
+    * analog), and a replayed micro-batch whose epoch already landed is
+    * skipped exactly — the crash window between publish and the
+    * stream's checkpoint commit can no longer double-count
+    * (StreamingSpec kills one there and proves it). Batch callers
+    * (snapshot rebuilds, tests) omit it and keep at-least-once
+    * semantics under their own orchestration.
     */
-  def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16): Unit = {
+  def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16,
+      txn: Option[(String, Long)] = None): Unit = {
+    for ((app, epoch) <- txn; last <- graft.sources.Commit.lastTxn(
+        batch.sparkSession, path, app))
+      if (epoch <= last) return // replayed epoch: its fold already landed
     def t[T](label: String)(body: => T): T =
       graft.util.PhaseTimer.gated(
         "SPARK_GRAFT_PUBLISH_TIMING", "refresh-timing", label)(body)
@@ -359,8 +370,21 @@ object GoldStage {
     t("merge+publish")(graft.sources.Commit.publishBuckets(
       mergeBucketAligned(unioned, touched.size), path,
       expectBuckets = Some(touched.map(_.intValue).toSet),
-      layout = Some(graft.sources.Commit.Layout(eff, "user_id"))))
+      layout = Some(graft.sources.Commit.Layout(eff, "user_id")),
+      txn = txn))
   }
+
+  /** foreachBatch adapter for [[refreshHourly]]: the exactly-once
+    * streaming maintainer (`events.writeStream.foreachBatch(
+    * GoldStage.hourlyMaintainer(path))`). Spark's epoch id is the txn
+    * version, so a replayed micro-batch — crash after publish, before
+    * the stream's checkpoint commit — is detected against the
+    * manifest watermark and skipped instead of double-folded.
+    */
+  def hourlyMaintainer(path: String, buckets: Int = 16,
+      appId: String = "gold_hourly"): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      refreshHourly(batch, path, buckets, txn = Some((appId, epoch)))
 
   /** Reader for the incrementally-maintained hourly fact — resolves
     * through the manifest pointer (None before the first refresh).

@@ -93,6 +93,17 @@ class CommitFuzzSpec extends SparkSpec {
 
   test("seeded publish/rewrite/retire/vacuum sequences uphold the CDF contract") {
     var rebucketDoublings = 0 // across all seeds: the op must actually fire
+    // r18 (verdict #3): the r17 layout RAILS — whole-Layout compare and
+    // key-expression change refusal on an incremental publish — were
+    // covered only by RebucketSpec's directed cases. The sequences now
+    // also probe them mid-stream (an illegal declaration must be
+    // refused AND leave the table untouched), and the interaction
+    // counters prove the rails meet the other ops: schema evolution
+    // landing in a post-re-bucket layout epoch, and a vacuumed cursor
+    // taking the fullAsUpserts fallback on an already-re-bucketed table.
+    var railRefusals = 0
+    var evolveAcrossEpoch = 0
+    var fallbackAfterRebucket = 0
     for (seed <- 1 to 20) {
       val rng = new scala.util.Random(seed)
       val root = graft.util.TempRoot.freshDir(s"commit-fuzz-$seed").toString + "/t"
@@ -122,6 +133,7 @@ class CommitFuzzSpec extends SparkSpec {
           // touch one value so the evolution batch is not a no-op
           val k = model.keys.toSeq(rng.nextInt(model.size))
           model += k -> (model(k) + 100)
+          if (mod > Buckets) evolveAcrossEpoch += 1
           publish(None)
         } else if (rng.nextDouble() < 0.18) {
           // r17 RE-BUCKET op: optimizeBuckets(maxBucketBytes) evolves
@@ -170,6 +182,32 @@ class CommitFuzzSpec extends SparkSpec {
           }
           publish(Some(chosen))
         }
+        // RAIL PROBE (r18): an incremental publish that declares a
+        // DIFFERENT layout — doubled modulus or a changed key
+        // expression — must be refused by the whole-Layout compare,
+        // and the refusal must leave the table byte-identical (no
+        // version bump, no pointer move, no stray version dir the
+        // vacuum bookkeeping would trip on later ops).
+        if (rng.nextDouble() < 0.25) {
+          val headBefore = Commit.current(spark, root).get._1
+          val badLayout =
+            if (rng.nextBoolean()) Commit.Layout(mod * 2, "coalesce(user_id, 0)")
+            else Commit.Layout(mod, "coalesce(user_id, 1)")
+          val probeBucket = bucketOf(model.keys.head, mod)
+          val thrown = intercept[IllegalArgumentException] {
+            Commit.publishBuckets(
+              toDf(model, evolved, Some(Set(probeBucket)), mod), root,
+              layout = Some(badLayout))
+          }
+          assert(thrown.getMessage.contains("layout change"),
+            s"seed=$seed: wrong rail fired: ${thrown.getMessage}")
+          assert(Commit.current(spark, root).get._1 === headBefore,
+            s"seed=$seed: refused publish still moved the pointer")
+          assert(Commit.layout(spark, root).get ===
+            Commit.Layout(mod, "coalesce(user_id, 0)"),
+            s"seed=$seed: refused publish changed the recorded layout")
+          railRefusals += 1
+        }
         if (rng.nextDouble() < 0.25) {
           val retain = 1 + rng.nextInt(2)
           Commit.vacuum(spark, root, retain)
@@ -212,6 +250,7 @@ class CommitFuzzSpec extends SparkSpec {
             // fallback converges through the same apply path
             assert(v < vacuumedBelow,
               s"seed=$seed: live cursor $v refused")
+            if (mod > Buckets) fallbackAfterRebucket += 1
             val fb = Commit.fullAsUpserts(spark, root, Seq("user_id")).get
             val rows = decode(fb)
             assert(rows.forall(_._4 == "upsert"), s"seed=$seed: non-upsert in fallback")
@@ -224,6 +263,16 @@ class CommitFuzzSpec extends SparkSpec {
     assert(rebucketDoublings > 0,
       "no sequence ever doubled the modulus — the re-bucket op is not " +
         "being exercised by the fuzz")
+    assert(railRefusals > 0,
+      "no sequence ever probed the layout rails — the refusal path is " +
+        "not being exercised by the fuzz")
+    assert(evolveAcrossEpoch > 0,
+      "no sequence ever evolved the schema AFTER a re-bucket — the " +
+        "layout-epoch × schema-epoch interaction is not being fuzzed")
+    assert(fallbackAfterRebucket > 0,
+      "no vacuumed cursor ever took fullAsUpserts on a re-bucketed " +
+        "table — the re-bucket × vacuum × fallback interaction is not " +
+        "being fuzzed")
   }
 
   test("CDF conforms evolved column TYPES by casting the old side (int -> long)") {

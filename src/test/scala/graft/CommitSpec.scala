@@ -494,6 +494,74 @@ class CommitSpec extends SparkSpec {
     assert(Commit.optimizeBuckets(spark, root2).isEmpty)
   }
 
+  test("streamed header readers agree with the full manifest parse") {
+    // layout()/parentAt() read the manifest header STREAMED and stop at
+    // the first heavy (#stats/#fstats) or entry line — legal only under
+    // the writer's light-before-heavy order contract (HeavyMetaPrefixes).
+    // This pins the agreement on a freshly committed manifest that has
+    // everything: parent lineage, schema, rows, layout, AND stats lines
+    // (so a reordering that pushes #layout after #stats fails here
+    // loudly instead of making the readers silently return None/Some(0)).
+    val root = tmp("commit-header-order")
+    val lay = Commit.Layout(4, "user_id")
+    Commit.publishBuckets(
+      statusDf(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0), root,
+      layout = Some(lay))
+    Commit.publishBuckets(statusDf(1L -> 9.0), root, layout = Some(lay))
+
+    val ptr = Files.readString(Paths.get(root, "_POINTER")).trim
+    val head = Files.readString(Paths.get(root, ptr))
+    val headV = ptr.stripPrefix("manifest-").stripSuffix(".txt").toLong
+    // the premise: the head manifest really does carry heavy stats
+    // lines the streamed readers must stop BEFORE — and the light
+    // lines they need come first
+    assert(head.linesIterator.exists(_.startsWith("#stats=")))
+    val metaIdx = head.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.startsWith("#") => (l.takeWhile(_ != '='), i)
+    }.toSeq
+    def firstIdx(p: String) = metaIdx.collectFirst { case (`p`, i) => i }
+    assert(firstIdx("#parent").get < firstIdx("#stats").get)
+    assert(firstIdx("#layout").get < firstIdx("#stats").get)
+
+    // streamed readers return exactly what the full parse records
+    assert(Commit.layout(spark, root) === Some(lay))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Commit.parentAt(f, root, headV) === Some(headV - 1))
+    assert(Commit.parentAt(f, root, headV - 1) === Some(0L))
+    assert(Commit.parentAt(f, root, headV + 99) === None) // missing file
+  }
+
+  test("idempotent-writer watermark (#txn): per-app, carried by every " +
+      "publish path, never rewinds") {
+    val root = tmp("commit-txn")
+    Commit.publishBuckets(statusDf(1L -> 1.0, 2L -> 2.0), root,
+      txn = Some(("app_a", 0L)))
+    assert(Commit.lastTxn(spark, root, "app_a") === Some(0L))
+    assert(Commit.lastTxn(spark, root, "app_b") === None)
+    // a txn-less writer's publish must CARRY the watermark forward —
+    // losing it would make the next replay double-apply
+    Commit.publishBuckets(statusDf(2L -> 3.0), root)
+    assert(Commit.lastTxn(spark, root, "app_a") === Some(0L))
+    // apps keep independent watermarks
+    Commit.publishBuckets(statusDf(1L -> 4.0), root, txn = Some(("app_b", 7L)))
+    assert(Commit.lastTxn(spark, root, "app_a") === Some(0L))
+    assert(Commit.lastTxn(spark, root, "app_b") === Some(7L))
+    // a lower epoch never rewinds the watermark (the caller should
+    // have skipped it; if it publishes anyway, the cursor holds)
+    Commit.publishBuckets(statusDf(1L -> 5.0), root, txn = Some(("app_b", 3L)))
+    assert(Commit.lastTxn(spark, root, "app_b") === Some(7L))
+    // maintenance compaction preserves watermarks too
+    assert(Commit.optimizeBuckets(spark, root).nonEmpty)
+    assert(Commit.lastTxn(spark, root, "app_a") === Some(0L))
+    assert(Commit.lastTxn(spark, root, "app_b") === Some(7L))
+    // appId is a manifest line: tab/newline would corrupt the grammar
+    intercept[IllegalArgumentException] {
+      Commit.publishBuckets(statusDf(1L -> 6.0), root,
+        txn = Some(("bad\tapp", 1L)))
+    }
+  }
+
   test("compactCommit publishes whole snapshots atomically") {
     val root = tmp("commit-compact")
     val landing = graft.util.TempRoot.freshDir("commit-landing").toString

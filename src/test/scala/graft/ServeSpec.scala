@@ -168,6 +168,85 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("hammer: concurrent clients across a publish — single-flight " +
+      "holds and nobody reads stale-after-publish") {
+    // The production posture of the warm() ownership contract under
+    // real concurrency: N clients hammer a route continuously while a
+    // publisher swaps the table underneath and calls warm(). Asserts
+    // (1) the single-flight bound — exactly 2 computes ever: the cold
+    // fill and warm()'s own post-publish flight, however many clients
+    // race; (2) no torn payloads — every body is exactly the pre- or
+    // post-publish payload; (3) per-client monotonicity — once a
+    // client sees the post-publish payload it never regresses to the
+    // old one; (4) no stale-after-publish — every request issued after
+    // warm() returned serves the new payload, from cache.
+    val dir = graft.util.TempRoot.freshDir("serve_hammer").toString
+    val src = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    src.write.parquet(s"$dir/lineitem.parquet")
+    val now = new java.util.concurrent.atomic.AtomicLong(0L)
+    val srv = new DashboardServer(spark, dir,
+      queryNames = Seq("q_global_stats"),
+      ttlMillis = 300000L, clock = () => now.get())
+    val port = srv.start()
+    try {
+      val p1 = get(port, "/api/q_global_stats").body() // cold fill
+      assert(srv.computeCount("q_global_stats") == 1L)
+
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val started = new java.util.concurrent.CountDownLatch(8)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val histories = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+            started.countDown()
+            while (!stop.get()) {
+              val r = get(port, "/api/q_global_stats")
+              assert(r.statusCode() == 200)
+              seen += r.body()
+            }
+            seen.toSeq
+          }
+        })
+      }
+      started.await()
+      // THE PUBLISH: swap the table (safe mid-hammer — every client is
+      // a TTL-fresh cache hit, so nothing reads the directory during
+      // the overwrite), then warm. The halved table changes n /
+      // total_price, so stale-by-content is detectable.
+      src.filter(org.apache.spark.sql.functions.col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // what a real publisher does after swapping files under a path:
+      // drop the session's cached file listing before warming
+      spark.catalog.refreshByPath(s"$dir/lineitem.parquet")
+      srv.warm()
+      // (4) requests issued strictly after warm() returned: new
+      // payload, from cache (no recompute on the request path)
+      val p2 = get(port, "/api/q_global_stats").body()
+      assert(p2 != p1, "publish did not change the payload; test is vacuous")
+      (1 to 20).foreach { _ =>
+        assert(get(port, "/api/q_global_stats").body() == p2,
+          "stale payload served after warm() returned")
+      }
+      stop.set(true)
+      val seenAll = histories.map(_.get())
+      pool.shutdown()
+      // (1) single-flight across the whole hammer: cold fill + warm()
+      assert(srv.computeCount("q_global_stats") == 2L,
+        s"expected exactly 2 computes (cold + warm), got " +
+          s"${srv.computeCount("q_global_stats")}")
+      // (2) every observed body is a complete pre- or post- payload
+      seenAll.flatten.foreach(b => assert(b == p1 || b == p2,
+        s"torn/mixed payload observed: ${b.take(120)}"))
+      // (3) monotonic per client: no p1 after the first p2
+      seenAll.foreach { seq =>
+        val flip = seq.indexOf(p2)
+        if (flip >= 0) assert(!seq.drop(flip).contains(p1),
+          "client regressed from post-publish to pre-publish payload")
+      }
+    } finally srv.stop()
+  }
+
   test("monitoring preset serves the pipeline-health queries") {
     val srv = new DashboardServer(spark, sf0001,
       queryNames = DashboardServer.MonitoringQueries)

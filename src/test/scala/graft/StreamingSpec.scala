@@ -394,6 +394,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("gold maintainer killed between publish and checkpoint commit: " +
+      "restart skips the replayed epoch instead of double-folding it") {
+    // The additive hourly fold is NOT content-idempotent under replay
+    // (unlike statusUpsert's last-writer-wins): without the manifest
+    // txn watermark, the crash window between refreshHourly's publish
+    // and the stream's checkpoint commit would re-fold the epoch on
+    // restart and double-count every measure. This drives the real
+    // machinery — file source, checkpoint, injected crash AFTER the
+    // publish landed — and asserts the restarted maintainer converges
+    // BIT-IDENTICALLY to a from-scratch aggregation (the double-fold
+    // would fail the n/v_sum comparison immediately).
+    import org.apache.spark.sql.DataFrame
+    val dir = graft.util.TempRoot.freshDir("gold_restart").toString
+    val landing = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    val path = s"$dir/hourly"
+    val ev = Tables.events(spark, sf0001)
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 =!= 0)
+    half1.write.mode("append").parquet(landing)
+    val maintain = warehouse.GoldStage.hourlyMaintainer(path)
+    @volatile var crashArmed = true
+    def run(crash: Boolean): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          maintain(batch, epoch)
+          if (crash && crashArmed) {
+            crashArmed = false
+            throw new RuntimeException("injected crash after publish, " +
+              "before checkpoint commit")
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def canon(df: DataFrame): Array[String] =
+      df.select(col("user_id"), col("event_type"), col("h"), col("n"),
+        col("v_sum").cast("string"), col("v_cnt"),
+        col("q_sum").cast("string"), col("q_cnt"))
+        .collect().map(_.toString).sorted
+    try {
+      val died = intercept[Exception] { run(crash = true) }
+      assert(died.getMessage.contains("injected") ||
+        Option(died.getCause).exists(_.getMessage.contains("injected")))
+      // the crashed epoch's fold is already durable (at-least-once)...
+      assert(warehouse.GoldStage.readHourly(spark, path).nonEmpty)
+      // ...and its watermark committed in the same pointer swap
+      assert(sources.Commit.lastTxn(spark, path, "gold_hourly") === Some(0L))
+      // backlog accumulates while the maintainer is down
+      half2.write.mode("append").parquet(landing)
+      // restart from the SAME checkpoint: epoch 0 replays but is
+      // skipped against the watermark; only the backlog folds in
+      run(crash = false)
+      val got = canon(warehouse.GoldStage.readHourly(spark, path)
+        .get.drop("bucket"))
+      val want = canon(warehouse.GoldStage.hourlyPartials(
+        warehouse.GoldStage.withQuality(spark.read.parquet(landing))))
+      assert(got.length === want.length)
+      assert(got.sameElements(want),
+        "restarted maintainer did not converge to the from-scratch " +
+          "build — the replayed epoch was re-folded (double count) or " +
+          "the backlog was lost")
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   test("statusUpsert: re-delivering the same micro-batch is content-idempotent") {
     // foreachBatch's at-least-once contract: after a sink failure the
     // SAME epoch replays. The max_by(last_ts) merge makes the re-apply
