@@ -383,6 +383,16 @@ object Bench {
         "wave). When it lands in `unresolved`, compare queries_min: " +
         "the steady mode is ~1.0-1.2 s. Also a calibration control, " +
         "so its own drift is visible in `controls`"),
+      "q_source_overlap" -> ("r18: tools/OverlapProfile attributed the " +
+        "r17 driver-bench spread (1.42-1.64 s quiet but the one " +
+        "unresolved outlier under load) to the lazily-cached distinct " +
+        "(source, shingle) relation: its THREE consumers in the one " +
+        "result action (the ns broadcast-build thread + both self-join " +
+        "legs) raced to populate, then block-locked, the same " +
+        "InMemoryRelation partitions mid-query (solo sf0.1: 2.2-3.7 s " +
+        "warm). Rewritten to an eager localCheckpoint stage consumed " +
+        "by settled blocks: 0.8-1.3 s materialize + 0.6-1.0 s consume, " +
+        "same DAG, bit-identical rows"),
       "q_auc" -> ("r17: tools/AucProfile attributed the r16 1.4x quiet " +
         "spread (median 1.31, min 0.93 — reproduced SOLO, GC flat) to " +
         "subtree RECOMPUTE: the KS path re-derived scored+rank and the " +

@@ -1218,10 +1218,20 @@ object Text {
   val sourceOverlap = QueryDef(
     "q_source_overlap",
     (s, d) => {
+      // The reduced (source, shingle-hash) relation is materialized
+      // EAGERLY (localCheckpoint), not lazily cached: it has THREE
+      // consumers in one action (the per-source totals' broadcast
+      // build thread plus both legs of the self-join), and a lazy
+      // InMemoryRelation let them race to populate — then contend on
+      // block locks for — the same partitions mid-query.
+      // tools/OverlapProfile (r18, solo sf0.1): lazy cache 2.2–3.7 s
+      // with exactly the adjudication-tripping spread the r17 driver
+      // bench flagged; eager stage 0.8–1.3 s to materialize plus a
+      // tight 0.6–1.0 s consume. Same expression DAG → bit-identical.
       val st = Tables.documents(s, d)
         .select(col("source"), explode(TF.shingleHashes(col("text"), 3)).as("sh"))
         .distinct()
-        .cache() // per-source totals + the pair join both read it
+        .localCheckpoint(true)
       val ns = st.groupBy("source").agg(count(lit(1)).as("n"))
       val out = st.alias("a")
         .join(st.alias("b"),
