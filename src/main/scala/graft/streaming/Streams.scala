@@ -395,18 +395,24 @@ object Streams {
     }
     def bucketed(df: DataFrame) =
       df.withColumn("bucket", pmod(col("user_id"), lit(eff)).cast("int"))
-    // cached: the touched-bucket probe and the merge write both consume
-    // the incoming reduction — without the cache every micro-batch pays
-    // its aggregation twice. One row per user in the batch; unpersisted
-    // before return.
-    val incoming = bucketed(latestPerUser(batch)).cache()
-    try {
-    // ≤ `buckets` driver values — which partitions this batch touches
+    // ≤ `buckets` driver values — which partitions this batch touches.
+    // Probed from the RAW batch's key column (pruned scan + map-side
+    // partial distinct), NOT from the latestPerUser reduction: the r18
+    // StreamFloor split attributed ~half the upsert's addBatch to this
+    // probe paying the full max_by aggregation (plus its cache
+    // materialization) before asking a question only user_id answers.
+    // With the probe off the reduction, `incoming` has exactly one
+    // consumer (the merge write) and needs no cache at all — same
+    // probe/merge split GoldStage.refreshHourly uses, with the same
+    // expectBuckets abort guarding the two independent evaluations of
+    // `batch` against non-deterministic sources.
     val touched = graft.util.PhaseTimer.gated("SPARK_GRAFT_PUBLISH_TIMING",
       "upsert", "touched_probe") {
-      incoming.select("bucket").distinct()
+      batch.select(pmod(col("user_id"), lit(eff)).cast("int").as("bucket"))
+        .distinct()
         .collect().map(r => Int.box(r.getInt(0))).toSeq
     }
+    val incoming = bucketed(latestPerUser(batch))
     // manifest-level skipping: untouched buckets' version dirs are
     // pruned by entry key before any scan is planned (readWhere also
     // re-applies the filter row-side, so the merge stays exact)
@@ -440,8 +446,8 @@ object Streams {
     // write parallelism costs nothing.
     graft.sources.Commit.publishBuckets(
       merged.repartition(col("bucket")), statusPath,
+      expectBuckets = Some(touched.map(_.intValue).toSet),
       layout = Some(graft.sources.Commit.Layout(eff, "user_id")))
-    } finally { incoming.unpersist(); () }
   }
 
   /** Reader for the maintained status table — resolves through the
