@@ -368,7 +368,7 @@ object Streams {
         col("s.value").as("last_value"), col("s.event_type").as("last_type"))
 
   def statusUpsert(batch: DataFrame, statusPath: String,
-      buckets: Int = 16): Unit =
+      buckets: Int = 16, txn: Option[(String, Long)] = None): Unit =
     // outermost timer: `upsert.total` minus the publish/layout/probe
     // phases is statusUpsert's own planning residue, and addBatch
     // minus `upsert.total` is the foreachBatch sink machinery —
@@ -376,11 +376,26 @@ object Streams {
     // knob or StreamFloor's in-process sink is on)
     graft.util.PhaseTimer.gated("SPARK_GRAFT_PUBLISH_TIMING",
       "upsert", "total") {
-      statusUpsertInner(batch, statusPath, buckets)
+      statusUpsertInner(batch, statusPath, buckets, txn)
     }
 
+  /** foreachBatch adapter for [[statusUpsert]] with the manifest txn
+    * watermark wired to Spark's epoch id. The merge is already
+    * content-idempotent, so this is an EFFICIENCY contract, not a
+    * correctness one: a replayed epoch after a crash skips instead of
+    * committing a redundant version (pointless bucket rewrite + a
+    * manifest the next vacuum has to reclaim).
+    */
+  def statusMaintainer(statusPath: String, buckets: Int = 16,
+      appId: String = "status_upsert"): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      statusUpsert(batch, statusPath, buckets, txn = Some((appId, epoch)))
+
   private def statusUpsertInner(batch: DataFrame, statusPath: String,
-      buckets: Int): Unit = {
+      buckets: Int, txn: Option[(String, Long)]): Unit = {
+    for ((app, epoch) <- txn; last <- graft.sources.Commit.lastTxn(
+        batch.sparkSession, statusPath, app))
+      if (epoch <= last) return // replayed epoch: already applied
     val spark = batch.sparkSession
     // layout-aware bucketing: the table's RECORDED modulus wins over
     // the parameter (which only sizes a table being created), so after
@@ -447,7 +462,8 @@ object Streams {
     graft.sources.Commit.publishBuckets(
       merged.repartition(col("bucket")), statusPath,
       expectBuckets = Some(touched.map(_.intValue).toSet),
-      layout = Some(graft.sources.Commit.Layout(eff, "user_id")))
+      layout = Some(graft.sources.Commit.Layout(eff, "user_id")),
+      txn = txn)
   }
 
   /** Reader for the maintained status table — resolves through the

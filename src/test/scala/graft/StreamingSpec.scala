@@ -275,6 +275,37 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, 9.0), (2L, 2.0)))
   }
 
+  test("statusMaintainer skips replayed epochs: no redundant version bump") {
+    // content-idempotence already makes a replay SAFE; the txn
+    // watermark makes it FREE — a re-delivered epoch commits nothing
+    // (no bucket rewrite, no version the next vacuum must reclaim)
+    import spark.implicits._
+    val dir = graft.util.TempRoot.freshDir("status_txn").toString
+    val path = s"$dir/status"
+    val b1 = Seq((1L, ts(100), 1.0, "flow", 1L), (2L, ts(50), 2.0, "ph", 2L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    val b2 = Seq((1L, ts(500), 9.0, "flow", 3L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id")
+    val maintain = Streams.statusMaintainer(path)
+    maintain(b1, 0L)
+    maintain(b2, 1L)
+    val vHead = sources.Commit.current(spark, path).get._1
+    maintain(b2, 1L) // at-least-once re-delivery of the head epoch
+    maintain(b1, 0L) // and of an older epoch
+    assert(sources.Commit.current(spark, path).get._1 === vHead,
+      "replayed epoch committed a redundant version")
+    val out = Streams.readStatus(spark, path).get
+      .select("user_id", "last_value").as[(Long, Double)].collect().toSet
+    assert(out === Set((1L, 9.0), (2L, 2.0)))
+    // a genuinely new epoch still applies
+    maintain(Seq((2L, ts(600), 7.0, "ph", 4L))
+      .toDF("user_id", "ts", "value", "event_type", "event_id"), 2L)
+    assert(sources.Commit.current(spark, path).get._1 > vHead)
+    assert(Streams.readStatus(spark, path).get
+      .select("user_id", "last_value").as[(Long, Double)].collect().toSet ===
+      Set((1L, 9.0), (2L, 7.0)))
+  }
+
   test("statusUpsert writes only the buckets a micro-batch touches") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
