@@ -694,8 +694,21 @@ object Vectors {
     * centroid table ships as a single broadcast ROW (data, not plan
     * text) via [[withCellDistsJoin]] — same vec_d2 chains, identical
     * values (VectorCellSpec proves it), plan size O(1) in k.
+    *
+    * Bound CHOICE (r18, tools/CellProfile at the ScaleUp sf1 point,
+    * n = 20k, k = cellCount = 100): the literal plan's generated code
+    * grows ∝ k·dim, and Janino pays a fresh multi-second compile for
+    * every DISTINCT literal set — which Lloyd produces every
+    * iteration (measured: 11.5 s first execution, 0.12 s warm; the
+    * whole q_semantic_dedup fit was 36 s at sf1, exponent 2.4 —
+    * COMPILE time, not data volume: the cells were balanced, max 237
+    * vs the 200 budget, and both paths' steady-state assigns measured
+    * equal at 0.4-0.5 s). The join path's codegen is O(1) in k, so the
+    * literal form is only kept where it is genuinely free: the k ≤ 16
+    * regime of the oracled recipes (k = 4 Lloyd, k = 10 cells/IVF at
+    * the gate SFs — their plans are unchanged by this bound).
     */
-  private[graft] val NearestLitMax = 200
+  private[graft] val NearestLitMax = 16
 
   /** Cell-count policy for the cell-blocked vector operators (SemDeDup,
     * semantic decontamination): k = max(10, ceil(n / TargetCell)) keeps
