@@ -393,6 +393,15 @@ object Bench {
         "warm). Rewritten to an eager localCheckpoint stage consumed " +
         "by settled blocks: 0.8-1.3 s materialize + 0.6-1.0 s consume, " +
         "same DAG, bit-identical rows"),
+      "q_heavy_hitters" -> ("r18: the one unresolved outlier of the " +
+        "r18 interim bench (iterations 0.79-1.36 s, attribution " +
+        "warm_in) — the query exploded the corpus token stream TWICE " +
+        "per run (once under the CMS cells, once under the exact " +
+        "top-20), and the two wide explode subtrees' scheduling is " +
+        "what wobbled. Rewritten over the staged TextStage.tok " +
+        "(doc_id, token, tf) relation (tf-weighted cells, re-summed " +
+        "exact side): solo 1.40 -> 0.62 s with 0.78/0.62/0.60 " +
+        "iterations"),
       "q_auc" -> ("r17: tools/AucProfile attributed the r16 1.4x quiet " +
         "spread (median 1.31, min 0.93 — reproduced SOLO, GC flat) to " +
         "subtree RECOMPUTE: the KS path re-derived scored+rank and the " +

@@ -850,30 +850,39 @@ object Text {
     * other sketches (`q_distinct_sketch`, `q_quantile_sketch`): both
     * engines compute identical cells, so the ORACLE CHECKS THE
     * ESTIMATES TOO, not just the exact counts.
+    *
+    * r18: reads the staged [[graft.warehouse.TextStage.tok]] relation
+    * (doc_id, token, tf) instead of exploding the corpus TWICE per run
+    * (once under the sketch, once under the exact top-20) — the cms
+    * cells sum tf weights through the same map-side partial agg (still
+    * never more than 1024 rows on the wire), the exact side re-sums
+    * the already-reduced (doc, token) counts, and the double corpus
+    * explode that made the query's bench spread warm-in-shaped is gone.
+    * Tokens are lowercased — the staged artifact's normalization,
+    * mirrored in the oracle (the q_tfidf/q_collocations convention).
     */
   val heavyHitters = QueryDef(
     "q_heavy_hitters",
     (s, d) => {
       val W = 512
       def laneB(l: Int) = expr(
-        s"${PortableHash.laneSpark("md5(concat(t, '#cms'))", l)} % $W")
-      val toks = Tables.documents(s, d)
-        .select(explode(TF.tokens(col("text"))).as("t"))
-      val cms = toks.select(explode(array(
+        s"${PortableHash.laneSpark("md5(concat(token, '#cms'))", l)} % $W")
+      val tok = graft.warehouse.TextStage.tok(s, d) // (doc_id, token, tf)
+      val cms = tok.select(col("tf"), explode(array(
           struct(lit(0).as("lane"), laneB(0).as("bucket")),
           struct(lit(1).as("lane"), laneB(1).as("bucket")))).as("lb"))
         .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("c"))
-      val top = toks.groupBy("t")
-        .agg(count(lit(1)).as("n_exact"))
-        .orderBy(desc("n_exact"), asc("t")).limit(20)
+        .agg(sum(col("tf")).as("c"))
+      val top = tok.groupBy("token")
+        .agg(sum(col("tf")).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("token")).limit(20)
         .withColumn("b0", laneB(0)).withColumn("b1", laneB(1))
       val c0 = cms.filter(col("lane") === 0)
         .select(col("bucket").as("b0"), col("c").as("c0"))
       val c1 = cms.filter(col("lane") === 1)
         .select(col("bucket").as("b1"), col("c").as("c1"))
       top.join(broadcast(c0), Seq("b0")).join(broadcast(c1), Seq("b1"))
-        .select(col("t").as("token"), col("n_exact"),
+        .select(col("token"), col("n_exact"),
           least(col("c0"), col("c1")).as("n_est"),
           (least(col("c0"), col("c1")) - col("n_exact")).as("overest"))
     },
@@ -881,7 +890,8 @@ object Text {
       val W = 512
       def laneB(t: String, l: Int) =
         s"${PortableHash.laneDuck(s"md5($t || '#cms')", l)} % $W"
-      s"""WITH toks AS (SELECT unnest(${TS.tokens("text")}) AS t FROM documents),
+      s"""WITH toks AS (SELECT unnest(${TS.tokens("lower(text)")}) AS t
+                        FROM documents),
           lanes AS (SELECT ${laneB("t", 0)} AS b0, ${laneB("t", 1)} AS b1 FROM toks),
           cms AS (SELECT lane, bucket, COUNT(*) AS c FROM (
                     SELECT 0 AS lane, b0 AS bucket FROM lanes
