@@ -101,6 +101,11 @@ class CommitFuzzSpec extends SparkSpec {
     // counters prove the rails meet the other ops: schema evolution
     // landing in a post-re-bucket layout epoch, and a vacuumed cursor
     // taking the fullAsUpserts fallback on an already-re-bucketed table.
+    // Also fuzzed (r18): per-app #txn watermarks — random publishes
+    // attach fresh or REPLAYED epochs for two writer apps, and after
+    // every op (including txn-less publishes, re-bucket compactions and
+    // vacuums, which must all CARRY watermarks forward) Commit.lastTxn
+    // is asserted against the max-epoch model for both apps.
     var railRefusals = 0
     var evolveAcrossEpoch = 0
     var fallbackAfterRebucket = 0
@@ -114,12 +119,33 @@ class CommitFuzzSpec extends SparkSpec {
       var cursors = Vector.empty[(Long, Snap)]
       var vacuumedBelow = 0L // versions < this are gone
       var mod = Buckets // current bucket modulus (re-bucket op evolves it)
+      // r18: idempotent-writer watermark model — wm(app) = the max
+      // epoch ever published with that appId; Commit must agree via
+      // lastTxn after EVERY op (publishes with and without txn,
+      // re-bucket compaction, vacuum), and a replayed/lower epoch must
+      // never rewind it
+      var wm = Map.empty[String, Long]
 
-      def publish(only: Option[Set[Int]]): Unit = {
+      def publish(only: Option[Set[Int]],
+          txn: Option[(String, Long)] = None): Unit = {
         val v = Commit.publishBuckets(toDf(model, evolved, only, mod), root,
-          layout = Some(Commit.Layout(mod, "coalesce(user_id, 0)")))
+          layout = Some(Commit.Layout(mod, "coalesce(user_id, 0)")),
+          txn = txn)
+        txn.foreach { case (app, e) =>
+          wm += app -> math.max(wm.getOrElse(app, Long.MinValue), e)
+        }
         cursors :+= (v, Snap(model, evolved))
       }
+      def randomTxn(): Option[(String, Long)] =
+        if (rng.nextDouble() >= 0.4) None
+        else {
+          val app = if (rng.nextBoolean()) "app_a" else "app_b"
+          val e =
+            if (wm.contains(app) && rng.nextBoolean())
+              wm(app) - rng.nextInt(2) // replayed: current or older epoch
+            else wm.getOrElse(app, -1L) + 1 // fresh epoch
+          Some((app, e))
+        }
       publish(None) // v1: full baseline
 
       val ops = 5 + rng.nextInt(3)
@@ -180,7 +206,13 @@ class CommitFuzzSpec extends SparkSpec {
             if (!model.keys.exists(k => bucketOf(k, mod) == b))
               model += (Some((40L * mod + b)): Key) -> 1.0
           }
-          publish(Some(chosen))
+          publish(Some(chosen), randomTxn())
+        }
+        // the watermark agrees with the model after EVERY op — however
+        // the op mixed publishes, re-buckets, txn advances, replays
+        Seq("app_a", "app_b").foreach { app =>
+          assert(Commit.lastTxn(spark, root, app) === wm.get(app),
+            s"seed=$seed op=$op: watermark for $app diverged from model")
         }
         // RAIL PROBE (r18): an incremental publish that declares a
         // DIFFERENT layout — doubled modulus or a changed key
