@@ -109,7 +109,15 @@ object GraphStage {
     // and the kNN window both run at this parallelism — see
     // Staging.bucketsFor for why a pinned count goes super-linear
     val b = Staging.bucketsFor(s, d, SrcTables, expansion = 32)
+    // per-stage wall attribution (SPARK_GRAFT_PHASE_TIMING=1, or a
+    // measurement main's in-process PhaseTimer sink): the build is the
+    // steepest curve in SCALING_CURVE.json, and "which of the six
+    // stages grows" should be a measurement, not a guess
+    def ph[T](label: String)(body: => T): T =
+      graft.util.PhaseTimer.gated("SPARK_GRAFT_PHASE_TIMING",
+        "graph-build", label)(body)
     Staging.withShuffleWidth(s, b) {
+    ph("raw_copurchase") {
     val raw0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -117,6 +125,7 @@ object GraphStage {
       .repartition(b, col("ck"))
       .dropDuplicates("ck", "sk")
     Sources.writeBucketed(raw0, rawName(t), "ck", b)
+    }
 
     // symmetrized pagerank edges, bucketed+sorted by src (see
     // [[prEdges]]): written once here so every power iteration reads a
@@ -125,6 +134,7 @@ object GraphStage {
     // floor it at the session's parallelism (a size-only count would
     // give 8 buckets at sf0.1 and idle half the cores in every round;
     // at cluster SF the byte-sized count dominates the floor anyway).
+    ph("pr_edges") {
     val bPr = {
       val floor = Integer.highestOneBit(
         math.max(s.sparkContext.defaultParallelism, 1))
@@ -137,15 +147,19 @@ object GraphStage {
       .unionByName(ids.select(col("b").as("src"), col("a").as("dst")))
       .repartition(bPr, col("src"))
     Sources.writeBucketed(sym, prName(t), "src", bPr)
+    }
 
     // capped variant: the bucketed scan's HashPartitioning(ck) feeds the
     // cap window's partitionBy(ck) with no exchange
+    ph("cap_degree") {
     val rawT = s.table(rawName(t))
     Sources.writeBucketed(
       Graph.capDegree(rawT, "ck", "sk", 128), eName(t), "ck", b)
+    }
 
     // similarity pairs: the ck-bucketed self-join needs no exchange on
     // either side; pair volume is Σ min(deg,128)² by construction
+    ph("sim_pairs") {
     val eT = s.table(eName(t))
     val deg0 = eT.groupBy("sk").agg(count(lit(1)).as("n"))
     val pairs = eT.alias("a")
@@ -161,11 +175,13 @@ object GraphStage {
           (col("nu") + col("nv") - col("common")), 6).as("j"))
       .repartition(b, col("u"))
     Sources.writeBucketed(sim0, simName(t), "u", b)
+    }
 
     // directed weighted kNN: top-3 by similarity per node over the
     // symmetrized pairs — written first so the undirected set is a
     // cheap projection of the round-tripped table, and the recommender
     // consumes the weights without re-running the union + window
+    ph("knn_directed") {
     val simT = s.table(simName(t))
     val dir = simT.select(col("u").as("o"), col("v").as("cand"), col("j"))
       .unionByName(simT.select(col("v").as("o"), col("u").as("cand"), col("j")))
@@ -176,13 +192,16 @@ object GraphStage {
       .select("o", "cand", "j")
       .repartition(b, col("o"))
     Sources.writeBucketed(knn0, knnDirName(t), "o", b)
+    }
     // undirected canonicalized kNN edges (u < v)
+    ph("knn_undirected") {
     val und0 = s.table(knnDirName(t))
       .select(least(col("o"), col("cand")).as("u"),
         greatest(col("o"), col("cand")).as("v"))
       .distinct()
       .repartition(b, col("u"))
     Sources.writeBucketed(und0, undName(t), "u", b)
+    }
     }
   }
 }
