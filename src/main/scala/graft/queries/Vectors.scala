@@ -724,8 +724,25 @@ object Vectors {
     * resolution and the pair-volume bound.
     */
   private[graft] val TargetCell = 200
+
+  /** Ceiling on the driver-held quantizer (r18): cells × 64 dims × 8 B
+    * ≈ 17 MB collected between Lloyd iterations and shipped as ONE
+    * broadcast row, with map-only assignment costing k·dim ≈ 2M flops
+    * per corpus row at the cap — both fine on a cluster, but neither
+    * may grow UNBOUNDED with the corpus (an uncapped n/200 would
+    * collect 25M cells for a 5B-vector corpus). Up to
+    * n = CellMax × TargetCell (≈6.5M vectors) the expected cell stays
+    * ≤ TargetCell and pair volume is linear (the SemDeDup regime);
+    * beyond it the expected cell grows ∝ n/CellMax — the single-level
+    * quantizer's regime boundary, where production moves to a
+    * hierarchical (coarse cell → per-cell residual sub-quantizer)
+    * assignment, the IVF-PQ posture, rather than an unbounded driver
+    * collect. VectorCellSpec pins both regimes.
+    */
+  private[graft] val CellMax = 1 << 15
   private[graft] def cellCount(n: Long): Int =
-    math.max(10L, (n + TargetCell - 1) / TargetCell).toInt
+    math.min(math.max(10L, (n + TargetCell - 1) / TargetCell),
+      CellMax.toLong).toInt
 
   /** `emb` plus a `ds` column: the per-row ASCENDING array of
     * struct(d2, id) over the driver-held centroid set — element_at 1 is

@@ -11,16 +11,23 @@ import org.apache.spark.sql.functions._
 class VectorCellSpec extends SparkSpec {
 
   test("cellCount: resolves to the oracle's k=10 at test sizes, grows linearly beyond") {
-    import queries.Vectors.{cellCount, TargetCell}
+    import queries.Vectors.{cellCount, CellMax, TargetCell}
     // every test SF (embeddings: 500 / 500 / 2000 rows) pins the k the
     // DuckDB oracles hardcode
     for (n <- Seq(500L, 2000L)) assert(cellCount(n) === 10, s"n=$n")
-    // beyond the floor, k tracks the corpus: expected cell ≤ TargetCell
-    for (n <- Seq(10_000L, 1_000_000L, 5_000_000_000L)) {
+    // linear regime: k tracks the corpus, expected cell ≤ TargetCell,
+    // up to the driver-held quantizer's ceiling
+    for (n <- Seq(10_000L, 1_000_000L, CellMax.toLong * TargetCell)) {
       val k = cellCount(n)
       assert((n + k - 1) / k <= TargetCell, s"n=$n k=$k expected cell too big")
     }
     assert(cellCount(1_000_000L) === 5000)
+    // bounded regime (r18): k never outgrows what the driver can hold
+    // and a row can be assigned against map-only — beyond the boundary
+    // the expected cell grows and a hierarchical quantizer takes over
+    // (the cellCount scaladoc's documented trade)
+    for (n <- Seq(10_000_000L, 5_000_000_000L))
+      assert(cellCount(n) === CellMax, s"n=$n must cap at CellMax")
   }
 
   test("semantic-dedup pair volume is bounded by n x TargetCell (the linear invariant)") {
