@@ -1033,13 +1033,35 @@ object Commit {
     if (!enabled) (body, 0L)
     else { val t0 = System.nanoTime(); val r = body; (r, System.nanoTime() - t0) }
 
+  /** Per-root writer serialization (r18). A publish is
+    * read-prev → write-data → claim-version → swap-pointer; two
+    * writers on the SAME table interleaving between another's
+    * manifest create and pointer swap could carry forward from a
+    * stale prev (silently dropping the other's bucket rewrite) and
+    * then race the last-rename-wins pointer. Same-version claims
+    * already lose loudly (exclusive manifest create); this lock closes
+    * the cross-version window for every writer in THIS driver — which
+    * is the deployment posture: a table's maintainers (statusUpsert,
+    * refreshHourly, optimizeBuckets, vacuum) all run in the table's
+    * one writer JVM. Writers in DIFFERENT JVMs remain governed by the
+    * single-writer-per-table contract and need external coordination —
+    * the same boundary Delta's S3 LogStore draws (HDFS gets atomic
+    * exclusive create; object stores need a coordinator).
+    */
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withWriterLock[T](root: String)(body: => T): T = {
+    val lock = writerLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized(body)
+  }
+
   private def publish(spark: SparkSession, root: String,
       expectBuckets: Option[Set[Int]] = None,
       bucketedWriter: Boolean = false,
       declaredLayout: Option[Layout] = None,
       fullRewrite: Boolean = false,
       appTxn: Option[(String, Long)] = None)
-      (write: String => Unit): Long = {
+      (write: String => Unit): Long = withWriterLock(root) {
     val f = fs(spark, root)
     // timing is wanted when either the env knob prints stderr lines OR
     // a measurement main turned on PhaseTimer's in-process sink
@@ -1498,6 +1520,7 @@ object Commit {
     */
   def vacuum(spark: SparkSession, root: String, retain: Int = 1): Unit = {
     require(retain >= 1, s"vacuum must retain the current version; got $retain")
+    withWriterLock(root) {
     val f = fs(spark, root)
     if (current(spark, root).nonEmpty) {
       val keep = history(spark, root).take(retain)
@@ -1512,6 +1535,7 @@ object Commit {
             n.startsWith(s".$Pointer.tmp-")
         if (stale) f.delete(p, true)
       }
+    }
     }
   }
 }
