@@ -236,31 +236,83 @@ object Bench {
     val total = results.map(_._2).sum
     // Calibration controls: cross-round quiet totals have moved ~20% on
     // host weather alone (r15 101.4 s -> r16 123.4 s with untouched
-    // CPU-bound queries shifting uniformly). Five never-touched, tight
-    // CPU-bound iteration queries (power iteration, pagerank, BPE
-    // merges, Lloyd, ACF) are pinned with their reference medians from
-    // the r16 quiet committed run; controls_ratio = median over the
-    // controls of (this run's median / pinned reference median) is THIS
-    // box-and-day's speed relative to the reference run, and
-    // value_normalized = value / controls_ratio is the host-speed-
-    // normalized total that is comparable across rounds without
-    // forensics. If a control query's plan is ever changed, re-pin its
-    // reference median in the same commit.
-    val controlRefMedians = Seq( // r16 quiet run (contended=false)
-      "q_pca_power" -> 1.934, "q_pagerank" -> 1.749,
-      "q_bpe_merges" -> 1.030, "q_kmeans_lloyd" -> 1.216,
-      "q_acf" -> 0.751)
+    // CPU-bound queries shifting uniformly). controls_ratio = median
+    // over the controls of (this run's median / pinned reference
+    // median) is THIS box-and-day's speed relative to the reference
+    // run, and value_normalized = value / controls_ratio is the
+    // host-speed-normalized total comparable across rounds.
+    //
+    // FREEZE RULE (r18 verdict #1 — the r16 set was contaminated: 3 of
+    // its 5 controls were active optimization targets, so the
+    // calibrator moved with the code it was supposed to normalize):
+    // a control is valid ONLY while its measured code path is frozen.
+    // The set is therefore (a) two SYNTHETIC controls defined below in
+    // this file, outside SparkEntry.queries, structurally exempt from
+    // query optimization and independent of the SF data (valid at any
+    // SF); and (b) two suite queries (power iteration, pagerank)
+    // declared FROZEN: their implementation must not be touched, and
+    // any commit that does touch their code path MUST re-pin their
+    // reference medians from a fresh quiet run in the same commit.
+    // All four medians below were pinned from one quiet full-suite run
+    // (contended=false, loadavg<1) at r19 HEAD; a second same-code
+    // quiet run agreed on value_normalized within the ~5% gate.
+    val syntheticControls: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = {
+      import org.apache.spark.sql.functions._
+      Seq(
+        // tight per-row CPU: 48 chained xxhash64 rounds over 8M longs,
+        // one whole-stage-codegen span, no IO, no shuffle of note
+        "ctl_cpu_mix" -> ((s: SparkSession, _: String) => {
+          val mixed = (1 to 48).foldLeft(col("id")) {
+            (c, i) => xxhash64(c, lit(i))
+          }
+          s.range(0, 8L * 1000 * 1000, 1, 32).toDF("id")
+            .agg(max(mixed).as("m"), min(mixed).as("n"))
+        }),
+        // one hash-agg exchange over 6M rows / 300k groups: calibrates
+        // the shuffle+agg machinery the CPU control doesn't touch
+        "ctl_shuffle_agg" -> ((s: SparkSession, _: String) => {
+          s.range(0, 6L * 1000 * 1000, 1, 32).toDF("id")
+            .groupBy((col("id") % 300000).as("k"))
+            .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
+            .agg(max("c").as("c"), max("s").as("s"), count(lit(1)).as("g"))
+        }))
+    }
+    // synthetics run through the SAME timed protocol (untimed warm +
+    // iters, GC between); skipped on filtered runs and at
+    // off-reference cpu counts (their pins are invalid there — see
+    // ControlRefCpus below) unless asked for by name, so local
+    // 1-query iteration and driver runs stay lean
+    val syntheticResults: Map[String, Double] =
+      if ((only.nonEmpty || cpus != "32") &&
+          !only.exists(_.startsWith("ctl_"))) Map.empty
+      else syntheticControls.map { case (name, fn) =>
+        val ts = timed(name, fn, iters)
+        System.gc()
+        name -> median(ts)
+      }.toMap
+    // query-control medians are sf0.1 full-suite numbers — at any other
+    // SF they measure DATA SCALE, not host speed. ALL control medians
+    // (including the data-independent synthetics) are additionally
+    // valid only at the cpu count they were pinned at: local[32] vs
+    // local[16] moves an embarrassingly-parallel control ~2× with zero
+    // host-speed change, so a cpus-mismatched ratio calibrates the
+    // THREAD COUNT, not the box. 32 is the committed-quiet-artifact
+    // convention every cross-round comparison uses.
+    val ControlRefCpus = "32"
+    val cpusMatch = cpus == ControlRefCpus
+    val sfIsRef = sfDir.stripSuffix("/").endsWith("sf0.1")
+    val controlRefMedians =
+      if (!cpusMatch) Nil
+      else (if (sfIsRef) Seq("q_pca_power" -> 2.107, "q_pagerank" -> 1.475)
+            else Nil) ++
+        Seq("ctl_cpu_mix" -> 2.206, "ctl_shuffle_agg" -> 0.982)
     val resultsMap = results.toMap
-    // the reference medians were measured at sf0.1 — at any other SF
-    // the controls measure DATA SCALE, not host speed, and normalizing
-    // by them would fabricate a garbage cross-round number; emit the
-    // identity calibration instead
-    val controlsValid = sfDir.stripSuffix("/").endsWith("sf0.1")
-    val controlRatios =
-      if (!controlsValid) Nil
-      else controlRefMedians.flatMap { case (q, ref) =>
-        resultsMap.get(q).map(cur => q -> cur / ref)
-      }
+    val controlObs = resultsMap ++ syntheticResults
+    val controlRatios = controlRefMedians.flatMap { case (q, ref) =>
+      controlObs.get(q).map(cur => q -> cur / ref)
+    }
+    val controlsValid = controlRatios.nonEmpty
     val controlsRatio =
       if (controlRatios.isEmpty) 1.0 else median(controlRatios.map(_._2))
     val totalNormalized = total / controlsRatio
@@ -426,7 +478,7 @@ object Bench {
     // git HEAD they ran at plus a dirty flag, so cross-run comparison is
     // HEAD-equality, not forensics. Read from .git directly (no exec);
     // the porcelain call is best-effort and degrades to null.
-    val gitHead: String = try {
+    val gitHeadDirect: String = try {
       val gitDir = java.nio.file.Paths.get("/root/repo/.git")
       val head = java.nio.file.Files.readString(gitDir.resolve("HEAD")).trim
       if (!head.startsWith("ref: ")) head
@@ -443,6 +495,22 @@ object Bench {
         }
       }
     } catch { case _: Throwable => "unknown" }
+    // the direct read only understands 'ref:' + packed-refs — a
+    // worktree/submodule layout where .git is a 'gitdir:' pointer file
+    // would silently stamp the pointer text, weakening the
+    // HEAD-equality comparison the stamp exists for. Anything that
+    // isn't a 40-hex sha falls back to the porcelain (same best-effort
+    // path git_dirty already uses).
+    val gitHead: String =
+      if (gitHeadDirect.matches("[0-9a-f]{40}")) gitHeadDirect
+      else try {
+        val p = new ProcessBuilder("git", "-C", "/root/repo",
+          "rev-parse", "HEAD").redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out
+        else "unknown"
+      } catch { case _: Throwable => "unknown" }
     val gitDirty: String = try {
       val p = new ProcessBuilder("git", "-C", "/root/repo", "status",
         "--porcelain").redirectErrorStream(true).start()
@@ -452,14 +520,30 @@ object Bench {
     } catch { case _: Throwable => "null" }
     val controlRefMap = controlRefMedians.toMap
     val controlsJson = controlRatios.map { case (q, ratio) =>
-      s"\"" + q + "\":{\"median\":" + f2(resultsMap(q)) +
+      s"\"" + q + "\":{\"median\":" + f2(controlObs(q)) +
         ",\"reference\":" + controlRefMap(q) + ",\"ratio\":" + f2(ratio) + "}"
     }.mkString("{", ",", "}")
     // A filtered run (SPARK_GRAFT_BENCH_ONLY) is a local-iteration tool;
     // it must never clobber the committed full-suite artifact (a 1-query
     // partial once replaced the 209-query detail the grader reads).
-    val detailPath = if (only.isEmpty) "/root/repo/BENCH_DETAIL.json"
-      else "/root/repo/BENCH_DETAIL_partial.json"
+    // Likewise a CONTENDED or off-reference-SF run must not shadow a
+    // committed QUIET artifact's provenance (r18 verdict #8: the
+    // driver's contended run clobbered the quiet detail in the working
+    // tree every round): those runs divert to a suffixed file unless
+    // SPARK_GRAFT_BENCH_FORCE=1 explicitly overrides.
+    val detailPath = {
+      val base = if (only.isEmpty) "/root/repo/BENCH_DETAIL.json"
+        else "/root/repo/BENCH_DETAIL_partial.json"
+      val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+      val existingQuiet = try java.nio.file.Files
+          .readString(java.nio.file.Paths.get(base))
+          .contains("\"contended\":false")
+        catch { case _: Throwable => false }
+      if (only.isEmpty && existingQuiet && !force && (contended || !sfIsRef))
+        "/root/repo/BENCH_DETAIL_" +
+          (if (contended) "contended" else sfTag.replace('/', '_')) + ".json"
+      else base
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
       s"""{"metric":"total","value":$total,"unit":"sec","git_head":"$gitHead","git_dirty":$gitDirty,"value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls_valid":$controlsValid,"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs pinned r16 quiet control medians)"}""")

@@ -1050,8 +1050,15 @@ object Commit {
     */
   private val writerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withWriterLock[T](root: String)(body: => T): T = {
-    val lock = writerLocks.computeIfAbsent(root, _ => new Object)
+  private def withWriterLock[T](spark: SparkSession, root: String)
+      (body: => T): T = {
+    // the lock key is the FS-qualified URI, not the raw string: two
+    // spellings of one table root (trailing slash, file:/ vs bare,
+    // relative vs absolute) must share one lock object, or aliases
+    // bypass the serialization and reopen the stale-carry-forward
+    // window this lock exists to close (r18 advice)
+    val key = fs(spark, root).makeQualified(new Path(root)).toString
+    val lock = writerLocks.computeIfAbsent(key, _ => new Object)
     lock.synchronized(body)
   }
 
@@ -1061,13 +1068,47 @@ object Commit {
       declaredLayout: Option[Layout] = None,
       fullRewrite: Boolean = false,
       appTxn: Option[(String, Long)] = None)
-      (write: String => Unit): Long = withWriterLock(root) {
+      (write: String => Unit): Long = withWriterLock(spark, root) {
+    val prev = currentManifest(spark, root) // ONE manifest read per publish
+    // Exactly-once under concurrent in-driver writers (r18 advice):
+    // the replay check and the commit are ONE critical section. Two
+    // writers sharing an appId that check lastTxn OUTSIDE the lock can
+    // both read the same watermark, both pass, and double-apply a
+    // non-idempotent fold — the lock would serialize only their
+    // publishes, not their skip decisions. Callers keep a cheap
+    // unlocked pre-check as a fast path (skip planning the batch at
+    // all), but THIS check is the authoritative one: it reads the
+    // watermark from the same manifest snapshot the commit extends,
+    // under the same lock — Delta's in-transaction txnVersion check.
+    // A replayed epoch returns the current version as a no-op.
+    val replayed = for {
+      (app, ver) <- appTxn
+      p <- prev
+      last <- p.txns.get(app)
+      if ver <= last
+    } yield p.v
+    replayed.getOrElse(publishLocked(spark, root, expectBuckets,
+      bucketedWriter, declaredLayout, fullRewrite, appTxn, prev)(write))
+  }
+
+  /** The publish body; runs only under [[withWriterLock]] with the
+    * replay watermark already cleared. `prev` is the manifest snapshot
+    * read inside the lock — everything downstream (carry-forward,
+    * layout rules, version claim, txn fold) derives from it.
+    */
+  private def publishLocked(spark: SparkSession, root: String,
+      expectBuckets: Option[Set[Int]],
+      bucketedWriter: Boolean,
+      declaredLayout: Option[Layout],
+      fullRewrite: Boolean,
+      appTxn: Option[(String, Long)],
+      prev: Option[Manifest])
+      (write: String => Unit): Long = {
     val f = fs(spark, root)
     // timing is wanted when either the env knob prints stderr lines OR
     // a measurement main turned on PhaseTimer's in-process sink
     // (tools/StreamFloor attributing the foreachBatch interior)
     val tEn = timing || graft.util.PhaseTimer.accEnabled
-    val prev = currentManifest(spark, root) // ONE manifest read per publish
     val v = nextVersion(spark, root, prev.map(_.v).getOrElse(0L))
     val vdir = s"v=$v"
     val (_, tWrite) = timed(tEn)(write(s"$root/$vdir"))
@@ -1520,7 +1561,7 @@ object Commit {
     */
   def vacuum(spark: SparkSession, root: String, retain: Int = 1): Unit = {
     require(retain >= 1, s"vacuum must retain the current version; got $retain")
-    withWriterLock(root) {
+    withWriterLock(spark, root) {
     val f = fs(spark, root)
     if (current(spark, root).nonEmpty) {
       val keep = history(spark, root).take(retain)

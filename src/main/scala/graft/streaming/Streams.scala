@@ -385,6 +385,15 @@ object Streams {
     * correctness one: a replayed epoch after a crash skips instead of
     * committing a redundant version (pointless bucket rewrite + a
     * manifest the next vacuum has to reclaim).
+    *
+    * appId ⇄ checkpoint coupling: the appId must be 1:1 with the
+    * stream's checkpoint location (epoch ids restart at 0 under a
+    * fresh checkpoint; a stale watermark would then skip live batches
+    * — harmless here only because this merge is content-idempotent
+    * and a LATER batch re-delivers the state, but still a lost write
+    * until then). Change one, change both; concurrent queries on one
+    * table need distinct appIds. See GoldStage.hourlyMaintainer for
+    * the non-idempotent case where this is silent data loss.
     */
   def statusMaintainer(statusPath: String, buckets: Int = 16,
       appId: String = "status_upsert"): (DataFrame, Long) => Unit =
@@ -393,6 +402,9 @@ object Streams {
 
   private def statusUpsertInner(batch: DataFrame, statusPath: String,
       buckets: Int, txn: Option[(String, Long)]): Unit = {
+    // fast path only — the authoritative check re-runs inside
+    // Commit.publish under the writer lock (efficiency here either
+    // way: this merge is content-idempotent)
     for ((app, epoch) <- txn; last <- graft.sources.Commit.lastTxn(
         batch.sparkSession, statusPath, app))
       if (epoch <= last) return // replayed epoch: already applied

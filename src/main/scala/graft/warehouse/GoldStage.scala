@@ -288,6 +288,12 @@ object GoldStage {
     */
   def refreshHourly(batch: DataFrame, path: String, buckets: Int = 16,
       txn: Option[(String, Long)] = None): Unit = {
+    // FAST PATH only: skip planning the merge for an epoch that
+    // already landed. The AUTHORITATIVE replay check runs inside
+    // Commit.publish under the per-root writer lock (one critical
+    // section with the commit), so two in-driver writers sharing an
+    // appId cannot both pass a stale read here and double-fold — the
+    // second one's publish no-ops at the watermark (r18 advice).
     for ((app, epoch) <- txn; last <- graft.sources.Commit.lastTxn(
         batch.sparkSession, path, app))
       if (epoch <= last) return // replayed epoch: its fold already landed
@@ -380,6 +386,16 @@ object GoldStage {
     * version, so a replayed micro-batch — crash after publish, before
     * the stream's checkpoint commit — is detected against the
     * manifest watermark and skipped instead of double-folded.
+    *
+    * '''appId ⇄ checkpoint coupling (user obligation, same as
+    * Delta's txnAppId contract):''' the appId must be 1:1 with the
+    * stream's CHECKPOINT LOCATION — epoch ids restart at 0 whenever a
+    * query gets a fresh checkpoint, so a maintainer restarted with a
+    * new checkpoint but the old appId would see every fresh batch's
+    * epoch ≤ the table's persisted watermark and SILENTLY SKIP it
+    * (data loss, not a replay). Change one, change both. Likewise two
+    * concurrent queries feeding one table must not share this default
+    * appId: give each its own.
     */
   def hourlyMaintainer(path: String, buckets: Int = 16,
       appId: String = "gold_hourly"): (DataFrame, Long) => Unit =

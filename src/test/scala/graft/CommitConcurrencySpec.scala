@@ -85,4 +85,109 @@ class CommitConcurrencySpec extends SparkSpec {
         s"CDF from the baseline does not converge bucket $t")
     }
   }
+
+  test("a replayed txn epoch no-ops atomically inside publish: " +
+      "current version returned, nothing written") {
+    val root = graft.util.TempRoot.freshDir("commit-replay").toString + "/t"
+    def df(v: Double) = Seq((1L, v)).toDF("user_id", "v")
+      .withColumn("bucket", lit(1))
+    val v1 = Commit.publishBuckets(df(1.0), root, txn = Some(("app", 7L)))
+    // same epoch again: the in-lock watermark check must return the
+    // CURRENT version without invoking the writer at all — no fresh
+    // version dir, no garbage for vacuum, content unchanged
+    val v2 = Commit.publishBuckets(df(999.0), root, txn = Some(("app", 7L)))
+    assert(v2 === v1, s"replayed epoch bumped the version: $v1 -> $v2")
+    assert(Commit.current(spark, root).get._1 === v1)
+    val got = Commit.read(spark, root).get
+      .select("v").as[Double].collect().toSeq
+    assert(got === Seq(1.0), s"replayed epoch changed content: $got")
+    // a LOWER epoch is equally a replay
+    assert(Commit.publishBuckets(df(888.0), root,
+      txn = Some(("app", 3L))) === v1)
+    // the next epoch applies normally
+    val v3 = Commit.publishBuckets(df(2.0), root, txn = Some(("app", 8L)))
+    assert(v3 === v1 + 1)
+    assert(Commit.lastTxn(spark, root, "app") === Some(8L))
+  }
+
+  test("racing writers sharing one appId+epoch apply EXACTLY once: " +
+      "the skip decision is inside the writer lock") {
+    // the r18 advice scenario: both writers pass an UNLOCKED fast-path
+    // watermark read (no watermark yet), then race publish. The
+    // authoritative in-lock check must let exactly one commit — for a
+    // non-idempotent fold (GoldStage.refreshHourly) the loser
+    // double-folding would silently double-count the hour.
+    val root = graft.util.TempRoot.freshDir("commit-dup").toString + "/t"
+    val Threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Threads)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val futs = (0 until Threads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          try Commit.publishBuckets(
+            Seq((1L, (t + 1).toDouble)).toDF("user_id", "v")
+              .withColumn("bucket", lit(1)),
+            root, txn = Some(("shared", 1L)))
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing duplicate publish threw: ${errs.peek()}")
+    // exactly ONE of the four committed: one version, one row, and the
+    // row is whichever writer won (any single t+1 is a correct serial
+    // order; two folds would show as a second version)
+    assert(Commit.current(spark, root).get._1 === 1L,
+      "duplicate epoch committed more than once")
+    val got = Commit.read(spark, root).get
+      .select("v").as[Double].collect().toSeq
+    assert(got.size === 1 && got.head >= 1.0 && got.head <= Threads.toDouble)
+    assert(Commit.lastTxn(spark, root, "shared") === Some(1L))
+  }
+
+  test("GoldStage.refreshHourly racing one epoch folds exactly once") {
+    val path = graft.util.TempRoot.freshDir("gold-dup").toString + "/hourly"
+    val ev = Tables.events(spark, sf0001).filter(col("event_id") % 10 === 0)
+    // baseline epoch so the racing fold has existing state to corrupt
+    graft.warehouse.GoldStage.refreshHourly(ev, path,
+      txn = Some(("gold_race", 1L)))
+    val once = graft.warehouse.GoldStage.readHourly(spark, path).get
+      .agg(sum("v_sum").cast("string"), sum("n")).collect()(0)
+    val Threads = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Threads)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val futs = (0 until Threads).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          // all three are THE SAME micro-batch replayed (one epoch):
+          // an additive fold landing twice double-counts every row
+          try graft.warehouse.GoldStage.refreshHourly(ev, path,
+            txn = Some(("gold_race", 2L)))
+          catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    gate.countDown()
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(errs.isEmpty, s"racing refreshHourly threw: ${errs.peek()}")
+    val after = graft.warehouse.GoldStage.readHourly(spark, path).get
+      .agg(sum("v_sum").cast("string"), sum("n")).collect()(0)
+    // epoch 2 applied exactly once: totals are exactly 2× the baseline
+    // fold (same batch twice), never 3–4× (double/triple-folded racers)
+    assert(after.getLong(1) === 2 * once.getLong(1),
+      s"epoch folded ${after.getLong(1).toDouble / once.getLong(1)}× " +
+        "instead of once")
+    assert(java.math.BigDecimal.ONE.multiply(
+      new java.math.BigDecimal(once.getString(0))).add(
+      new java.math.BigDecimal(once.getString(0)))
+      .compareTo(new java.math.BigDecimal(after.getString(0))) === 0,
+      s"v_sum ${after.getString(0)} is not exactly 2× ${once.getString(0)}")
+  }
 }

@@ -128,14 +128,31 @@ class CommitFuzzSpec extends SparkSpec {
 
       def publish(only: Option[Set[Int]],
           txn: Option[(String, Long)] = None): Unit = {
+        // r19: a replayed epoch (e <= watermark) NO-OPS atomically
+        // inside publish — the data must not land, the version must
+        // not move, and the watermark must not rewind. The fuzz
+        // asserts all three on every replayed publish it generates.
+        val replay = txn.exists { case (app, e) =>
+          wm.get(app).exists(e <= _)
+        }
+        val headBefore = Commit.current(spark, root).map(_._1)
         val v = Commit.publishBuckets(toDf(model, evolved, only, mod), root,
           layout = Some(Commit.Layout(mod, "coalesce(user_id, 0)")),
           txn = txn)
-        txn.foreach { case (app, e) =>
-          wm += app -> math.max(wm.getOrElse(app, Long.MinValue), e)
+        if (replay)
+          assert(Some(v) === headBefore,
+            s"seed=$seed: replayed epoch $txn bumped the version " +
+              s"$headBefore -> $v instead of no-opping")
+        else {
+          txn.foreach { case (app, e) =>
+            wm += app -> math.max(wm.getOrElse(app, Long.MinValue), e)
+          }
+          cursors :+= (v, Snap(model, evolved))
         }
-        cursors :+= (v, Snap(model, evolved))
       }
+      /** Whether `txn` would be skipped as a replay by publish. */
+      def isReplay(txn: Option[(String, Long)]): Boolean =
+        txn.exists { case (app, e) => wm.get(app).exists(e <= _) }
       def randomTxn(): Option[(String, Long)] =
         if (rng.nextDouble() >= 0.4) None
         else {
@@ -182,6 +199,12 @@ class CommitFuzzSpec extends SparkSpec {
           // bucket-scoped rewrite: choose buckets, mutate their keys
           val bs = (0 until mod).filter(_ => rng.nextBoolean()).toSet
           val chosen = if (bs.isEmpty) Set(rng.nextInt(mod)) else bs
+          // decide the txn BEFORE mutating: a replayed epoch's publish
+          // is skipped, so its mutation never lands — the model must
+          // roll back to stay in lockstep with the table
+          val txn = randomTxn()
+          val replayed = isReplay(txn) // BEFORE publish advances wm
+          val modelBefore = model
           // mutate: update / retire / insert within the chosen buckets
           model.foreach { case (k, v) =>
             if (chosen.contains(bucketOf(k, mod))) {
@@ -206,7 +229,8 @@ class CommitFuzzSpec extends SparkSpec {
             if (!model.keys.exists(k => bucketOf(k, mod) == b))
               model += (Some((40L * mod + b)): Key) -> 1.0
           }
-          publish(Some(chosen), randomTxn())
+          publish(Some(chosen), txn)
+          if (replayed) model = modelBefore // skipped: nothing landed
         }
         // the watermark agrees with the model after EVERY op — however
         // the op mixed publishes, re-buckets, txn advances, replays
