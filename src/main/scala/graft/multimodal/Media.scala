@@ -292,6 +292,128 @@ object Media {
       }(enc)
   }
 
+  /** Output schema of [[codecRoundtrip]]. */
+  val codecRoundtripSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("roundtrip_ok", IntegerType, nullable = false),
+    StructField("jpeg_w", IntegerType, nullable = false),
+    StructField("jpeg_h", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("resize_md5", StringType, nullable = false)))
+
+  /** Real-codec ENCODE→DECODE round trip (r18 verdict #7): unlike the
+    * other image fixtures (hand-rolled stored-deflate PNG), the bytes
+    * here are produced by the JDK's actual PNG ENCODER
+    * (`ImageIO.write` — real compressed deflate, filter heuristics,
+    * the bytes a production corpus would hold) and read back by the
+    * actual decoder, so the gate covers the full codec round trip on
+    * real compressed bitstreams, not just the decode of a synthetic
+    * container.
+    *
+    * Per image doc (doc_id % 3 = 0): build the closed-form bitmap
+    * (same pixel formulas as [[pngBytes]]), encode PNG, decode, and
+    * report (a) `roundtrip_ok` — the decoded raster is PIXEL-EXACT
+    * equal to the construction (PNG is lossless; any codec bug flips
+    * this to 0); (b) a JPEG leg encoded+decoded for DIMENSIONS only
+    * (lossy pixels carry no oracle); (c) a 2×2 area-mean downsample of
+    * the DECODED raster (exact integer math: floor of the 4-pixel
+    * channel sum / 4) rendered canonically (`r,g,b` pixels joined by
+    * `;`, row-major) and md5-hashed — the oracle computes the same
+    * hash closed-form from the pixel formulas, so the hashes agree
+    * ONLY if the real codec returned every byte faithfully.
+    *
+    * Scale shape: one mapPartitions pass, codec work per row in
+    * executors, no payload bytes cross a shuffle; the output is
+    * k-columns-per-doc. Identical plumbing at 100 TB with the binary
+    * column read from parquet instead of constructed.
+    */
+  def codecRoundtrip(documents: DataFrame): DataFrame = {
+    val enc = Encoders.row(codecRoundtripSchema)
+    documents.filter(col("doc_id") % 3 === 0).select("doc_id")
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = imgW(id); val h = imgH(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rr = ((x * 7 + y * 13 + id) % 256).toInt
+              val gg = ((x * 3 + y * 5 + id * 11) % 251).toInt
+              val bb = ((x + y * 17 + id * 29) % 241).toInt
+              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+              x += 1
+            }
+            y += 1
+          }
+          val pngOut = new ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", pngOut),
+            s"doc $id: no PNG encoder available")
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(pngOut.toByteArray))
+          require(dec != null, s"doc $id: encoder output not decodable")
+          var ok = dec.getWidth == w && dec.getHeight == h
+          if (ok) {
+            var yy = 0
+            while (ok && yy < h) {
+              var xx = 0
+              while (ok && xx < w) {
+                ok = (dec.getRGB(xx, yy) & 0xffffff) ==
+                  (img.getRGB(xx, yy) & 0xffffff)
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          val jpgOut = new ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", jpgOut),
+            s"doc $id: no JPEG encoder available")
+          val jdec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpgOut.toByteArray))
+          require(jdec != null, s"doc $id: JPEG output not decodable")
+          val ow = w / 2; val oh = h / 2
+          val sb = new java.lang.StringBuilder(ow * oh * 12)
+          var oy = 0
+          while (oy < oh) {
+            var ox = 0
+            while (ox < ow) {
+              def chan(shift: Int): Int = {
+                var s = 0
+                var dy = 0
+                while (dy < 2) {
+                  var dx = 0
+                  while (dx < 2) {
+                    s += (dec.getRGB(2 * ox + dx, 2 * oy + dy) >> shift) & 0xff
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                s / 4
+              }
+              if (ox > 0 || oy > 0) sb.append(';')
+              sb.append(chan(16)).append(',').append(chan(8))
+                .append(',').append(chan(0))
+              ox += 1
+            }
+            oy += 1
+          }
+          md.reset()
+          val digest = md.digest(
+            sb.toString.getBytes(StandardCharsets.UTF_8))
+          val hex = new java.lang.StringBuilder(32)
+          digest.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          Row(id, w, h, if (ok) 1 else 0, jdec.getWidth, jdec.getHeight,
+            ow, oh, hex.toString)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: one output row per sampled frame (every `step`-th
     * frame of each video). sequence+explode — a generator, not a UDF,
     * so it stays inside whole-stage codegen.

@@ -94,6 +94,59 @@ object Multimodal {
                      AS out_h
             FROM dec"""))
 
+  /** Real-codec encode→decode round-trip gate (r18 verdict #7): the
+    * JDK's actual PNG ENCODER produces real compressed bytes, the
+    * actual decoder reads them back, and the oracle recomputes the
+    * post-decode 2×2 downsample hash closed-form — green only if the
+    * codec round trip was byte-faithful. See
+    * [[graft.multimodal.Media.codecRoundtrip]].
+    */
+  val codecRoundtrip = QueryDef(
+    "q_mm_codec_roundtrip",
+    (s, d) => Media.codecRoundtrip(Tables.documents(s, d)),
+    Some("""WITH img AS (
+              SELECT doc_id,
+                     CAST(8 + doc_id % 16 AS INT) AS width,
+                     CAST(8 + (doc_id * 3) % 16 AS INT) AS height
+              FROM documents WHERE doc_id % 3 = 0),
+            rp AS (
+              SELECT i.doc_id, gy.g AS oy, gx.g AS ox,
+                CAST((  ((2*gx.g)*7   + (2*gy.g)*13   + i.doc_id) % 256
+                      + ((2*gx.g+1)*7 + (2*gy.g)*13   + i.doc_id) % 256
+                      + ((2*gx.g)*7   + (2*gy.g+1)*13 + i.doc_id) % 256
+                      + ((2*gx.g+1)*7 + (2*gy.g+1)*13 + i.doc_id) % 256)
+                     // 4 AS INT) AS r,
+                CAST((  ((2*gx.g)*3   + (2*gy.g)*5   + i.doc_id*11) % 251
+                      + ((2*gx.g+1)*3 + (2*gy.g)*5   + i.doc_id*11) % 251
+                      + ((2*gx.g)*3   + (2*gy.g+1)*5 + i.doc_id*11) % 251
+                      + ((2*gx.g+1)*3 + (2*gy.g+1)*5 + i.doc_id*11) % 251)
+                     // 4 AS INT) AS g,
+                CAST((  ((2*gx.g)   + (2*gy.g)*17   + i.doc_id*29) % 241
+                      + ((2*gx.g+1) + (2*gy.g)*17   + i.doc_id*29) % 241
+                      + ((2*gx.g)   + (2*gy.g+1)*17 + i.doc_id*29) % 241
+                      + ((2*gx.g+1) + (2*gy.g+1)*17 + i.doc_id*29) % 241)
+                     // 4 AS INT) AS b
+              -- fixed range (w,h <= 23 so out dims <= 11), bounded per
+              -- doc in WHERE: DuckDB's generate_series takes no lateral
+              -- column parameters
+              FROM img i, generate_series(0, 10) gx(g),
+                   generate_series(0, 10) gy(g)
+              WHERE gx.g < i.width // 2 AND gy.g < i.height // 2),
+            canon AS (
+              SELECT doc_id,
+                     md5(string_agg(CAST(r AS VARCHAR) || ',' ||
+                           CAST(g AS VARCHAR) || ',' ||
+                           CAST(b AS VARCHAR), ';'
+                           ORDER BY oy, ox)) AS resize_md5
+              FROM rp GROUP BY doc_id)
+            SELECT i.doc_id, i.width, i.height,
+                   1 AS roundtrip_ok,
+                   i.width AS jpeg_w, i.height AS jpeg_h,
+                   CAST(i.width // 2 AS INT) AS out_w,
+                   CAST(i.height // 2 AS INT) AS out_h,
+                   c.resize_md5
+            FROM img i JOIN canon c USING (doc_id)"""))
+
   /** Perceptual-hash-shaped media near-dup: the asset-dedup operator an
     * image/video pipeline runs (same asset re-encoded, watermarked, or
     * corrupted in one region). A real pHash derives 64 bits from a DCT
@@ -202,5 +255,6 @@ object Multimodal {
                    CAST(MAX(ABS(s)) AS INT) AS peak
             FROM f GROUP BY doc_id, n, sample_rate"""))
 
-  def all: Seq[QueryDef] = Seq(decode, frames, resize, mmPhash, audioFeatures)
+  def all: Seq[QueryDef] =
+    Seq(decode, frames, resize, mmPhash, audioFeatures, codecRoundtrip)
 }

@@ -159,4 +159,52 @@ class MediaSpec extends SparkSpec {
       assert(math.abs(ar - oar) / ar < 0.05)
     }
   }
+
+  test("codecRoundtrip: real encoder bytes survive the round trip, " +
+      "and the gate detects a corrupted raster") {
+    val out = Media.codecRoundtrip(docs).collect()
+    assert(out.nonEmpty)
+    // every image doc round-trips pixel-exactly through the REAL
+    // PNG encoder+decoder, and the JPEG leg preserves dimensions
+    out.foreach { r =>
+      assert(r.getInt(3) === 1, s"doc ${r.getLong(0)} failed round trip")
+      assert(r.getInt(4) === r.getInt(1) && r.getInt(5) === r.getInt(2),
+        s"doc ${r.getLong(0)}: JPEG dims drifted")
+      assert(r.getString(8).matches("[0-9a-f]{32}"))
+    }
+    // the hash really gates pixel content: a one-pixel perturbation of
+    // the same construction produces a different resize_md5 (i.e. a
+    // codec returning ANY wrong byte in the averaged region would fail
+    // the oracle compare, not slip through)
+    val id = out.head.getLong(0)
+    val w = Media.imgW(id); val h = Media.imgH(id)
+    def hashOf(perturb: Boolean): String = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = ((x * 7 + y * 13 + id) % 256).toInt
+        val gg = ((x * 3 + y * 5 + id * 11) % 251).toInt
+        val bb = ((x + y * 17 + id * 29) % 241).toInt
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+      }
+      if (perturb) img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x80)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new StringBuilder
+      for (oy <- 0 until h / 2; ox <- 0 until w / 2) {
+        def chan(shift: Int): Int =
+          (for (dy <- 0 to 1; dx <- 0 to 1)
+            yield (img.getRGB(2 * ox + dx, 2 * oy + dy) >> shift) & 0xff)
+            .sum / 4
+        if (ox > 0 || oy > 0) sb.append(';')
+        sb.append(chan(16)).append(',').append(chan(8))
+          .append(',').append(chan(0))
+      }
+      md.digest(sb.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(hashOf(perturb = false) === out.head.getString(8),
+      "spec-side hash does not reproduce the engine's")
+    assert(hashOf(perturb = true) !== out.head.getString(8),
+      "a perturbed raster hashed identically — the gate is blind")
+  }
 }
