@@ -1000,21 +1000,53 @@ object Commit {
     } finally in.close()
   }
 
-  private def nextVersion(spark: SparkSession, root: String,
-      committed: Long): Long = {
-    val f = fs(spark, root)
+  /** One root listing → (max version number in use, live claim-file
+    * versions). "In use" spans manifests, v-dirs (a crashed publish may
+    * have left either above the committed version — never reuse), and
+    * [[ClaimPrefix]] claim files (an IN-FLIGHT writer's version
+    * reservation — see the claim block in [[publishLocked]]).
+    */
+  private def scanVersions(f: org.apache.hadoop.fs.FileSystem,
+      root: String): (Long, Seq[Long]) = {
     val r = new Path(root)
-    // max over BOTH manifests and v-dirs: a crashed publish may have
-    // left a v-dir (or a manifest) above the committed version, and a
-    // new writer must never reuse it
-    val orphaned =
-      if (!f.exists(r)) 0L
-      else f.listStatus(r).map(_.getPath.getName).collect {
+    if (!f.exists(r)) (0L, Nil)
+    else {
+      val names = f.listStatus(r).map(_.getPath.getName)
+      val used = names.collect {
         case n if n.startsWith("v=") => n.drop(2).toLong
         case n if n.startsWith("manifest-") =>
           n.stripPrefix("manifest-").stripSuffix(".txt").toLong
-      }.foldLeft(0L)(math.max)
-    math.max(committed, orphaned) + 1
+        case n if n.startsWith(ClaimPrefix) =>
+          n.stripPrefix(ClaimPrefix).toLong
+      }
+      (used.foldLeft(0L)(math.max),
+        names.collect {
+          case n if n.startsWith(ClaimPrefix) =>
+            n.stripPrefix(ClaimPrefix).toLong
+        }.toSeq)
+    }
+  }
+
+  private def nextVersion(spark: SparkSession, root: String,
+      committed: Long): Long =
+    math.max(committed, scanVersions(fs(spark, root), root)._1) + 1
+
+  /** Version-claim files (`.claim-v=<n>`): a writer's exclusive
+    * reservation of its version number, created BEFORE any data is
+    * written and removed when the publish decides (commit or abort).
+    * Dot-prefixed so no reader's file listing ever sees one.
+    */
+  private[graft] val ClaimPrefix = ".claim-v="
+
+  /** The committed head version, from the pointer file name alone —
+    * O(1) bytes, no manifest parse. 0 = nothing committed.
+    */
+  private def committedVersion(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Long = {
+    val ptr = new Path(root, Pointer)
+    if (!f.exists(ptr)) 0L
+    else readSmall(f, ptr).trim
+      .stripPrefix("manifest-").stripSuffix(".txt").toLong
   }
 
   /** Publish a new version whose data was just written by `write`
@@ -1109,7 +1141,58 @@ object Commit {
     // a measurement main turned on PhaseTimer's in-process sink
     // (tools/StreamFloor attributing the foreachBatch interior)
     val tEn = timing || graft.util.PhaseTimer.accEnabled
-    val v = nextVersion(spark, root, prev.map(_.v).getOrElse(0L))
+    // ---- cross-JVM version claim (r19) ----------------------------
+    // The in-driver writer lock cannot see writers in OTHER JVMs. Two
+    // of those racing used to collide only at the exclusive manifest
+    // create — AFTER both had already written data into the SAME
+    // `v=N` dir (overwrite-mode writers deleting each other's files:
+    // the winner could commit a manifest over a dir the loser was
+    // still mutating). The claim file moves the collision to BEFORE
+    // any data write: a writer exclusively creates `.claim-v=<n>` for
+    // its version, so the loser refuses cleanly with ZERO bytes
+    // written. Two guards after the claim close the observable
+    // stale-carry-forward interleaves:
+    //   (a) the committed head must still be the snapshot this
+    //       publish read (a writer that committed in between would
+    //       have its bucket rewrites dropped by our carry-forward);
+    //   (b) no OTHER live claim may sit in (head, v) — that is an
+    //       in-flight writer built on the same snapshot that will
+    //       commit below us; exactly one of us may proceed, and the
+    //       lower claim wins deterministically.
+    // The claim is removed when the publish DECIDES (commit or any
+    // abort — the try/finally below), so a live claim marks exactly
+    // one in-flight publish. A writer killed -9 mid-publish leaves a
+    // stale claim that blocks later writers LOUDLY (fail-stop over
+    // liveness): [[vacuum]] reclaims decided claims (≤ head) and
+    // [[releaseClaims]] is the operator override for a crashed
+    // writer's. This is the same boundary Delta draws on S3 (no
+    // mutual-exclusion primitive ⇒ external coordination — the
+    // S3SingleDriverLogStore contract); with claims the failure mode
+    // is DETECTED refusal, never silent loss.
+    val prevV = prev.map(_.v).getOrElse(0L)
+    val (maxUsed, liveClaims) = scanVersions(f, root)
+    val v = math.max(prevV, maxUsed) + 1
+    val claimPath = new Path(root, s"$ClaimPrefix$v")
+    try f.create(claimPath, false).close() catch {
+      case e: java.io.IOException => throw new ConcurrentCommitException(v, e)
+    }
+    def abortClaim(reason: String): Nothing = {
+      try f.delete(claimPath, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new ConcurrentCommitException(v,
+        new java.io.IOException(reason), reason)
+    }
+    val head = committedVersion(f, root)
+    if (head != prevV)
+      abortClaim(s"table advanced to v=$head after this publish " +
+        s"snapshotted v=$prevV; committing would carry forward stale " +
+        "state over the newer writer's changes")
+    val inFlight = liveClaims.filter(c => c > head && c < v)
+    if (inFlight.nonEmpty)
+      abortClaim(s"writer(s) with claim(s) v=${inFlight.sorted.mkString(",")} " +
+        "are in flight below this publish's version; their commits would " +
+        "be dropped by our carry-forward — the lower claim wins")
+    try {
     val vdir = s"v=$v"
     val (_, tWrite) = timed(tEn)(write(s"$root/$vdir"))
     val newBuckets = f.listStatus(new Path(root, vdir))
@@ -1269,6 +1352,30 @@ object Commit {
         f"write=${tWrite / 1e9}%.3f harvest=${tHarvest / 1e9}%.3f " +
         f"manifest=${tCommit / 1e9}%.3f")
     v
+    } finally {
+      // the publish DECIDED (committed, refused a rail, or lost the
+      // manifest race): the claim's job is done either way
+      try f.delete(claimPath, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Remove ALL claim files under `root` — the operator override for a
+    * writer killed mid-publish (its claim blocks later writers loudly;
+    * see the claim block in [[publishLocked]]). Only safe when no
+    * writer is actually in flight — the same out-of-band judgment
+    * Delta asks of S3 users clearing a stuck lock.
+    */
+  def releaseClaims(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    if (!f.exists(r)) 0
+    else {
+      val claims = f.listStatus(r).map(_.getPath)
+        .filter(_.getName.startsWith(ClaimPrefix))
+      claims.foreach(p => f.delete(p, false))
+      claims.length
+    }
   }
 
   /** Rows written into a version dir, from parquet footer metadata
@@ -1298,9 +1405,11 @@ object Commit {
     * the caller retries the whole publish, which will claim the next
     * free version (the Delta/Iceberg optimistic-concurrency contract).
     */
-  final class ConcurrentCommitException(v: Long, cause: Throwable)
+  final class ConcurrentCommitException(v: Long, cause: Throwable,
+      detail: String = "")
     extends RuntimeException(
-      s"version $v was claimed by a concurrent writer; retry the publish",
+      s"version $v was claimed by a concurrent writer; retry the publish" +
+        (if (detail.isEmpty) "" else s" — $detail"),
       cause)
 
   /** Write + sync the manifest file, then atomically swap the pointer.
@@ -1573,7 +1682,13 @@ object Commit {
           (n.startsWith("v=") && !live.contains(n)) ||
             (n.startsWith("manifest-") && !keep.contains(
               n.stripPrefix("manifest-").stripSuffix(".txt").toLong)) ||
-            n.startsWith(s".$Pointer.tmp-")
+            n.startsWith(s".$Pointer.tmp-") ||
+            // DECIDED claims (≤ committed head) are leftovers of a
+            // publish that lost its own cleanup race; claims ABOVE the
+            // head may mark a live in-flight writer and stay
+            // ([[releaseClaims]] is the operator override)
+            (n.startsWith(ClaimPrefix) &&
+              n.stripPrefix(ClaimPrefix).toLong <= keep.max)
         if (stale) f.delete(p, true)
       }
     }

@@ -80,9 +80,24 @@ object StreamFloor {
       graft.util.TempRoot.fresh(s"ckpt_$name")
     else graft.util.TempRoot.ephemeral(s"ckpt_$name")
 
-  private def runOnce(spark: SparkSession, name: String, d: String): Run = {
+  /** r18 verdict #4: the state-store provider A/B. "rocksdb" swaps in
+    * Spark's RocksDBStateStoreProvider (bundled rocksdbjni) for the
+    * run; anything else keeps the default HDFS-backed in-memory map.
+    * Set per run, before the query starts, against a fresh checkpoint
+    * (the provider is pinned into a checkpoint at first start).
+    */
+  private val RocksCls = "org.apache.spark.sql.execution.streaming." +
+    "state.RocksDBStateStoreProvider"
+
+  private def runOnce(spark: SparkSession, name: String, d: String,
+      provider: String = "hdfs"): Run = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    val prevProv = try Some(spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksCls)
     // the upsert's foreachBatch interior (layout read, touched-bucket
     // probe, Commit.publish write/harvest/manifest) is invisible to
     // StreamingQueryProgress — it all lands in addBatch. PhaseTimer's
@@ -133,6 +148,12 @@ object StreamFloor {
     } finally {
       graft.util.PhaseTimer.accumulate(false)
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevProv match {
+        case Some(c) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", c)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       Seq("floor_attrib", "floor_attrib_outer", "floor_control_scan")
         .foreach { t =>
@@ -199,8 +220,41 @@ object StreamFloor {
       s"\"$n\":{$bySf}"
     }.mkString(",")
 
+    // ---- state-store provider A/B (r18 verdict #4) ----------------
+    // Same bounded replay, both providers, fresh checkpoints, one
+    // untimed warm per (query, provider) so RocksDB's JNI/library init
+    // is off the clock. The joins are where the floor lives (4 stores
+    // per partition); the A/B answers whether the default HDFS-backed
+    // map is the right resident for state volumes the gate sees.
+    val abQueries = Seq("q_stream_attrib", "q_stream_attrib_outer")
+    val providers = Seq("hdfs", "rocksdb")
+    val providerAb = providers.map { prov =>
+      abQueries.foreach(n => runOnce(spark, n, sfs.head, prov)) // warm
+      val byQuery = abQueries.map { n =>
+        val bySf = sfs.map { d =>
+          val best = (1 to 3).map(_ => runOnce(spark, n, d, prov))
+            .minBy(_.wallSecs)
+          val sf = d.stripPrefix("/root/testdata/")
+          val stateMs = best.stateUpdatesMs + best.stateRemovalsMs +
+            best.stateCommitMs
+          Console.err.println(
+            f"[stream-floor] AB $prov $n $sf wall=${best.wallSecs}%.2f " +
+              s"state_ms=$stateMs rows=${best.stateRowsTotal}")
+          s"""\"$sf\":{"wall_secs":${j(best.wallSecs)},""" +
+            s""""addBatch_ms":${best.durations.getOrElse("addBatch", 0L)},""" +
+            s""""state_updates_ms":${best.stateUpdatesMs},""" +
+            s""""state_removals_ms":${best.stateRemovalsMs},""" +
+            s""""state_commit_ms":${best.stateCommitMs},""" +
+            s""""state_rows_total":${best.stateRowsTotal}}"""
+        }.mkString(",")
+        s"\"$n\":{$bySf}"
+      }.mkString(",")
+      s"\"$prov\":{$byQuery}"
+    }.mkString(",")
+
     val floor =
-      s"""{"queries":{$perQuery},"cpus":"$cpus","state_partitions":$parts,""" +
+      s"""{"queries":{$perQuery},"provider_ab":{$providerAb},""" +
+        s""""cpus":"$cpus","state_partitions":$parts,""" +
         """"note":"bounded AvailableNow replay of the three slowest stream-family gate queries at two SFs, best of 3 after an untimed warm run. duration_ms_sums sum across micro-batches from StreamingQueryProgress; addBatch_split divides addBatch into the state-store share (allUpdatesTimeMs/allRemovalsTimeMs/commitTimeMs from stateOperators, summed TASK time) and the residual. control_scan is the STATELESS twin of the attrib source shape (same double scan + filters + memory sink, no join): its addBatch bounds the scan/sink/task-machinery share. r17 findings: (a) state-operator task time dominates addBatch and is ROW-COUNT-INDEPENDENT — a fixed cost per (task, store, micro-batch) unit (~70ms each; a stream-stream join runs 4 stores/partition); (b) checkpoint medium is irrelevant (ext4 vs tmpfs A/B flat) — the floor is NOT checkpoint I/O; (c) the partition sweep (SPARK_GRAFT_FLOOR_PARTS 8/4/2/1) gave wall 2.5/2.1/2.0/2.0s — the gate queries now run 2 state partitions, sized to state volume per the runToTable contract. The remaining ~1.9s floor = 2 batches x (state machinery ~270ms + scan ~130-260ms + incremental planning ~210ms + offset/WAL ~190ms). r18 finding (upsert_phases_ms, the PhaseTimer split of the foreachBatch interior): the q_stream_upsert residual is NOT the commit path — manifest write 14-19ms and footer harvest ~90ms are flat and small; it is the two per-epoch Spark jobs: the touched-bucket probe and the merge write. Re-pointing the probe at the raw key column (pruned scan + partial distinct, no max_by reduction, no cache) cut it 662->261ms and addBatch 1344->1143ms at sf0.1; the dominant remaining term is the merge-write job itself (~740ms), i.e. Spark job scheduling + the one bounded aggregation+parquet write per epoch — the actual floor of a transactional per-epoch MERGE."}"""
 
     // merge under "bounded_floor", preserving StreamBench's segments

