@@ -437,7 +437,12 @@ object ScaleBench {
       val skSuite = skewFams.flatMap(_._2)
         .map(q => q -> graft.SparkEntry.queries(q))
       val skGen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      val skPoints = Seq(("sk0.1", 1), ("sk0.3", 3)).map { case (l, kk) =>
+      // sk1 (r18 verdict #5): the skew story at the 10× point — the
+      // hot key owns ~20% of a 10×-sf0.1 fact, which is where
+      // "AQE-can't-save-you" claims must hold at 100 TB. Gated like
+      // the plain sf1 point (SPARK_GRAFT_SCALE_MAX >= 1).
+      val skPoints = (Seq(("sk0.1", 1), ("sk0.3", 3)) ++
+          (if (withSf1) Seq(("sk1", 10)) else Nil)).map { case (l, kk) =>
         val out = s"$genRoot/$l"
         val t0 = System.nanoTime()
         ScaleUp.ensureSkewed(spark, s"$testRoot/sf0.1", out, kk)
@@ -466,13 +471,21 @@ object ScaleBench {
           l -> qs.map(q => skTimes(q)(l).min).sum }
         val eTop = slope(c.map { case (l, t) => (skSfOf(l), t) })
         // contention-corrected skew cost: skewed vs plain at the SAME
-        // row count (sk0.3 vs sf0.3, both min-statistics, same session)
-        val plain03 = qs.map(q => times(q)("sf0.3").min).sum
-        val ratio = c.last._2 / math.max(plain03, 1e-9)
+        // row count (both min-statistics, same session) — sk0.3/sf0.3
+        // always, sk1/sf1 when the 10× points ran
+        val cMap = c.toMap
+        def vsPlain(skL: String, sfL: String): Option[Double] =
+          for {
+            sk <- cMap.get(skL)
+            if qs.forall(q => times(q).contains(sfL))
+          } yield sk / math.max(qs.map(q => times(q)(sfL).min).sum, 1e-9)
+        val ratio03 = vsPlain("sk0.3", "sf0.3").getOrElse(Double.NaN)
+        val ratio1 = vsPlain("sk1", "sf1")
         val secs = c.map { case (l, t) => s"\"$l\":${jNum(t)}" }
           .mkString("{", ",", "}")
         s"\"$fam\":{\"secs_min\":$secs,\"exponent_top\":${jNum(eTop)}," +
-          s"\"vs_plain_sf03\":${jNum(ratio)}}"
+          s"\"vs_plain_sf03\":${jNum(ratio03)}" +
+          ratio1.map(r => s",\"vs_plain_sf1\":${jNum(r)}").getOrElse("") + "}"
       }.mkString("{", ",", "}")
       val skPtJson = skPoints.map { case (l, d, sf) =>
         s"""{"label":"$l","sf":$sf,"dir":"$d","gen_secs":${jNum(skGen(l))}}"""
