@@ -255,7 +255,7 @@ object StreamFloor {
     val floor =
       s"""{"queries":{$perQuery},"provider_ab":{$providerAb},""" +
         s""""cpus":"$cpus","state_partitions":$parts,""" +
-        """"note":"bounded AvailableNow replay of the three slowest stream-family gate queries at two SFs, best of 3 after an untimed warm run. duration_ms_sums sum across micro-batches from StreamingQueryProgress; addBatch_split divides addBatch into the state-store share (allUpdatesTimeMs/allRemovalsTimeMs/commitTimeMs from stateOperators, summed TASK time) and the residual. control_scan is the STATELESS twin of the attrib source shape (same double scan + filters + memory sink, no join): its addBatch bounds the scan/sink/task-machinery share. r17 findings: (a) state-operator task time dominates addBatch and is ROW-COUNT-INDEPENDENT — a fixed cost per (task, store, micro-batch) unit (~70ms each; a stream-stream join runs 4 stores/partition); (b) checkpoint medium is irrelevant (ext4 vs tmpfs A/B flat) — the floor is NOT checkpoint I/O; (c) the partition sweep (SPARK_GRAFT_FLOOR_PARTS 8/4/2/1) gave wall 2.5/2.1/2.0/2.0s — the gate queries now run 2 state partitions, sized to state volume per the runToTable contract. The remaining ~1.9s floor = 2 batches x (state machinery ~270ms + scan ~130-260ms + incremental planning ~210ms + offset/WAL ~190ms). r18 finding (upsert_phases_ms, the PhaseTimer split of the foreachBatch interior): the q_stream_upsert residual is NOT the commit path — manifest write 14-19ms and footer harvest ~90ms are flat and small; it is the two per-epoch Spark jobs: the touched-bucket probe and the merge write. Re-pointing the probe at the raw key column (pruned scan + partial distinct, no max_by reduction, no cache) cut it 662->261ms and addBatch 1344->1143ms at sf0.1; the dominant remaining term is the merge-write job itself (~740ms), i.e. Spark job scheduling + the one bounded aggregation+parquet write per epoch — the actual floor of a transactional per-epoch MERGE."}"""
+        """"note":"bounded AvailableNow replay of the three slowest stream-family gate queries at two SFs, best of 3 after an untimed warm run. duration_ms_sums sum across micro-batches from StreamingQueryProgress; addBatch_split divides addBatch into the state-store share (allUpdatesTimeMs/allRemovalsTimeMs/commitTimeMs from stateOperators, summed TASK time) and the residual. control_scan is the STATELESS twin of the attrib source shape (same double scan + filters + memory sink, no join): its addBatch bounds the scan/sink/task-machinery share. r17 findings: (a) state-operator task time dominates addBatch and is ROW-COUNT-INDEPENDENT — a fixed cost per (task, store, micro-batch) unit (~70ms each; a stream-stream join runs 4 stores/partition); (b) checkpoint medium is irrelevant (ext4 vs tmpfs A/B flat) — the floor is NOT checkpoint I/O; (c) the partition sweep (SPARK_GRAFT_FLOOR_PARTS 8/4/2/1) gave wall 2.5/2.1/2.0/2.0s — the gate queries now run 2 state partitions, sized to state volume per the runToTable contract. The remaining ~1.9s floor = 2 batches x (state machinery ~270ms + scan ~130-260ms + incremental planning ~210ms + offset/WAL ~190ms). r18 finding (upsert_phases_ms, the PhaseTimer split of the foreachBatch interior): the q_stream_upsert residual is NOT the commit path — manifest write 14-19ms and footer harvest ~90ms are flat and small; it is the two per-epoch Spark jobs: the touched-bucket probe and the merge write. Re-pointing the probe at the raw key column (pruned scan + partial distinct, no max_by reduction, no cache) cut it 662->261ms and addBatch 1344->1143ms at sf0.1; the dominant remaining term is the merge-write job itself (~740ms), i.e. Spark job scheduling + the one bounded aggregation+parquet write per epoch — the actual floor of a transactional per-epoch MERGE. r19 finding (provider_ab): RocksDB vs the default HDFS-backed map at the gate state volumes (4k/40k rows) — RocksDB is uniformly SLOWER (attrib sf0.1 wall 2.39->2.86s, outer 2.30->3.12s; state task-ms ~2x, the commit leg worst: RocksDB pays checkpoint/snapshot machinery per store per epoch while 40k rows cost the in-memory map nothing). The DEFAULT STAYS: RocksDB's regime is state that outgrows executor memory (multi-GB per partition, where the map OOMs); at 100 TB the operator sizing rule is state_rows x row_width vs executor heap — switch providers per query there, not globally."}"""
 
     // merge under "bounded_floor", preserving StreamBench's segments
     val path = java.nio.file.Paths.get("/root/repo/STREAM_BENCH.json")
