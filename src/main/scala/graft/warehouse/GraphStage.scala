@@ -158,23 +158,44 @@ object GraphStage {
     }
 
     // similarity pairs: the ck-bucketed self-join needs no exchange on
-    // either side; pair volume is Σ min(deg,128)² by construction
+    // either side; pair volume is Σ min(deg,128)² by construction.
+    // The r19 cap audit (DuckDB over sf1) shows that volume is the
+    // WORK, not a tunable: max degree 102 never meets the 128 cap and
+    // cap=64 would trim pair instances only 2% — so the stage's lever
+    // is per-row cost, not row count. The 125M-instance partial agg
+    // keys on ONE packed long (u << 32 | v) instead of two longs —
+    // measured 11.5 → 8.0 s at sf1 (tools/GraphPairsProfile; the
+    // array-generation alternative loses 2× to allocation). Packing
+    // bounds the key domain: sk must fit 32 bits unsigned and u 31 —
+    // guarded once per build from the already-aggregated degree side.
     ph("sim_pairs") {
     val eT = s.table(eName(t))
-    val deg0 = eT.groupBy("sk").agg(count(lit(1)).as("n"))
-    val pairs = eT.alias("a")
-      .join(eT.alias("b"),
-        col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("common"))
-    val sim0 = pairs
-      .join(deg0.select(col("sk").as("u"), col("n").as("nu")), "u")
-      .join(deg0.select(col("sk").as("v"), col("n").as("nv")), "v")
-      .select(col("u"), col("v"), col("common"), col("nu"), col("nv"),
-        round(col("common").cast("double") /
-          (col("nu") + col("nv") - col("common")), 6).as("j"))
-      .repartition(b, col("u"))
-    Sources.writeBucketed(sim0, simName(t), "u", b)
+    // the degree side is ~n_supp rows used THREE times (key-domain
+    // guard + both jaccard joins); cached, it costs one eT scan total
+    // instead of one per use, and its known small size keeps both
+    // joins broadcast. Released before the stage returns.
+    val deg0 = eT.groupBy("sk").agg(count(lit(1)).as("n")).cache()
+    try {
+      val maxSk = deg0.agg(max(col("sk"))).head.getLong(0)
+      require(maxSk < (1L << 31),
+        s"packed pair key needs sk < 2^31, got max sk=$maxSk — widen the " +
+          "pair key (struct or decimal) before this corpus")
+      val pairs = eT.alias("a")
+        .join(eT.alias("b"),
+          col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
+        .select(shiftleft(col("a.sk"), 32).bitwiseOR(col("b.sk")).as("uv"))
+        .groupBy("uv").agg(count(lit(1)).as("common"))
+        .select(shiftright(col("uv"), 32).as("u"),
+          col("uv").bitwiseAND(lit(0xffffffffL)).as("v"), col("common"))
+      val sim0 = pairs
+        .join(broadcast(deg0.select(col("sk").as("u"), col("n").as("nu"))), "u")
+        .join(broadcast(deg0.select(col("sk").as("v"), col("n").as("nv"))), "v")
+        .select(col("u"), col("v"), col("common"), col("nu"), col("nv"),
+          round(col("common").cast("double") /
+            (col("nu") + col("nv") - col("common")), 6).as("j"))
+        .repartition(b, col("u"))
+      Sources.writeBucketed(sim0, simName(t), "u", b)
+    } finally deg0.unpersist()
     }
 
     // directed weighted kNN: top-3 by similarity per node over the
