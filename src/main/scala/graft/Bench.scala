@@ -260,20 +260,24 @@ object Bench {
         org.apache.spark.sql.DataFrame)] = {
       import org.apache.spark.sql.functions._
       Seq(
-        // tight per-row CPU: 48 chained xxhash64 rounds over 8M longs,
-        // one whole-stage-codegen span, no IO, no shuffle of note
+        // tight per-row CPU: 64 chained xxhash64 rounds over 64M longs,
+        // one whole-stage-codegen span, no IO, no shuffle of note.
+        // Sized to ~1.2 s at local[32] — well above the noise floor a
+        // 0.1 s control would drown in (SpreadMinMedianSec is 0.2 s
+        // for the same reason)
         "ctl_cpu_mix" -> ((s: SparkSession, _: String) => {
-          val mixed = (1 to 48).foldLeft(col("id")) {
+          val mixed = (1 to 64).foldLeft(col("id")) {
             (c, i) => xxhash64(c, lit(i))
           }
-          s.range(0, 8L * 1000 * 1000, 1, 32).toDF("id")
+          s.range(0, 64L * 1000 * 1000, 1, 32).toDF("id")
             .agg(max(mixed).as("m"), min(mixed).as("n"))
         }),
-        // one hash-agg exchange over 6M rows / 300k groups: calibrates
-        // the shuffle+agg machinery the CPU control doesn't touch
+        // one hash-agg exchange over 48M rows / 2.4M groups: calibrates
+        // the shuffle+agg machinery the CPU control doesn't touch;
+        // sized to ~1.3 s at local[32]
         "ctl_shuffle_agg" -> ((s: SparkSession, _: String) => {
-          s.range(0, 6L * 1000 * 1000, 1, 32).toDF("id")
-            .groupBy((col("id") % 300000).as("k"))
+          s.range(0, 48L * 1000 * 1000, 1, 32).toDF("id")
+            .groupBy((col("id") % 2400000).as("k"))
             .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
             .agg(max("c").as("c"), max("s").as("s"), count(lit(1)).as("g"))
         }))
@@ -435,6 +439,13 @@ object Bench {
         "wave). When it lands in `unresolved`, compare queries_min: " +
         "the steady mode is ~1.0-1.2 s. Also a calibration control, " +
         "so its own drift is visible in `controls`"),
+      "q_hits" -> ("durable: like q_pagerank, the 20-iteration " +
+        "hub/authority power loop JIT-ramps over SEVERAL executions, " +
+        "not just the first of a wave (r19 quiet: 2.95/2.91/2.21 then " +
+        "1.97/1.46 — monotone decrease across BOTH waves, GC shrinking " +
+        "0.27->0.02 s), so the wave-head warm_in heuristic reads it as " +
+        "bimodal. When it lands in `unresolved`, compare queries_min: " +
+        "the steady mode is ~1.4-1.6 s"),
       "q_source_overlap" -> ("r18: tools/OverlapProfile attributed the " +
         "r17 driver-bench spread (1.42-1.64 s quiet but the one " +
         "unresolved outlier under load) to the lazily-cached distinct " +
