@@ -265,21 +265,30 @@ object Bench {
         // Sized to ~1.2 s at local[32] — well above the noise floor a
         // 0.1 s control would drown in (SpreadMinMedianSec is 0.2 s
         // for the same reason)
+        // the bench TIMES fn(...).count(), and count() over a
+        // groupless aggregate PRUNES unused aggregate expressions —
+        // so the output row count must DEPEND on the hash values, or
+        // whole-stage pruning deletes the work being calibrated
+        // (measured: a 24G-hash chain "ran" in 0.24 s until the
+        // filter below forced it)
         "ctl_cpu_mix" -> ((s: SparkSession, _: String) => {
-          val mixed = (1 to 64).foldLeft(col("id")) {
+          val mixed = (1 to 48).foldLeft(col("id")) {
             (c, i) => xxhash64(c, lit(i))
           }
           s.range(0, 64L * 1000 * 1000, 1, 32).toDF("id")
-            .agg(max(mixed).as("m"), min(mixed).as("n"))
+            .select(mixed.as("h"))
+            .filter(pmod(col("h"), lit(1000000L)) === 0L)
         }),
         // one hash-agg exchange over 48M rows / 2.4M groups: calibrates
         // the shuffle+agg machinery the CPU control doesn't touch;
         // sized to ~1.3 s at local[32]
         "ctl_shuffle_agg" -> ((s: SparkSession, _: String) => {
-          s.range(0, 48L * 1000 * 1000, 1, 32).toDF("id")
-            .groupBy((col("id") % 2400000).as("k"))
+          // count() depends on the aggregated values via the filter,
+          // so the exchange + both aggregations must actually run
+          s.range(0, 24L * 1000 * 1000, 1, 32).toDF("id")
+            .groupBy((col("id") % 1200000).as("k"))
             .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
-            .agg(max("c").as("c"), max("s").as("s"), count(lit(1)).as("g"))
+            .filter(pmod(col("s") + col("c"), lit(2L)) === 0L)
         }))
     }
     // synthetics run through the SAME timed protocol (untimed warm +
