@@ -317,9 +317,13 @@ object Bench {
     val sfIsRef = sfDir.stripSuffix("/").endsWith("sf0.1")
     val controlRefMedians =
       if (!cpusMatch) Nil
-      else (if (sfIsRef) Seq("q_pca_power" -> 2.107, "q_pagerank" -> 1.475)
+      // pinned from the quiet full-suite run at b5e5f83 (total
+      // 116.11 s, loadavg 0.39, contended=false, git clean) —
+      // tools/pin_controls.py extracts these and checks the
+      // two-run agreement gate
+      else (if (sfIsRef) Seq("q_pca_power" -> 1.981, "q_pagerank" -> 1.488)
             else Nil) ++
-        Seq("ctl_cpu_mix" -> 2.206, "ctl_shuffle_agg" -> 0.982)
+        Seq("ctl_cpu_mix" -> 1.580, "ctl_shuffle_agg" -> 2.840)
     val resultsMap = results.toMap
     val controlObs = resultsMap ++ syntheticResults
     val controlRatios = controlRefMedians.flatMap { case (q, ref) =>
