@@ -1173,9 +1173,8 @@ object Commit {
     val (maxUsed, liveClaims) = scanVersions(f, root)
     val v = math.max(prevV, maxUsed) + 1
     val claimPath = new Path(root, s"$ClaimPrefix$v")
-    try f.create(claimPath, false).close() catch {
-      case e: java.io.IOException => throw new ConcurrentCommitException(v, e)
-    }
+    exclusiveCreate(f, claimPath, v).close()
+    faultPoint("after-claim")
     def abortClaim(reason: String): Nothing = {
       try f.delete(claimPath, false)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -1195,6 +1194,7 @@ object Commit {
     try {
     val vdir = s"v=$v"
     val (_, tWrite) = timed(tEn)(write(s"$root/$vdir"))
+    faultPoint("after-write")
     val newBuckets = f.listStatus(new Path(root, vdir))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).sorted.toSeq
@@ -1453,14 +1453,14 @@ object Commit {
     val body = (v.toString +: meta ++: entries.map(e => s"${e.key}\t${e.dir}"))
       .mkString("\n")
     val mf = new Path(root, name)
-    val out =
-      try f.create(mf, false)
-      catch {
-        case e: java.io.IOException => throw new ConcurrentCommitException(v, e)
-      }
+    val out = exclusiveCreate(f, mf, v)
     try {
       out.write(body.getBytes(StandardCharsets.UTF_8))
-      out.hflush(); out.hsync()
+      out match {
+        case h: org.apache.hadoop.fs.FSDataOutputStream => h.hflush(); h.hsync()
+        case l: java.io.FileOutputStream => l.flush(); l.getFD.sync()
+        case o => o.flush()
+      }
     } finally out.close()
     // stage the new pointer content beside the target, then rename
     val tmp = new Path(root, s".$Pointer.tmp-$v")
@@ -1470,6 +1470,72 @@ object Commit {
       pout.hflush(); pout.hsync()
     } finally pout.close()
     atomicRename(spark, tmp, new Path(root, Pointer))
+  }
+
+  /** Crash-fault injection point for the forked SIGKILL tests
+    * (CommitCrashSpec): when `SPARK_GRAFT_FAULT` names this point, drop
+    * the marker file `SPARK_GRAFT_FAULT_MARK` so the parent test knows
+    * the process is parked exactly here, then sleep until the parent
+    * SIGKILLs the JVM — the crash itself is a REAL kill of a real
+    * process mid-publish, only its POSITION is injected. A no-op in
+    * every other process (the env vars are only set on the forked
+    * writer's ProcessBuilder).
+    */
+  private def faultPoint(name: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_FAULT").contains(name)) {
+      sys.env.get("SPARK_GRAFT_FAULT_MARK").foreach { m =>
+        java.nio.file.Files.writeString(java.nio.file.Path.of(m), name)
+      }
+      while (true) Thread.sleep(1000L)
+    }
+
+  /** Exclusively create `p` — the mutual-exclusion primitive both the
+    * version claim and the manifest rely on. Hadoop's
+    * RawLocalFileSystem implements `create(p, overwrite=false)` as a
+    * non-atomic exists()-then-open (no O_EXCL), so on file:// two
+    * racing JVMs can BOTH win in the TOCTOU window; local paths
+    * therefore go through `java.nio.file.Files.createFile`
+    * (O_CREAT|O_EXCL, atomic on POSIX — the same local special-case
+    * [[atomicRename]] has), everything else through
+    * `FileSystem.create(p, false)` which IS atomic on HDFS.
+    *
+    * Only a lost race surfaces as [[ConcurrentCommitException]]
+    * (hadoop/nio FileAlreadyExistsException); any other IO failure —
+    * disk full, permissions, transient FS — propagates as-is so
+    * callers don't misdiagnose infrastructure as contention and retry
+    * futilely. Returns the created file's content writer (empty for
+    * marker files; the manifest writes its body through it).
+    */
+  private def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem, p: Path,
+      v: Long)
+      : java.io.OutputStream = {
+    if (f.getUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      // hadoop's create() makes parent dirs implicitly; match that
+      // (first publish to a fresh root claims before any dir exists)
+      java.nio.file.Files.createDirectories(local.getParent)
+      // createFile is the atomic exclusion point; once we own the
+      // file, reopening it for write is race-free (losers never open)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(v, e)
+      }
+      new java.io.FileOutputStream(local.toFile)
+    } else {
+      try f.create(p, false)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new ConcurrentCommitException(v, e)
+        // some FileSystems signal the exists-conflict as a plain
+        // IOException whose message names the path; translate only
+        // that shape, let real infrastructure errors propagate
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") =>
+          throw new ConcurrentCommitException(v, e)
+      }
+    }
   }
 
   /** Atomic replace of `dst` by `src`. Local paths go through POSIX

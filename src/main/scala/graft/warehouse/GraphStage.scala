@@ -176,10 +176,19 @@ object GraphStage {
     // joins broadcast. Released before the stage returns.
     val deg0 = eT.groupBy("sk").agg(count(lit(1)).as("n")).cache()
     try {
-      val maxSk = deg0.agg(max(col("sk"))).head.getLong(0)
+      // max/min over ZERO rows is SQL null — an empty edge table must
+      // skip the stage (write the empty pair relation), not NPE here;
+      // and a negative sk would sign-extend through shiftleft/
+      // bitwiseOR into a silently-corrupt packed key, so the domain
+      // guard is two-sided from the same one-row aggregate.
+      val skRange = deg0.agg(max(col("sk")), min(col("sk"))).head
+      val maxSk = if (skRange.isNullAt(0)) -1L else skRange.getLong(0)
       require(maxSk < (1L << 31),
         s"packed pair key needs sk < 2^31, got max sk=$maxSk — widen the " +
           "pair key (struct or decimal) before this corpus")
+      require(skRange.isNullAt(1) || skRange.getLong(1) >= 0L,
+        s"packed pair key needs sk >= 0, got min sk=${skRange.getLong(1)} — " +
+          "a negative sk would corrupt the shiftleft|bitwiseOR packing")
       val pairs = eT.alias("a")
         .join(eT.alias("b"),
           col("a.ck") === col("b.ck") && col("a.sk") < col("b.sk"))
