@@ -155,6 +155,75 @@ object Bench {
         dt
       }
     }
+    // Synthetic calibration controls — defined here, OUTSIDE
+    // SparkEntry.queries, structurally exempt from query optimization
+    // and independent of the SF data (valid at any SF). They run
+    // FIRST, in their own wave before any suite query: r19's driver
+    // run measured ctl_shuffle_agg at 0.45× its quiet pin when it ran
+    // AFTER the full suite (accumulated heap/code-cache state made the
+    // 1.2M-group hash-agg context-sensitive to position), so the
+    // controls' context is now the fresh JVM by construction —
+    // position-insensitive because there IS no preceding position.
+    val syntheticControls: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = {
+      import org.apache.spark.sql.functions._
+      Seq(
+        // tight per-row CPU: 48 chained xxhash64 rounds over 64M longs,
+        // one whole-stage-codegen span, no IO, no shuffle of note.
+        // Sized to ~1.2 s at local[32] — well above the noise floor a
+        // 0.1 s control would drown in (SpreadMinMedianSec is 0.2 s
+        // for the same reason)
+        // the bench TIMES fn(...).count(), and count() over a
+        // groupless aggregate PRUNES unused aggregate expressions —
+        // so the output row count must DEPEND on the hash values, or
+        // whole-stage pruning deletes the work being calibrated
+        // (measured: a 24G-hash chain "ran" in 0.24 s until the
+        // filter below forced it)
+        "ctl_cpu_mix" -> ((s: SparkSession, _: String) => {
+          val mixed = (1 to 48).foldLeft(col("id")) {
+            (c, i) => xxhash64(c, lit(i))
+          }
+          s.range(0, 64L * 1000 * 1000, 1, 32).toDF("id")
+            .select(mixed.as("h"))
+            .filter(pmod(col("h"), lit(1000000L)) === 0L)
+        }),
+        // one hash-agg exchange over 24M rows / 1.2M groups: calibrates
+        // the shuffle+agg machinery the CPU control doesn't touch;
+        // sized to ~1.3 s at local[32]
+        "ctl_shuffle_agg" -> ((s: SparkSession, _: String) => {
+          // count() depends on the aggregated values via the filter,
+          // so the exchange + both aggregations must actually run
+          s.range(0, 24L * 1000 * 1000, 1, 32).toDF("id")
+            .groupBy((col("id") % 1200000).as("k"))
+            .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
+            .filter(pmod(col("s") + col("c"), lit(2L)) === 0L)
+        }))
+    }
+    // synthetics run through the SAME timed protocol (untimed warm +
+    // iters, GC between); skipped on filtered runs and at
+    // off-reference cpu counts (their pins are invalid there — see
+    // ControlRefCpus below) unless asked for by name, so local
+    // 1-query iteration and driver runs stay lean
+    val syntheticResults: Map[String, Double] =
+      if ((only.nonEmpty || cpus != "32") &&
+          !only.exists(_.startsWith("ctl_"))) Map.empty
+      else syntheticControls.map { case (name, fn) =>
+        // same outlier adjudication the suite gets (the r20 pin runs
+        // showed the synthetics' 3-obs median swinging ~20% run-to-run
+        // on single bad iterations the suite protocol would have
+        // out-voted): a suspicious spread earns ExtraIters more
+        // observations, and the reported value is the median of the
+        // best `iters` — identical to the suite's `reported`
+        val first = timed(name, fn, iters)
+        System.gc()
+        val ts =
+          if (median(first) / first.min > OutlierRatio) {
+            val extra = timed(name, fn, ExtraIters)
+            System.gc()
+            first ++ extra
+          } else first
+        name -> median(ts.sorted.take(iters))
+      }.toMap
     val rawTimings = suite.map { case (name, fn) =>
       val times = timed(name, fn, iters)
       System.gc()
@@ -254,56 +323,10 @@ object Bench {
     // any commit that does touch their code path MUST re-pin their
     // reference medians from a fresh quiet run in the same commit.
     // All four medians below were pinned from one quiet full-suite run
-    // (contended=false, loadavg<1) at r19 HEAD; a second same-code
-    // quiet run agreed on value_normalized within the ~5% gate.
-    val syntheticControls: Seq[(String, (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)] = {
-      import org.apache.spark.sql.functions._
-      Seq(
-        // tight per-row CPU: 64 chained xxhash64 rounds over 64M longs,
-        // one whole-stage-codegen span, no IO, no shuffle of note.
-        // Sized to ~1.2 s at local[32] — well above the noise floor a
-        // 0.1 s control would drown in (SpreadMinMedianSec is 0.2 s
-        // for the same reason)
-        // the bench TIMES fn(...).count(), and count() over a
-        // groupless aggregate PRUNES unused aggregate expressions —
-        // so the output row count must DEPEND on the hash values, or
-        // whole-stage pruning deletes the work being calibrated
-        // (measured: a 24G-hash chain "ran" in 0.24 s until the
-        // filter below forced it)
-        "ctl_cpu_mix" -> ((s: SparkSession, _: String) => {
-          val mixed = (1 to 48).foldLeft(col("id")) {
-            (c, i) => xxhash64(c, lit(i))
-          }
-          s.range(0, 64L * 1000 * 1000, 1, 32).toDF("id")
-            .select(mixed.as("h"))
-            .filter(pmod(col("h"), lit(1000000L)) === 0L)
-        }),
-        // one hash-agg exchange over 48M rows / 2.4M groups: calibrates
-        // the shuffle+agg machinery the CPU control doesn't touch;
-        // sized to ~1.3 s at local[32]
-        "ctl_shuffle_agg" -> ((s: SparkSession, _: String) => {
-          // count() depends on the aggregated values via the filter,
-          // so the exchange + both aggregations must actually run
-          s.range(0, 24L * 1000 * 1000, 1, 32).toDF("id")
-            .groupBy((col("id") % 1200000).as("k"))
-            .agg(count(lit(1)).as("c"), sum(col("id")).as("s"))
-            .filter(pmod(col("s") + col("c"), lit(2L)) === 0L)
-        }))
-    }
-    // synthetics run through the SAME timed protocol (untimed warm +
-    // iters, GC between); skipped on filtered runs and at
-    // off-reference cpu counts (their pins are invalid there — see
-    // ControlRefCpus below) unless asked for by name, so local
-    // 1-query iteration and driver runs stay lean
-    val syntheticResults: Map[String, Double] =
-      if ((only.nonEmpty || cpus != "32") &&
-          !only.exists(_.startsWith("ctl_"))) Map.empty
-      else syntheticControls.map { case (name, fn) =>
-        val ts = timed(name, fn, iters)
-        System.gc()
-        name -> median(ts)
-      }.toMap
+    // (contended=false, loadavg<1) at r20 HEAD with the synthetics in
+    // their fixed first-wave position; a second same-code quiet run
+    // agreed on value_normalized within the ~5% gate
+    // (tools/pin_controls.py run1.json run2.json checks both).
     // query-control medians are sf0.1 full-suite numbers — at any other
     // SF they measure DATA SCALE, not host speed. ALL control medians
     // (including the data-independent synthetics) are additionally
@@ -317,13 +340,18 @@ object Bench {
     val sfIsRef = sfDir.stripSuffix("/").endsWith("sf0.1")
     val controlRefMedians =
       if (!cpusMatch) Nil
-      // pinned from the quiet full-suite run at b5e5f83 (total
-      // 116.11 s, loadavg 0.39, contended=false, git clean) —
-      // tools/pin_controls.py extracts these and checks the
+      // pinned from the r20 quiet full-suite run at loadavg 0.09
+      // (total 112.84 s, contended=false, pin_run3) — the cleanest of
+      // three runs with the synthetics in their fixed first-wave slot;
+      // re-pinned there because the r19 pins measured the synthetics
+      // in the suite-tail position (ctl_shuffle_agg read 2.84 s after
+      // 224 queries of heap/code-cache accumulation vs ~1.3-1.5 s
+      // fresh — the exact context sensitivity the first-wave move
+      // removes). tools/pin_controls.py extracts these and checks the
       // two-run agreement gate
-      else (if (sfIsRef) Seq("q_pca_power" -> 1.981, "q_pagerank" -> 1.488)
+      else (if (sfIsRef) Seq("q_pca_power" -> 1.903, "q_pagerank" -> 1.593)
             else Nil) ++
-        Seq("ctl_cpu_mix" -> 1.580, "ctl_shuffle_agg" -> 2.840)
+        Seq("ctl_cpu_mix" -> 1.560, "ctl_shuffle_agg" -> 1.530)
     val resultsMap = results.toMap
     val controlObs = resultsMap ++ syntheticResults
     val controlRatios = controlRefMedians.flatMap { case (q, ref) =>
@@ -452,13 +480,19 @@ object Bench {
         "wave). When it lands in `unresolved`, compare queries_min: " +
         "the steady mode is ~1.0-1.2 s. Also a calibration control, " +
         "so its own drift is visible in `controls`"),
-      "q_hits" -> ("durable: like q_pagerank, the 20-iteration " +
-        "hub/authority power loop JIT-ramps over SEVERAL executions, " +
-        "not just the first of a wave (r19 quiet: 2.95/2.91/2.21 then " +
-        "1.97/1.46 — monotone decrease across BOTH waves, GC shrinking " +
-        "0.27->0.02 s), so the wave-head warm_in heuristic reads it as " +
-        "bimodal. When it lands in `unresolved`, compare queries_min: " +
-        "the steady mode is ~1.4-1.6 s"),
+      "q_hits" -> ("r20: the r19 JIT ramp (2.95->1.46 across several " +
+        "executions) was the four per-round head() collects re-paying " +
+        "job scheduling + codegen warm-in per execution; the rounds now " +
+        "normalize IN-PLAN (unpartitioned decimal window sum over the " +
+        "node-scale score relation) with one eager localCheckpoint at " +
+        "the two-consumer point, so an execution is 2 jobs, not 6 — " +
+        "solo iterations 1.30/1.37/1.29 (flat, ramp gone)"),
+      "q_recommend" -> ("r20: the candidate derivation (owned edges ⋈ " +
+        "weighted kNN -> path-sum score -> anti-join owned) re-ran per " +
+        "invocation at 1.81 s quiet; it is snapshot-deterministic " +
+        "serving-model work and moved into GraphStage.recCands " +
+        "(recommend_cands build phase). The consumer keeps the " +
+        "per-customer top-3 window + presentation sort: 0.80 s solo"),
       "q_source_overlap" -> ("r18: tools/OverlapProfile attributed the " +
         "r17 driver-bench spread (1.42-1.64 s quiet but the one " +
         "unresolved outlier under load) to the lazily-cached distinct " +
@@ -570,7 +604,7 @@ object Bench {
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","git_head":"$gitHead","git_dirty":$gitDirty,"value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls_valid":$controlsValid,"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs pinned r16 quiet control medians)"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","git_head":"$gitHead","git_dirty":$gitDirty,"value_normalized":${f2(totalNormalized)},"controls_ratio":${f2(controlsRatio)},"controls_valid":$controlsValid,"controls":$controlsJson,"queries":$detail,"queries_min":$minDetail,"iterations":$iterDetail,"iteration_gc_secs":$gcDetail,"errors":$errJson,"adjudicated":$adjJson,"unresolved_outliers":$unresolvedJson,"attribution_notes":$notesJson,"sf":"$sfDir","iters":$iters,"loadavg_before":${loadJson(loadBefore)},"loadavg_after":${loadJson(loadAfter)},"contended":$contended,"spread_contended":$spreadContended,"stream_batches":$batchJson,"stage_build_secs":$stageJson,"cpus":"$cpus","driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}","scaling_curve":$scalingJson,"note":"queries=median of best iters observations after one UNTIMED warm execution per wave (warm-in paid off the clock; warm failures logged to stderr, timed errors in errors); under contention (contended=true) compare queries_min, not medians; value_normalized=value/controls_ratio (host-speed calibration vs quiet control medians pinned by tools/pin_controls.py — pin provenance and freeze rule in the controlRefMedians comment in Bench.scala; synthetics run first-wave since r20)"}""")
     catch { case _: Throwable => () }
     // Stop Spark BEFORE printing: executor/state-store shutdown can log to
     // the console, and the driver parses the LAST line as the contract JSON.

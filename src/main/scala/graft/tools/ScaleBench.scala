@@ -94,6 +94,12 @@ object ScaleBench {
     val genRoot = sys.env.getOrElse("SPARK_GRAFT_SCALEDATA",
       "/root/repo/target/scaledata")
     val withSf1 = sys.env.get("SPARK_GRAFT_SCALE_MAX").exists(_.toDouble >= 1.0)
+    // r19 verdict #3: one more decade for the steepest families — an
+    // exponent that steepens at the next decade is the one curve that
+    // could break the 100 TB story. sf3 = 30 key-shifted replicas
+    // (~0.5 GB on disk), typically run family-filtered (graph,
+    // corpus_funnel) so the targeted re-measure stays under an hour.
+    val withSf3 = sys.env.get("SPARK_GRAFT_SCALE_MAX").exists(_.toDouble >= 3.0)
     val loadBefore = loadavg1()
 
     val spark = SparkSession.builder()
@@ -120,7 +126,8 @@ object ScaleBench {
     val points: Seq[(String, String, Double)] =
       Seq(("sf0.01", s"$testRoot/sf0.01", 0.01),
         ("sf0.1", s"$testRoot/sf0.1", 0.1),
-        gen("sf0.3", 3)) ++ (if (withSf1) Seq(gen("sf1", 10)) else Nil)
+        gen("sf0.3", 3)) ++ (if (withSf1) Seq(gen("sf1", 10)) else Nil) ++
+        (if (withSf3) Seq(gen("sf3", 30)) else Nil)
 
     // optional comma-separated family filter for targeted re-measures
     val onlyFam = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")

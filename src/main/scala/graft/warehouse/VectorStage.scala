@@ -129,20 +129,33 @@ object VectorStage {
     // bucketed writes — all linear passes over the corpus (expansion
     // ~3: subvector explode ×M plus double-widened copies)
     val b = Staging.bucketsFor(s, d, SrcTables, expansion = 3)
+    // per-stage wall attribution (SPARK_GRAFT_PHASE_TIMING=1, or a
+    // measurement main's in-process PhaseTimer sink): at 10.6 s (sf0.1)
+    // this is the largest stage build — "which of the seven phases
+    // grows" should be a measurement, not a guess (r19 verdict #6;
+    // same posture as the graph build's timers)
+    def ph[T](label: String)(body: => T): T =
+      graft.util.PhaseTimer.gated("SPARK_GRAFT_PHASE_TIMING",
+        "vector-build", label)(body)
     Staging.withShuffleWidth(s, b) {
       val emb = Tables.embeddings(s, d)
+      ph("lsh_index") {
       Sources.writeBucketed(
         Vectors.lshIndexRows(emb).repartition(b, col("bucket")),
         lshName(t), "bucket", b)
+      }
+      ph("ivf_assign") {
       Sources.writeBucketed(
         Vectors.ivfAssigned(emb).repartition(b, col("cell")),
         ivfName(t), "cell", b)
+      }
       // PQ model: subvector view staged in memory for the two training
       // passes + final encode, released after the codes are written
       val sv = Vectors.pqSubvectors(emb).cache()
       try {
-        val cb1 = Vectors.pqCodebook(sv)
+        val cb1 = ph("pq_train") { Vectors.pqCodebook(sv) }
         val sp = s; import sp.implicits._
+        ph("pq_encode") {
         cb1.toDF("m", "code", "cvec").write
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").saveAsTable(cbName(t))
@@ -151,6 +164,7 @@ object VectorStage {
             .select(col("vec_id"), col("m"), col("code"), col("d2"))
             .repartition(b, col("vec_id")),
           codesName(t), "vec_id", b)
+        }
       } finally sv.unpersist()
       // audit ground truth: ONE map-only corpus scan against the
       // broadcast 20-query sample + a per-query top-k — linear in the
@@ -158,12 +172,14 @@ object VectorStage {
       // future audits of this snapshot
       import org.apache.spark.sql.expressions.Window
       val wT = Window.partitionBy("qid").orderBy(desc("cos"), asc("nid"))
+      ph("ann_truth") {
       graft.queries.Vectors.bruteCandidates(emb)
         .withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= graft.queries.Vectors.AuditTopK)
         .select("qid", "nid")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").saveAsTable(truthName(t))
+      }
       // Lloyd quantizers: train each ONCE here (iterative fit = the
       // expensive driver-interactive jobs), persist the k×dim
       // centroids. At gate SFs cellCount(n) = 10 = the reporting k —
@@ -174,11 +190,13 @@ object VectorStage {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").saveAsTable(name)
       val kCell = Vectors.cellCount(emb.count())
-      val cells = Vectors.fitCents(emb, k = kCell, iters = 2)
+      val cells = ph("lloyd_cells") { Vectors.fitCents(emb, k = kCell, iters = 2) }
       writeCents(cells, cellsName(t))
+      ph("lloyd_k10") {
       writeCents(
         if (kCell == 10) cells else Vectors.fitCents(emb, k = 10, iters = 2),
         k10Name(t))
+      }
     }
   }
 }
