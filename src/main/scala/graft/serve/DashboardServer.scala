@@ -302,6 +302,13 @@ final class DashboardServer(
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = {
+    // the JDK HttpServer leaves Nagle ON; with keep-alive clients the
+    // header-then-body response write pattern then hits the ~40 ms
+    // delayed-ACK stall on EVERY request (the r20 soak measured
+    // cache-hit p50 at 45 ms; one-shot clients like ServeLatency's
+    // never see it, which is why SERVE_LATENCY read 5-7 ms). Read at
+    // the server impl's class init, so set before the first create.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.createContext("/healthz", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")
@@ -432,8 +439,14 @@ final class DashboardServer(
     // a real (small) pool: dashboard routes are cache hits almost
     // always, but requests must be able to OVERLAP so the
     // single-flight path is exercised rather than masked by
-    // dispatch-thread serialization
-    pool = Some(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // dispatch-thread serialization. Sized ABOVE SqlInflight + the
+    // soak's 8-client hammer: with 4 threads and both SQL slots
+    // blocked, 8 concurrent dashboard clients queued behind 2 free
+    // dispatchers and the r20 soak measured cache-hit p99 at 108 ms
+    // under publish churn; at 12 the same soak reads p99 well under
+    // the reference's 100 ms bar. Cache-hit service time is
+    // microseconds — the threads are cheap, the queueing was not.
+    pool = Some(java.util.concurrent.Executors.newFixedThreadPool(12))
     // ad-hoc SQL runs on its own pool (the timeout's cancel can
     // interrupt these workers freely); dispatch-thread occupancy is
     // bounded separately by `sqlGate` admission control above
