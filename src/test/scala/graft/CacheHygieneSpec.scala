@@ -30,13 +30,13 @@ class CacheHygieneSpec extends SparkSpec {
     "q_triangles",           // capped edges + sim + kNN graph + orientation
     "q_source_overlap",      // distinct (source, shingle) relation
     "q_basket_lift",         // capped (order, part) basket relation
-    "q_hits",                // edge list + 4 per-round raw-score relations
+    "q_hits",                // edge list cache + a2 localCheckpoint (r20)
     "q_collocations",        // staged unigram + bigram count tables
     "q_label_propagation",   // shared kNN graph caches
     "q_pca_power",           // staged embedding corpus across 9 passes
     "q_dataset_card",        // staged token/fingerprint relation
     "q_embed_norm_audit",    // staged norms + stats relations
-    "q_recommend"            // shared sim-graph caches
+    "q_recommend"            // staged recCands consumer (no caches since r20)
   )
 
   test("cache-staging queries leave no pinned Dataset caches behind") {
