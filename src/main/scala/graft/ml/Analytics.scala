@@ -70,24 +70,36 @@ object Analytics {
     */
   def anomalyTagDeterministic(emb: DataFrame, pct: Double = 0.05): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cent = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
-        .cast("double") / count(lit(1)), 8).as("c"))
-      .groupBy(col("label").as("cell"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("c")))),
-        e => e.getField("c")).as("cvec"))
+    val D = graft.functions.VectorFunctions.Dim
+    // Per-label centroids in ONE wide map-side-combined hash-agg: the
+    // previous shape posexploded the corpus (n×D rows through the
+    // exchange) and re-grouped twice; this ships |labels| rows of D
+    // decimal partials instead (guide §2.3 — aggregate before you
+    // shuffle, shuffle fewer bytes). Per-dim arithmetic is unchanged:
+    // the same DECIMAL(28,20) order-free partial sums, the same
+    // round(sum/count, 8) computed IN-ENGINE so rounding semantics
+    // cannot drift.
+    val cents = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("cnt"),
+        (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
+          .cast(DecimalType(28, 20))).as(s"s$i")): _*)
+      .select(col("label") +: (0 until D).map(i =>
+        round(col(s"s$i").cast("double") / col("cnt"), 8).as(s"c$i")): _*)
+      .collect().toSeq
+      .map(r => (r.getInt(0), (0 until D).map(i => r.getDouble(1 + i)).toSeq))
+      .sortBy(_._1)
     // Map-only assignment against driver-held centroids (the
     // q_ann_ivf / q_kmeans_lloyd recipe — see nearestLit): no join, no
-    // per-vec window, corpus never shuffles.
-    val cents = cent.collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    // per-vec window, corpus never shuffles. Checkpointed eagerly so
+    // the threshold's TakeOrdered subtree and the final tagging pass
+    // read materialized (vec_id, cell, d2) rows instead of each
+    // re-evaluating the |labels|×D distance expression over the corpus
+    // (it ran twice per invocation before).
     val best = graft.functions.VectorFunctions.nearestLit(col("embedding"),
       cents.map { case (id, c) => (lit(id), c) })
     val assigned = emb.select(col("vec_id"),
       best.getField("id").as("cell"), best.getField("d2").as("d2"))
+      .localCheckpoint(true)
     val k = math.ceil(emb.count() * pct).toInt
     val th = assigned.orderBy(desc("d2"), asc("vec_id")).limit(k)
       .agg(min(col("d2")).as("thresh"))

@@ -350,10 +350,17 @@ object Ml {
       s: org.apache.spark.sql.SparkSession, d: String):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // ONE events pass: the hourly reduction is checkpointed eagerly and
+    // BOTH the grain guard's count and the window read the checkpoint —
+    // the previous shape ran the full scan+agg twice (once under
+    // hourly.count() for the guard, once under feat's checkpoint),
+    // measured as the dominant per-invocation cost of the forecast
+    // family (guide §1.2/§2.4: remove redundant passes first).
     val hourly = Tables.events(s, d)
       .filter(col("ts").isNotNull)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     Analytics.requireHourlyGrain(hourly.count(), "forecastFrames")
     val w = Window.orderBy("h")
     val feat = hourly
@@ -363,10 +370,21 @@ object Ml {
       .select(expr("unix_micros(cast(h as timestamp)) div 1000000").as("hs"),
         col("n").as("x1"), col("x2"), col("y"))
       .localCheckpoint(true)
-    val cut = feat.agg((min(col("hs")) +
-      floor((max(col("hs")) - min(col("hs"))) * lit(0.8)).cast("long")).as("c"))
-    (feat.crossJoin(broadcast(cut)).filter(col("hs") <= col("c")),
-      feat.crossJoin(broadcast(cut)).filter(col("hs") > col("c")))
+    // the 80/20 cut is a 1-row scalar over the checkpoint: resolve it
+    // once here and inline it as a LITERAL (the Lloyd/PageRank k-row
+    // contract) instead of attaching a broadcast agg subtree to every
+    // train/test reference — q_forecast_tree alone referenced the
+    // frames ~10× in one plan, re-planning the cut agg each time.
+    // Identical arithmetic to the oracle's CTE: long min/max, one
+    // double multiply, floor, cast long.
+    val mm = feat.agg(min(col("hs")).as("mn"), max(col("hs")).as("mx")).head()
+    if (mm.isNullAt(0)) // empty frame: both splits empty (null-cut filter)
+      (feat.filter(lit(false)), feat.filter(lit(false)))
+    else {
+      val c: Long = mm.getLong(0) +
+        math.floor((mm.getLong(1) - mm.getLong(0)).toDouble * 0.8).toLong
+      (feat.filter(col("hs") <= lit(c)), feat.filter(col("hs") > lit(c)))
+    }
   }
 
   /** DuckDB CTE text for [[forecastFrames]] — `train` / `test` with
@@ -519,95 +537,151 @@ object Ml {
   val forecastTree = QueryDef(
     "q_forecast_tree",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
-      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.DataFrame
       val B = 16
       val (train, test) = forecastFrames(s, d)
-      val edges = train.agg(
+      // r20 shape (guide §1.2, §2.4): the split search runs over ≤32-row
+      // histograms, yet the previous plan attached every tree parameter
+      // (edges, root, child, leaves, n_train) as its own broadcast-agg
+      // subtree over the checkpointed frames — 678 physical nodes, ~270
+      // exchanges, each re-planned per invocation. The parameters are
+      // k-row by construction, so they now follow the Lloyd/PageRank
+      // k-row-collect contract: each level's histogram is collected
+      // (≤32 rows — bounded by B×2 per side at ANY scale) and the
+      // argmax runs driver-side with the IDENTICAL double expression
+      // and (score DESC, f, b) tie-break, then the fitted tree is
+      // inlined as literals into ONE flat map-only scoring pass.
+      // Bit-equality with the oracle is unchanged: same integer sums,
+      // same double gain tree, same tie-break, proven by the DuckDB
+      // gate at both SFs.
+      val er = train.agg(
         min(col("x1")).as("mn1"), max(col("x1")).as("mx1"),
-        min(col("x2")).as("mn2"), max(col("x2")).as("mx2"))
-      // integer bin id — DIV floor division, exact in both engines
-      def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(edges))
-        .withColumn("b1", expr(
-          s"least(CAST(${B - 1} AS BIGINT), ((x1 - mn1) * $B) DIV (mx1 - mn1 + 1))"))
-        .withColumn("b2", expr(
-          s"least(CAST(${B - 1} AS BIGINT), ((x2 - mn2) * $B) DIV (mx2 - mn2 + 1))"))
-        .drop("mn1", "mx1", "mn2", "mx2")
-      // per-(…, feature, bin) histogram of (n, Σy) — the only pass
-      // that touches every row at this level
-      def hist(df: DataFrame, keys: Seq[String]): DataFrame = df
-        .select(keys.map(col) ++ Seq(col("y"), explode(array(
-          struct(lit(1L).as("f"), col("b1").as("b")),
-          struct(lit(2L).as("f"), col("b2").as("b")))).as("fb")): _*)
-        .select(keys.map(col) ++ Seq(col("fb.f").as("f"), col("fb.b").as("b"),
-          col("y")): _*)
-        .groupBy((keys ++ Seq("f", "b")).map(col): _*)
-        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-      // split gain over the tiny histogram: prefix sums per feature,
-      // candidates need both sides non-empty; identical double tree
-      // in the oracle so the argmax (incl. tie-break f, b) agrees
-      def bestSplit(h: DataFrame, part: Seq[String]): DataFrame = {
-        val wCum = Window.partitionBy((part :+ "f").map(col): _*).orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wTot = Window.partitionBy((part :+ "f").map(col): _*)
-        val wPick = if (part.isEmpty) Window.orderBy(col("score").desc, col("f"), col("b"))
-          else Window.partitionBy(part.map(col): _*)
-            .orderBy(col("score").desc, col("f"), col("b"))
-        val csy = col("csy").cast("double"); val cn = col("cn").cast("double")
-        val rsy = (col("tsy") - col("csy")).cast("double")
-        val rn = (col("tn") - col("cn")).cast("double")
-        h.withColumn("cn", sum(col("n")).over(wCum))
-          .withColumn("csy", sum(col("sy")).over(wCum))
-          .withColumn("tn", sum(col("n")).over(wTot))
-          .withColumn("tsy", sum(col("sy")).over(wTot))
-          .filter(col("cn") < col("tn"))
-          .withColumn("score", csy * csy / cn + rsy * rsy / rn)
-          .withColumn("rn_", row_number().over(wPick))
-          .filter(col("rn_") === 1)
-          .select(part.map(col) :+ col("f") :+ col("b"): _*)
+        min(col("x2")).as("mn2"), max(col("x2")).as("mx2")).head()
+      if (er.isNullAt(0)) {
+        // empty train (pathological fixture): the oracle's CROSS JOIN
+        // root over an empty root CTE yields zero rows
+        test.select(lit(0L).as("n_train"), lit(0L).as("n_test"),
+          lit(null).cast("double").as("rmse"),
+          lit(-1L).as("root_f"), lit(-1L).as("root_b"),
+          lit(-1L).as("left_f"), lit(-1L).as("left_b"),
+          lit(-1L).as("right_f"), lit(-1L).as("right_b"))
+          .filter(lit(false))
+      } else {
+        val (mn1, mx1, mn2, mx2) =
+          (er.getLong(0), er.getLong(1), er.getLong(2), er.getLong(3))
+        // integer bin id — DIV floor division, exact in both engines
+        def binned(df: DataFrame): DataFrame = df
+          .withColumn("b1", expr(s"least(CAST(${B - 1} AS BIGINT), " +
+            s"((x1 - (${mn1}L)) * $B) DIV (${mx1 - mn1 + 1}L))"))
+          .withColumn("b2", expr(s"least(CAST(${B - 1} AS BIGINT), " +
+            s"((x2 - (${mn2}L)) * $B) DIV (${mx2 - mn2 + 1}L))"))
+        // per-(side, feature, bin) histogram of (n, Σy): ONE map-side-
+        // combined hash-agg per level — the only passes that touch rows
+        def hist(df: DataFrame, keys: Seq[String]): DataFrame = df
+          .select(keys.map(col) ++ Seq(col("y"), explode(array(
+            struct(lit(1L).as("f"), col("b1").as("b")),
+            struct(lit(2L).as("f"), col("b2").as("b")))).as("fb")): _*)
+          .select(keys.map(col) ++ Seq(col("fb.f").as("f"),
+            col("fb.b").as("b"), col("y")): _*)
+          .groupBy((keys ++ Seq("f", "b")).map(col): _*)
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        // driver-side argmax over one collected histogram partition:
+        // prefix sums in exact longs, gain in the identical double
+        // expression (csy²/cn + rsy²/rn), tie-break (score DESC, f, b)
+        def bestSplit(h: Seq[(Long, Long, Long, Long)]): Option[(Long, Long)] = {
+          val cands = h.groupBy(_._1).toSeq.flatMap { case (f, rows) =>
+            val sorted = rows.sortBy(_._2)
+            val tn = sorted.map(_._3).sum
+            val tsy = sorted.map(_._4).sum
+            var cn = 0L; var csy = 0L
+            sorted.flatMap { case (_, b, n, sy) =>
+              cn += n; csy += sy
+              if (cn < tn) {
+                val score = csy.toDouble * csy.toDouble / cn.toDouble +
+                  (tsy - csy).toDouble * (tsy - csy).toDouble / (tn - cn).toDouble
+                Some((score, f, b))
+              } else None
+            }
+          }
+          if (cands.isEmpty) None
+          else Some {
+            val best = cands.minBy { case (sc, f, b) => (-sc, f, b) }
+            (best._2, best._3)
+          }
+        }
+        val btr = binned(train)
+        val h0 = hist(btr, Nil).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+        val nTrain = h0.filter(_._1 == 1L).map(_._3).sum
+        bestSplit(h0) match {
+          case None =>
+            // no valid root split (all rows one bin on both features):
+            // oracle's root CTE is empty ⇒ zero rows
+            test.select(lit(0L).as("n_train"), lit(0L).as("n_test"),
+              lit(null).cast("double").as("rmse"),
+              lit(-1L).as("root_f"), lit(-1L).as("root_b"),
+              lit(-1L).as("left_f"), lit(-1L).as("left_b"),
+              lit(-1L).as("right_f"), lit(-1L).as("right_b"))
+              .filter(lit(false))
+          case Some((rootF, rootB)) =>
+            def side(df: DataFrame): DataFrame = df.withColumn("side",
+              if (rootF == 1L)
+                when(col("b1") <= lit(rootB), 0L).otherwise(1L)
+              else when(col("b2") <= lit(rootB), 0L).otherwise(1L))
+            val str = side(btr)
+            val h1 = hist(str, Seq("side")).collect()
+              .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+                r.getLong(3), r.getLong(4)))).toSeq
+            // per-side child split; a side with no valid split stays a
+            // leaf, encoded feature -1 (the LEFT-join coalesce before)
+            val child: Map[Long, (Long, Long)] =
+              h1.groupBy(_._1).flatMap { case (sd, rows) =>
+                bestSplit(rows.map(_._2)).map(sd -> _)
+              }
+            val (leftF, leftB) = child.getOrElse(0L, (-1L, -1L))
+            val (rightF, rightB) = child.getOrElse(1L, (-1L, -1L))
+            def leafed(df: DataFrame): DataFrame = df
+              .withColumn("cf", when(col("side") === 0L, lit(leftF))
+                .otherwise(lit(rightF)))
+              .withColumn("cb", when(col("side") === 0L, lit(leftB))
+                .otherwise(lit(rightB)))
+              .withColumn("subside", when(col("cf") === 1L,
+                when(col("b1") <= col("cb"), 0L).otherwise(1L))
+                .when(col("cf") === 2L,
+                  when(col("b2") <= col("cb"), 0L).otherwise(1L))
+                .otherwise(0L))
+            // leaf means: ≤4 rows, collected and inlined (round 8 dp in
+            // the ENGINE before scoring, exactly as before)
+            val leaves: Map[(Long, Long), Double] = leafed(str)
+              .groupBy("side", "subside")
+              .agg(round(sum(col("y")).cast("double") /
+                count(lit(1)).cast("double"), 8).as("pred"))
+              .collect()
+              .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+            // literal leaf lookup; test rows whose (side, subside) has
+            // no train leaf fall to null and are dropped — the previous
+            // INNER join's semantics
+            val pred = leaves.foldLeft(lit(null).cast("double")) {
+              case (acc, ((sd, ss), p)) =>
+                when(col("side") === lit(sd) && col("subside") === lit(ss),
+                  lit(p)).otherwise(acc)
+            }
+            val resid = col("y").cast("double") - col("pred")
+            leafed(side(binned(test)))
+              .withColumn("pred", pred)
+              .filter(col("pred").isNotNull)
+              .select((resid * resid).cast(DecimalType(28, 12)).as("e2"))
+              .agg(count(lit(1)).as("n_test"),
+                round(sqrt(sum(col("e2")).cast("double") / count(lit(1))), 6)
+                  .as("rmse"))
+              .select(lit(nTrain).as("n_train"), col("n_test"), col("rmse"),
+                lit(rootF).as("root_f"), lit(rootB).as("root_b"),
+                lit(leftF).as("left_f"), lit(leftB).as("left_b"),
+                lit(rightF).as("right_f"), lit(rightB).as("right_b"))
+        }
       }
-      val btr = binned(train)
-      val root = bestSplit(hist(btr, Nil), Nil)
-        .select(col("f").as("root_f"), col("b").as("root_b"))
-      def side(df: DataFrame): DataFrame = df.crossJoin(broadcast(root))
-        .withColumn("side", when(col("root_f") === 1L,
-          when(col("b1") <= col("root_b"), 0L).otherwise(1L))
-          .otherwise(when(col("b2") <= col("root_b"), 0L).otherwise(1L)))
-      val str = side(btr)
-      val child = bestSplit(hist(str, Seq("side")), Seq("side"))
-        .select(col("side"), col("f").as("cf"), col("b").as("cb"))
-      // leaf id; a side with no valid child split stays one leaf (-1)
-      def leafed(df: DataFrame): DataFrame = df
-        .join(broadcast(child), Seq("side"), "left")
-        .withColumn("cf", coalesce(col("cf"), lit(-1L)))
-        .withColumn("cb", coalesce(col("cb"), lit(-1L)))
-        .withColumn("subside", when(col("cf") === 1L,
-          when(col("b1") <= col("cb"), 0L).otherwise(1L))
-          .when(col("cf") === 2L,
-            when(col("b2") <= col("cb"), 0L).otherwise(1L))
-          .otherwise(0L))
-      val leaves = leafed(str).groupBy("side", "subside")
-        .agg(round(sum(col("y")).cast("double") /
-          count(lit(1)).cast("double"), 8).as("pred"))
-      val nTr = train.agg(count(lit(1)).as("n_train"))
-      val childAgg = child.agg(
-        coalesce(max(when(col("side") === 0L, col("cf"))), lit(-1L)).as("left_f"),
-        coalesce(max(when(col("side") === 0L, col("cb"))), lit(-1L)).as("left_b"),
-        coalesce(max(when(col("side") === 1L, col("cf"))), lit(-1L)).as("right_f"),
-        coalesce(max(when(col("side") === 1L, col("cb"))), lit(-1L)).as("right_b"))
-      val resid = col("y").cast("double") - col("pred")
-      leafed(side(binned(test)))
-        .join(broadcast(leaves), Seq("side", "subside"))
-        .select((resid * resid).cast(DecimalType(28, 12)).as("e2"))
-        .agg(count(lit(1)).as("n_test"),
-          round(sqrt(sum(col("e2")).cast("double") / count(lit(1))), 6).as("rmse"))
-        .crossJoin(broadcast(nTr))
-        .crossJoin(broadcast(root))
-        .crossJoin(broadcast(childAgg))
-        .select(col("n_train"), col("n_test"), col("rmse"),
-          col("root_f"), col("root_b"), col("left_f"), col("left_b"),
-          col("right_f"), col("right_b"))
     },
     Some {
       val B = 16
@@ -754,23 +828,27 @@ object Ml {
           weekday(col("ts")).cast("double").as("x2"),
           (col("event_type") === "purchase").cast("double").as("y"))
         .cache() // 3 gradient passes + the scoring pass
-      val n = base.count()
       def z(b: (Double, Double, Double)) =
         lit(b._1) + lit(b._2) * col("x1") + lit(b._3) * col("x2")
       var b = (0.0, 0.0, 0.0)
+      // n rides round 1's aggregation (count + 3 gradient sums in ONE
+      // map-side-combined pass) instead of a separate base.count() job
+      // — same double arithmetic: cnt cast to double IS n.toDouble
       for (_ <- 1 to 3) {
         val sig = round(lit(1.0) / (lit(1.0) + exp(-z(b))), 9)
+        val nD = col("cnt").cast("double")
         val r = base
-          .agg(sum((col("y") - sig).cast(DecimalType(28, 12))).as("g0"),
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("y") - sig).cast(DecimalType(28, 12))).as("g0"),
             sum(((col("y") - sig) * col("x1")).cast(DecimalType(28, 12))).as("g1"),
             sum(((col("y") - sig) * col("x2")).cast(DecimalType(28, 12))).as("g2"))
           .select(
-            round(lit(b._1) + lit(0.5) * col("g0").cast("double") /
-              lit(n.toDouble), 12).as("b0"),
-            round(lit(b._2) + lit(0.5) * col("g1").cast("double") /
-              lit(n.toDouble), 12).as("b1"),
-            round(lit(b._3) + lit(0.5) * col("g2").cast("double") /
-              lit(n.toDouble), 12).as("b2"))
+            round(lit(b._1) + lit(0.5) * col("g0").cast("double") / nD, 12)
+              .as("b0"),
+            round(lit(b._2) + lit(0.5) * col("g1").cast("double") / nD, 12)
+              .as("b1"),
+            round(lit(b._3) + lit(0.5) * col("g2").cast("double") / nD, 12)
+              .as("b2"))
           .head()
         b = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
       }

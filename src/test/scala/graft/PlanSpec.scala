@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_forecast_tree: fitted tree inlined as literals — flat scoring plan (r20)") {
+    // the tree parameters (edges/root/child/leaves) are k-row by
+    // construction and are collected + inlined, so the scoring plan
+    // must not re-derive them as nested-loop broadcast subtrees (the
+    // pre-r20 shape was 678 nodes / ~270 exchanges)
+    val p = plan("q_forecast_tree")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
+  }
+
   test("q_knn_brute scores through the native vec_dot expression, inside codegen") {
     val p = plan("q_knn_brute")
     assert(p.contains("vec_dot"), p)
