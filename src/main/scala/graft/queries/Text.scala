@@ -423,8 +423,14 @@ object Text {
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t")),
         Seq("doc_id", "lang"))
-      val hist = scored.groupBy(col("lang"), col("entropy_bits").as("sc"))
-        .agg(count(lit(1)).as("c"))
+      // r20: the histogram feeds BOTH the cutpoint subtree and the
+      // final bucket join — the executed plan evaluated the entropy
+      // scan + agg twice per invocation. Materialize the reduced
+      // (lang, score, count) relation once (bounded by |langs| ×
+      // |distinct rounded scores| at any corpus size; guide §2.4).
+      val hist = graft.util.Staged.checkpointRelease("q_ccnet_buckets",
+        scored.groupBy(col("lang"), col("entropy_bits").as("sc"))
+          .agg(count(lit(1)).as("c")))
       val wc = Window.partitionBy("lang").orderBy("sc")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist
@@ -1604,8 +1610,17 @@ object Text {
       import org.apache.spark.sql.types.DecimalType
       val probes = Seq(0L, 17L, 42L)
       val tok = TextStage.tok(s, d)
-      val dfc = tok.groupBy("token").agg(count(lit(1)).as("df"))
-      val nd = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+      // r20: dfc and dl each fed TWO consumers (dfc: qterms + qdf;
+      // dl: sparse + stats) and the executed plan re-aggregated the
+      // staged token artifact for each — ~90 exchange nodes per
+      // invocation. Materialize each ONCE (guide §2.4); n_docs is
+      // derived from dl (count of per-doc rows ≡ countDistinct doc_id
+      // over tok) instead of a third full-corpus aggregation.
+      val dfc = graft.util.Staged.checkpointRelease("q_hybrid_rrf:dfc",
+        tok.groupBy("token").agg(count(lit(1)).as("df")))
+      val dl0 = graft.util.Staged.checkpointRelease("q_hybrid_rrf:dl",
+        tok.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+      val nd = dl0.agg(count(lit(1)).as("n_docs"))
       val wq = Window.partitionBy("probe")
         .orderBy(col("score").desc, col("token"))
       val qterms = tok.filter(col("doc_id").isin(probes: _*))
@@ -1618,7 +1633,7 @@ object Text {
         .filter(col("rk") <= 3)
         .select(col("probe"), col("token"))
       val qdf = qterms.select("token").distinct().join(dfc, Seq("token"))
-      val dl = tok.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val dl = dl0
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         round(sum(col("dl").cast(DecimalType(28, 6))).cast("double") /
           count(lit(1)), 6).as("avgdl"))
@@ -1758,15 +1773,25 @@ object Text {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val K = 8
-      val base = Tables.documents(s, d).select(col("doc_id"),
-        Sampling.bucketSpark.as("bucket"),
-        TF.fingerprint(col("text")).as("fp"),
-        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TF.shingleHashes(col("text"), K).as("sh"))
+      // r20: `base` (md5 fingerprint + token count + K-shingle hashes —
+      // the expensive per-row text expressions) fed all five stage
+      // branches PLUS the eval-gram and contamination subtrees, and the
+      // union re-evaluated the whole chain from the parquet scan per
+      // branch (~8 evaluations, ~100 exchange nodes). Materialize base
+      // once, and s3 (the dedup-window survivor set, itself consumed by
+      // three branches) once on top of it (guide §2.4). Same rows, same
+      // stage arithmetic.
+      val base = graft.util.Staged.checkpointRelease("q_corpus_funnel:base",
+        Tables.documents(s, d).select(col("doc_id"),
+          Sampling.bucketSpark.as("bucket"),
+          TF.fingerprint(col("text")).as("fp"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.shingleHashes(col("text"), K).as("sh")))
       val s2 = base.filter(col("n_tokens") >= 5)
-      val s3 = s2.withColumn("rk",
-          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
-        .filter(col("rk") === 1).drop("rk")
+      val s3 = graft.util.Staged.checkpointRelease("q_corpus_funnel:s3",
+        s2.withColumn("rk",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rk") === 1).drop("rk"))
       val evalG = base.filter(col("bucket") >= 90)
         .select(explode(col("sh")).as("gh")).distinct()
       val contaminated = s3.filter(col("bucket") < 80)

@@ -1256,10 +1256,24 @@ object Vectors {
           md5(col("vec_id").cast("string")).as("h"))
         .orderBy(col("h"), col("qid")).limit(512)
         .drop("h")
-      val scored = e.crossJoin(broadcast(qs))
+        // query-side norm once per broadcast row, not once per
+        // (row, query) pair in the hot loop
+        .withColumn("nq", VF.normSpark("qv"))
+      // r20 (guide step 2 — per-task work): cosine = dot/(‖a‖·‖b‖)
+      // evaluated as cosineSpark recomputed BOTH norms inside the
+      // corpus×512 loop — three 64-term dot products per pair. The
+      // norms are per-side constants: hoist ‖e‖ to the corpus row and
+      // ‖q‖ to the broadcast row, leaving ONE dot per pair (~3× less
+      // arithmetic in the only stage that touches corpus×512 rows).
+      // sqrt→multiply→divide order is unchanged, so the double result
+      // is bit-identical to cosineSpark's.
+      val scored = e
+        .withColumn("ne", VF.normSpark("embedding"))
+        .crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qlabel"), col("label").as("nlabel"),
-          round(VF.cosineSpark("embedding", "qv"), 6).as("cos"), col("vec_id"))
+          round(VF.dotSpark("embedding", "qv") / (col("ne") * col("nq")), 6)
+            .as("cos"), col("vec_id"))
       val top5 = graft.operators.TopKPerKey
         .partial(scored, "qid", "cos", "vec_id", 5)
         .withColumn("rn", row_number().over(

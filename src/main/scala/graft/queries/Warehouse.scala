@@ -318,12 +318,15 @@ object Warehouse {
     * mirrored in the oracle) bounds a degenerate mega-basket BY
     * CONSTRUCTION, exactly the q_cooccur_similarity posture (free until
     * needed: max basket at the test SFs is 17). The basket total is a
-    * 1-row broadcast relation (no eager cache + driver count: the
-    * capped basket relation `b` feeds four plan branches and Catalyst's
-    * ReuseExchange computes its distinct+window shuffle once — one job,
-    * no pinned storage, no extra action); per-part frequencies attach
-    * to the surviving pair table by joins on a |parts|-row relation
-    * (size-based broadcast at any sane catalog).
+    * 1-row broadcast relation; per-part frequencies attach to the
+    * surviving pair table by joins on a |parts|-row relation
+    * (size-based broadcast at any sane catalog). The capped basket
+    * relation `b` feeds four plan branches — r19 relied on
+    * ReuseExchange to compute its distinct+window shuffle once, but
+    * the executed plan (plans/r20/q_basket_lift_before.txt) shows the
+    * reuse firing only partially: the window re-ran up to 4× per
+    * invocation. Since r20 `b` is checkpointed eagerly (one job) and
+    * all four branches read the materialized rows.
     */
   val basketLift = QueryDef(
     "q_basket_lift",
@@ -331,7 +334,16 @@ object Warehouse {
       val raw = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val b = Graph.capDegree(raw, "ok", "pk", 64)
+      // r20: checkpoint the capped basket relation ONCE. Its four plan
+      // branches (nb, freq, both self-join legs) only partially shared
+      // the distinct+window exchange through ReuseExchange — the
+      // executed plan re-scanned lineitem and re-ran the degree-cap
+      // window up to 4× per invocation (guide §2.4: two operations
+      // keyed the same way should share one exchange; when the
+      // optimizer can't see it, materialize). Same rows, same
+      // consumers, one distinct+window job.
+      val b = graft.util.Staged.checkpointRelease("q_basket_lift",
+        Graph.capDegree(raw, "ok", "pk", 64))
       val nb = b.agg(countDistinct("ok").as("n")) // 1 row — broadcast scalar
       val freq = b.groupBy("pk").agg(count(lit(1)).as("f"))
       val pairs = b.alias("a")
