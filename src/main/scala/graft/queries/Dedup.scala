@@ -412,7 +412,14 @@ object Dedup {
           .as(Seq("pos", "sh")))
         .cache() // df agg + flag join both read it
       val df = dt.groupBy("sh").agg(countDistinct(col("doc_id")).as("nd"))
+      // r20: the flag join feeds BOTH the run detection and the per-doc
+      // rollup — previously the corpus-positional join (and the df agg
+      // above it) executed twice per invocation. Materialize the
+      // 3-column flagged relation once (guide §2.4); rows = corpus
+      // token positions, the same volume the join already shuffles.
       val flagged = dt.join(df, Seq("sh"))
+        .select(col("doc_id"), col("pos"), col("nd"))
+        .localCheckpoint(true)
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val runs = flagged.filter(col("nd") >= 2)
         .withColumn("grp", col("pos") - row_number().over(w))

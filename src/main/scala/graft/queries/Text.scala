@@ -1317,11 +1317,16 @@ object Text {
       val D = DecimalType(28, 12)
       val curated = Seq("src0", "src1", "src2", "src3", "src4")
       val tk = TF.tokens(col("text"))
+      // r20: the tokenization + per-doc feature expressions previously
+      // ran twice (once under the stats pass, once when `base`
+      // materialized); cache the tiny per-doc feature frame so the
+      // corpus text is tokenized once per invocation
       val raw = Tables.documents(s, d)
         .select(col("source"),
           round(TF.avgTokenLenA(tk), 6).as("x1"),
           round(size(array_distinct(tk)).cast("double") / size(tk), 6).as("x2"),
           col("source").isin(curated.map(lit): _*).cast("double").as("y"))
+        .cache()
       val st = raw.agg(count(lit(1)).as("n"),
           sum(col("x1").cast(D)).as("s1"), sum((col("x1") * col("x1")).cast(D)).as("q1"),
           sum(col("x2").cast(D)).as("s2"), sum((col("x2") * col("x2")).cast(D)).as("q2"))
@@ -1374,6 +1379,7 @@ object Text {
             count(lit(1)), 6).as("keep_rate"))
         .localCheckpoint(true)
       base.unpersist()
+      raw.unpersist()
       out
     },
     Some {
@@ -1464,10 +1470,17 @@ object Text {
   val collocations = QueryDef(
     "q_collocations",
     (s, d) => {
-      def toks = Tables.documents(s, d)
+      // r20: the regex tokenization ran twice (once under the unigram
+      // pass, once under the bigram pass) — materialize the per-doc
+      // token arrays once and explode both streams from the checkpoint
+      // (at warehouse scale this is exactly the TextStage staging
+      // shape; this query keeps its own tokenizer because the PMI
+      // recipe strips punctuation, which the staged artifact does not)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), filter(
           split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
           t => t =!= "").as("ts"))
+        .localCheckpoint(true)
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw")).cache()
       val bg = toks.filter(size(col("ts")) >= 2)

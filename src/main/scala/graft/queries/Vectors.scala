@@ -881,14 +881,20 @@ object Vectors {
       // (VectorStage trains it once per corpus snapshot — r19; the
       // inline 2-round fit here was ~half the query's wall time)
       val asg0 = assignFrom(emb, graft.warehouse.VectorStage.cellCents(s, d))
+      // r20: per-vector norm hoisted out of the Σ cell² pair loop —
+      // cosineSpark re-derived BOTH norms per pair (3 dot products);
+      // with ‖v‖ computed once per row the pair stage does one dot.
+      // sqrt→multiply→divide order unchanged ⇒ bit-identical doubles.
       val asg = asg0.select(col("vec_id"), col("embedding"), col("cluster"))
+        .withColumn("nrm", VF.normSpark("embedding"))
       val a = asg.alias("a")
       val b = asg.alias("b")
       a.join(b, col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.cluster").as("cluster"),
           col("a.vec_id").as("a_id"), col("b.vec_id").as("vec_id"),
-          round(VF.cosineSpark("a.embedding", "b.embedding"), 6).as("cos"))
+          round(VF.dotSpark("a.embedding", "b.embedding") /
+            (col("a.nrm") * col("b.nrm")), 6).as("cos"))
         .filter(col("cos") >= 0.35)
         .groupBy("cluster", "vec_id")
         .agg(min(col("a_id")).as("dup_of"),
