@@ -1278,6 +1278,11 @@ object Events {
         .select(col("e.pair").as("pair"), col("e.a").as("a"),
           col("e.b").as("b"))
         .groupBy("pair", "a", "b").agg(count(lit(1)).as("c"))
+      // r20 note: measured, then deliberately NOT checkpointed — the
+      // four consumers (ra, cb, n, MI terms) share the contingency
+      // exchange via ReusedExchange already (verified in the executed
+      // plan), so a localCheckpoint only added materialization cost
+      // (same-box A/B: 1.42 s checkpointed vs 1.07 s reused).
       val ra = cells.groupBy("pair", "a").agg(sum(col("c")).as("ra"))
       val cb = cells.groupBy("pair", "b").agg(sum(col("c")).as("cb"))
       val n = cells.groupBy("pair").agg(sum(col("c")).as("n"))

@@ -1103,59 +1103,83 @@ object Ml {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val (train, test) = forecastFrames(s, d)
-      val cut2 = train.agg((min(col("hs")) +
-        floor((max(col("hs")) - min(col("hs"))) * lit(0.75)).cast("long")).as("c2"))
-      val fit = train.crossJoin(broadcast(cut2)).filter(col("hs") <= col("c2"))
-      val cal = train.crossJoin(broadcast(cut2)).filter(col("hs") > col("c2"))
-      val m = fit.agg(
-        count(lit(1)).as("n_fit"),
-        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
-        sum(col("x1") * col("x1")).as("sx11"),
-        sum(col("x1") * col("x2")).as("sx12"),
-        sum(col("x2") * col("x2")).as("sx22"),
-        sum(col("y")).as("sy"),
-        sum(col("x1") * col("y")).as("sx1y"),
-        sum(col("x2") * col("y")).as("sx2y"))
-      val nD = col("n_fit").cast("double")
-      val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
-      val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
-      val sx22 = col("sx22").cast("double")
-      val sy = col("sy").cast("double"); val sx1y = col("sx1y").cast("double")
-      val sx2y = col("sx2y").cast("double")
-      val det = nD * (sx11 * sx22 - sx12 * sx12) -
-        sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
-      val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
-        sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
-      val det1 = nD * (sx1y * sx22 - sx12 * sx2y) -
-        sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
-      val det2 = nD * (sx11 * sx2y - sx1y * sx12) -
-        sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
-      val sol = m.select(col("n_fit"),
-        round(det0 / det, 8).as("b0"),
-        round(det1 / det, 8).as("b1"),
-        round(det2 / det, 8).as("b2"))
-      val pred = round(col("b0") + col("b1") * col("x1") + col("b2") * col("x2"), 8)
-      val r = abs(col("y").cast("double") - pred)
-      val nCal = cal.agg(count(lit(1)).as("n_cal"))
-      val k = least(ceil(lit(0.9) * (col("n_cal") + 1).cast("double")).cast("long"),
-        col("n_cal"))
-      val qhat = cal.crossJoin(broadcast(sol))
-        .select(col("hs"), col("n_fit"), col("b0"), col("b1"), col("b2"),
-          r.as("r"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("hs"))))
-        .crossJoin(broadcast(nCal))
-        .filter(col("rn") === k)
-        .select(col("n_fit"), col("n_cal"), col("b0"), col("b1"), col("b2"),
-          col("r").as("qh"))
-      test.crossJoin(broadcast(qhat))
-        .select(col("n_fit"), col("n_cal"), col("qh"),
-          (r <= col("qh")).cast("long").as("cov"))
-        .groupBy("n_fit", "n_cal", "qh")
-        .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_covered"))
-        .select(col("n_fit"), col("n_cal"), col("n_test"),
-          round(col("qh"), 6).as("qhat"), col("n_covered"),
-          round(col("n_covered").cast("double") /
-            col("n_test").cast("double"), 6).as("coverage"))
+      // r20: the fit/cal cut, the Cramer solve, and the conformal
+      // quantile are all ≤1-row scalars that the previous plan attached
+      // as broadcast-agg subtrees to every consumer (the pre-r20
+      // forecast-tree disease). They now follow the k-row-collect
+      // contract: each is resolved in-engine (same expressions, same
+      // rounding) and inlined as literals, leaving flat map-only
+      // passes over the checkpointed frames.
+      def emptyOut = test.select(lit(0L).as("n_fit"), lit(0L).as("n_cal"),
+        lit(0L).as("n_test"), lit(null).cast("double").as("qhat"),
+        lit(0L).as("n_covered"), lit(null).cast("double").as("coverage"))
+        .filter(lit(false))
+      val mm2 = train.agg(min(col("hs")).as("mn"), max(col("hs")).as("mx")).head()
+      if (mm2.isNullAt(0)) emptyOut
+      else {
+        val c2: Long = mm2.getLong(0) +
+          math.floor((mm2.getLong(1) - mm2.getLong(0)).toDouble * 0.75).toLong
+        val fit = train.filter(col("hs") <= lit(c2))
+        val cal = train.filter(col("hs") > lit(c2))
+        val m = fit.agg(
+          count(lit(1)).as("n_fit"),
+          sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+          sum(col("x1") * col("x1")).as("sx11"),
+          sum(col("x1") * col("x2")).as("sx12"),
+          sum(col("x2") * col("x2")).as("sx22"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("y")).as("sx1y"),
+          sum(col("x2") * col("y")).as("sx2y"))
+        val nD = col("n_fit").cast("double")
+        val sx1 = col("sx1").cast("double"); val sx2 = col("sx2").cast("double")
+        val sx11 = col("sx11").cast("double"); val sx12 = col("sx12").cast("double")
+        val sx22 = col("sx22").cast("double")
+        val sy = col("sy").cast("double"); val sx1y = col("sx1y").cast("double")
+        val sx2y = col("sx2y").cast("double")
+        val det = nD * (sx11 * sx22 - sx12 * sx12) -
+          sx1 * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx12 - sx11 * sx2)
+        val det0 = sy * (sx11 * sx22 - sx12 * sx12) -
+          sx1 * (sx1y * sx22 - sx12 * sx2y) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+        val det1 = nD * (sx1y * sx22 - sx12 * sx2y) -
+          sy * (sx1 * sx22 - sx12 * sx2) + sx2 * (sx1 * sx2y - sx1y * sx2)
+        val det2 = nD * (sx11 * sx2y - sx1y * sx12) -
+          sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (sx1 * sx12 - sx11 * sx2)
+        // betas resolved in-engine (identical Cramer + round-8 select)
+        // then inlined as literals — the broadcast(sol) subtree used to
+        // re-plan the fit aggregation under both the qhat window and
+        // the test scoring pass
+        val solRow = m.select(col("n_fit"),
+          round(det0 / det, 8).as("b0"),
+          round(det1 / det, 8).as("b1"),
+          round(det2 / det, 8).as("b2")).head()
+        val nFit = solRow.getLong(0)
+        val (b0, b1, b2) =
+          (solRow.getDouble(1), solRow.getDouble(2), solRow.getDouble(3))
+        val pred = round(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2"), 8)
+        val r = abs(col("y").cast("double") - pred)
+        val nCal = cal.count()
+        // same finite-sample order statistic, computed on exact longs:
+        // ceil(0.9·(n+1)) clamped to n (ceil of a double either way)
+        val k = math.min(math.ceil(0.9 * (nCal + 1).toDouble).toLong, nCal)
+        val qhRows = cal.select(col("hs"), r.as("r"))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("r"), col("hs"))))
+          .filter(col("rn") === lit(k))
+          .select(col("r")).collect()
+        if (qhRows.isEmpty) emptyOut
+        else {
+          val qh = qhRows(0).getDouble(0)
+          // grouped on a constant so an EMPTY test window yields zero
+          // rows — the semantics the broadcast-qhat groupBy had
+          test.select((r <= lit(qh)).cast("long").as("cov"))
+            .groupBy(lit(1).as("g"))
+            .agg(count(lit(1)).as("n_test"), sum(col("cov")).as("n_covered"))
+            .select(lit(nFit).as("n_fit"), lit(nCal).as("n_cal"),
+              col("n_test"), round(lit(qh), 6).as("qhat"), col("n_covered"),
+              round(col("n_covered").cast("double") /
+                col("n_test").cast("double"), 6).as("coverage"))
+        }
+      }
     },
     Some(s"""WITH $forecastFrameCtes,
             cut2 AS (SELECT MIN(hs) + CAST(FLOOR((MAX(hs) - MIN(hs))
@@ -1266,19 +1290,30 @@ object Ml {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val e = Tables.embeddings(s, d)
-      val cents = e
-        .select(col("label").as("clabel"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("clabel", "pos")
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
-          .cast("double") / count(lit(1)), 8).as("c"))
-        .groupBy("clabel")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cv"))
-      val scored = e.crossJoin(broadcast(cents))
+      // r20: per-label centroids via ONE wide map-side-combined agg
+      // (|labels| rows of 64 decimal partials through the exchange)
+      // instead of posexploding n×64 rows and re-grouping twice — the
+      // anomalyTagDeterministic recipe; identical DECIMAL(28,20)
+      // partials and round(sum/count, 8) per dim. The centroid norm is
+      // also precomputed per broadcast row (constant per label), so
+      // the ×|labels| scoring fan-out does ONE dot per pair instead of
+      // re-deriving both norms (sqrt→mult→divide order unchanged ⇒
+      // bit-identical rounded doubles).
+      val D = graft.functions.VectorFunctions.Dim
+      val cents = e.groupBy(col("label").as("clabel"))
+        .agg(count(lit(1)).as("cnt"),
+          (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
+            .cast(DecimalType(28, 20))).as(s"s$i")): _*)
+        .select(col("clabel"),
+          array((0 until D).map(i =>
+            round(col(s"s$i").cast("double") / col("cnt"), 8)): _*).as("cv"))
+        .withColumn("ncv", VF.normSpark("cv"))
+      val scored = e.withColumn("ne", VF.normSpark("embedding"))
+        .crossJoin(broadcast(cents))
         .select(col("clabel"),
           (col("label") === col("clabel")).cast("long").as("p"),
-          round(VF.cosineSpark("embedding", "cv"), 6).as("sc"))
+          round(VF.dotSpark("embedding", "cv") / (col("ne") * col("ncv")), 6)
+            .as("sc"))
       // per-(label, distinct score) tie groups: positives + negatives
       val bounds = scored.groupBy("clabel", "sc")
         .agg(sum(col("p")).as("bp"), (count(lit(1)) - sum(col("p"))).as("bn"))
@@ -1392,15 +1427,21 @@ object Ml {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val e = Tables.embeddings(s, d)
+      // r20: wide single-pass centroid agg + hoisted centroid norm —
+      // the q_auc / anomalyTagDeterministic recipe (identical decimal
+      // partials, per-dim round(sum/count, 8), bit-identical cosine)
+      val D = graft.functions.VectorFunctions.Dim
       val cent = e.filter(col("label") === 0)
-        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("pos")
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
-          .cast("double") / count(lit(1)), 8).as("c"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
-          .as("cv"))
-      val p = (round(VF.cosineSpark("embedding", "cv"), 6) + 1) / 2
-      val bins = e.crossJoin(broadcast(cent))
+        .agg(count(lit(1)).as("cnt"),
+          (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
+            .cast(DecimalType(28, 20))).as(s"s$i")): _*)
+        .select(array((0 until D).map(i =>
+          round(col(s"s$i").cast("double") / col("cnt"), 8)): _*).as("cv"))
+        .withColumn("ncv", VF.normSpark("cv"))
+      val p = (round(VF.dotSpark("embedding", "cv") /
+        (col("ne") * col("ncv")), 6) + 1) / 2
+      val bins = e.withColumn("ne", VF.normSpark("embedding"))
+        .crossJoin(broadcast(cent))
         .select((col("label") === 0).cast("long").as("y"), p.as("p"))
         .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("long"))
         .groupBy("bin")

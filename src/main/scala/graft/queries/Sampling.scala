@@ -93,11 +93,17 @@ object Sampling {
     "q_mix_sample",
     (s, d) => {
       import graft.functions.{TextFunctions => TF}
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"), col("source"),
-        TF.tokenCount(col("text")).cast("long").as("n_tok"),
-        expr(PortableHash.laneSpark(
-          "md5(concat(cast(doc_id as string), '#mix'))", 0)).as("h"))
+      // r20: the doc-level stats relation is read by BOTH passes (the
+      // per-source mass agg and the sampling scan) — previously each
+      // re-ran the tokenization + md5 over the corpus. Materialize it
+      // once, exactly the "persist between the two passes" shape the
+      // scale note below already prescribed.
+      val docs = graft.util.Staged.checkpointRelease("q_mix_sample",
+        Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"),
+          expr(PortableHash.laneSpark(
+            "md5(concat(cast(doc_id as string), '#mix'))", 0)).as("h")))
       val srcw = docs.groupBy("source")
         .agg(sum(col("n_tok")).as("src_tokens"))
         .withColumn("w",

@@ -1686,10 +1686,16 @@ object Vectors {
       val probes = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("probe"), col("label").as("plabel"),
           col("embedding").as("qv"))
-      val scored = e.crossJoin(broadcast(probes))
+        .withColumn("nq", VF.normSpark("qv"))
+      // r20: norms hoisted out of the corpus × probes loop (one dot per
+      // pair instead of three; identical sqrt→mult→divide order — the
+      // q_knn_classify recipe)
+      val scored = e.withColumn("ne", VF.normSpark("embedding"))
+        .crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe"))
         .select(col("probe"), col("plabel"), col("vec_id"), col("label"),
-          round(VF.cosineSpark("embedding", "qv"), 6).as("cosine"))
+          round(VF.dotSpark("embedding", "qv") / (col("ne") * col("nq")), 6)
+            .as("cosine"))
       val wr = Window.partitionBy("probe")
         .orderBy(col("cosine").desc, col("vec_id"))
       val top = scored
