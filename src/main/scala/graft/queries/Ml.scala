@@ -1290,23 +1290,24 @@ object Ml {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val e = Tables.embeddings(s, d)
-      // r20: per-label centroids via ONE wide map-side-combined agg
-      // (|labels| rows of 64 decimal partials through the exchange)
-      // instead of posexploding n×64 rows and re-grouping twice — the
-      // anomalyTagDeterministic recipe; identical DECIMAL(28,20)
-      // partials and round(sum/count, 8) per dim. The centroid norm is
-      // also precomputed per broadcast row (constant per label), so
-      // the ×|labels| scoring fan-out does ONE dot per pair instead of
-      // re-deriving both norms (sqrt→mult→divide order unchanged ⇒
-      // bit-identical rounded doubles).
-      val D = graft.functions.VectorFunctions.Dim
-      val cents = e.groupBy(col("label").as("clabel"))
-        .agg(count(lit(1)).as("cnt"),
-          (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
-            .cast(DecimalType(28, 20))).as(s"s$i")): _*)
-        .select(col("clabel"),
-          array((0 until D).map(i =>
-            round(col(s"s$i").cast("double") / col("cnt"), 8)): _*).as("cv"))
+      // r20: centroid norms precomputed per broadcast row and corpus
+      // norms per row, so the ×|labels| scoring fan-out does ONE dot
+      // per pair instead of re-deriving both norms (sqrt→mult→divide
+      // order unchanged ⇒ bit-identical rounded doubles). The centroid
+      // build itself KEEPS the posexplode shape: a wide 64-column
+      // decimal agg was tried and reverted — 64 DECIMAL(28,20) buffers
+      // push HashAggregate out of whole-stage codegen (unstarred in
+      // the executed plan) and the interpreted update cost more than
+      // the explode it saved (in-suite 0.50 → 0.58).
+      val cents = e
+        .select(col("label").as("clabel"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("clabel", "pos")
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+          .cast("double") / count(lit(1)), 8).as("c"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cv"))
         .withColumn("ncv", VF.normSpark("cv"))
       val scored = e.withColumn("ne", VF.normSpark("embedding"))
         .crossJoin(broadcast(cents))
@@ -1427,16 +1428,16 @@ object Ml {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val e = Tables.embeddings(s, d)
-      // r20: wide single-pass centroid agg + hoisted centroid norm —
-      // the q_auc / anomalyTagDeterministic recipe (identical decimal
-      // partials, per-dim round(sum/count, 8), bit-identical cosine)
-      val D = graft.functions.VectorFunctions.Dim
+      // r20: hoisted norms (one dot per row in the scoring pass — see
+      // q_auc); centroid build keeps the codegen-friendly posexplode
+      // shape (the wide decimal agg measured slower, see q_auc note)
       val cent = e.filter(col("label") === 0)
-        .agg(count(lit(1)).as("cnt"),
-          (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
-            .cast(DecimalType(28, 20))).as(s"s$i")): _*)
-        .select(array((0 until D).map(i =>
-          round(col(s"s$i").cast("double") / col("cnt"), 8)): _*).as("cv"))
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(28, 20)))
+          .cast("double") / count(lit(1)), 8).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cv"))
         .withColumn("ncv", VF.normSpark("cv"))
       val p = (round(VF.dotSpark("embedding", "cv") /
         (col("ne") * col("ncv")), 6) + 1) / 2
