@@ -385,7 +385,19 @@ object Bench {
       "q_cooccur_similarity", "q_embed_truncation", "q_boilerplate_prefix",
       // round 10 additions
       "q_bloom_semijoin", "q_ccnet_buckets", "q_zorder_layout",
-      "q_snapshot_diff", "q_vocab_growth", "q_tfidf", "q_dsir_weights")
+      "q_snapshot_diff", "q_vocab_growth", "q_tfidf", "q_dsir_weights",
+      // round 21: the printed set must be a SUPERSET of the previous
+      // round's printed set (additions-only), or a query that IMPROVES
+      // off the dynamic slowest-5 list reads as "dropped_from_bench"
+      // in PERF round-over-round (r20: q_corpus_funnel and
+      // q_forecast_tree got ~2x faster and were marked dropped). The
+      // r20 contract line printed headline + {q_gold_incremental,
+      // q_basket_lift, q_stream_attrib_outer, q_pagerank,
+      // q_stream_attrib}; r19's printed the two former drops. All
+      // non-headline members of both sets are pinned here so the
+      // comparator keeps coverage on exactly the queries that moved.
+      "q_gold_incremental", "q_basket_lift", "q_stream_attrib_outer",
+      "q_corpus_funnel", "q_forecast_tree")
     val slowest = results.sortBy(-_._2).take(5).map(_._1).toSet
     val printed = results.filter { case (k, _) => headline(k) || slowest(k) }
     val qs = printed.map { case (k, v) => s"\"" + k + "\":" + f2(v) }

@@ -79,14 +79,28 @@ object Analytics {
     // the same DECIMAL(28,20) order-free partial sums, the same
     // round(sum/count, 8) computed IN-ENGINE so rounding semantics
     // cannot drift.
-    val cents = emb.groupBy(col("label"))
-      .agg(count(lit(1)).as("cnt"),
+    // Density guard (ADVICE r20): the per-label `cnt` denominator is
+    // only equivalent to the old posexplode's per-(label, pos) element
+    // count when every embedding is exactly D-wide and non-null —
+    // sum() skips a missing element but cnt still counts the row. The
+    // guard rides the same agg (one extra long buffer, |labels| rows)
+    // and fails LOUDLY on sparse/short vectors instead of silently
+    // shifting the centroid denominator; VecDot makes the same density
+    // assumption.
+    val centRows = emb.groupBy(col("label"))
+      .agg(sum(when(size(col("embedding")) =!= D, 1L).otherwise(0L))
+          .as("bad"),
+        count(lit(1)).as("cnt") +:
         (0 until D).map(i => sum(col("embedding").getItem(i).cast("double")
           .cast(DecimalType(28, 20))).as(s"s$i")): _*)
-      .select(col("label") +: (0 until D).map(i =>
+      .select(col("label") +: col("bad") +: (0 until D).map(i =>
         round(col(s"s$i").cast("double") / col("cnt"), 8).as(s"c$i")): _*)
       .collect().toSeq
-      .map(r => (r.getInt(0), (0 until D).map(i => r.getDouble(1 + i)).toSeq))
+    require(centRows.forall(_.getLong(1) == 0L),
+      s"anomalyTagDeterministic: embeddings must be dense $D-wide " +
+        "(the wide centroid agg's cnt denominator assumes it)")
+    val cents = centRows
+      .map(r => (r.getInt(0), (0 until D).map(i => r.getDouble(2 + i)).toSeq))
       .sortBy(_._1)
     // Map-only assignment against driver-held centroids (the
     // q_ann_ivf / q_kmeans_lloyd recipe — see nearestLit): no join, no
@@ -99,7 +113,7 @@ object Analytics {
       cents.map { case (id, c) => (lit(id), c) })
     val assigned = emb.select(col("vec_id"),
       best.getField("id").as("cell"), best.getField("d2").as("d2"))
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
     val k = math.ceil(emb.count() * pct).toInt
     val th = assigned.orderBy(desc("d2"), asc("vec_id")).limit(k)
       .agg(min(col("d2")).as("thresh"))

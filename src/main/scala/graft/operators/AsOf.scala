@@ -109,7 +109,7 @@ object ConnectedComponents {
     // cluster if executor loss during the loop must be survivable).
     var labels = bi.groupBy("n").agg(min(col("m")).as("nbr"))
       .select(col("n"), least(col("n"), col("nbr")).as("comp"))
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
 
     var changed = 1L
     var it = 0
@@ -127,7 +127,7 @@ object ConnectedComponents {
       val next = prop.join(byN, Seq("comp"), "left")
         .select(col("n"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       changed = next.select(col("n"), col("comp").as("next_comp"))
         .join(labels, "n")
         .filter(col("next_comp") =!= col("comp"))

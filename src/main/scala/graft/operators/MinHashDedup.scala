@@ -117,7 +117,7 @@ object MinHashDedup {
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
     sigs.unpersist()
     out
   }
@@ -152,7 +152,18 @@ object SimHash {
   val BandBits = 15
   val NumBands: Int = Bits / BandBits // 4 bands => pigeonhole for Hamming <= NumBands-1
 
-  /** doc_id, simhash (long; bits 0..59). */
+  /** doc_id, simhash (long; bits 0..59).
+    *
+    * r21 measured-and-rejected (kept for the record, guide §1 measure
+    * first): two restructurings of this aggregation were tried solo at
+    * sf0.1 and BOTH lost to this shape — (a) carrying (lang, source)
+    * through the group keys to kill the consumer's join-back was ~12%
+    * slower (two string keys hashed per token row in a 500k-row agg
+    * outweigh a 5k-row broadcast join), and (b) branch-free set-bit
+    * counting (`sum(shiftright(h,b) & 1)` + one shared row count,
+    * testing 2·cnt > n) was ~18% slower than the signed ±1 votes below
+    * (1.45 → 1.72 s solo medians, quiet box, alternating A/B runs).
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.select(
       col("doc_id"),

@@ -72,7 +72,7 @@ object PageRank {
     val out = (1 to iters).foldLeft(r0)((r, _) => step(r))
       // materialize, then release the iteration caches — a long-lived
       // session (the 136-query bench suite) must not keep them pinned
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
     if (cacheEdges) { e.unpersist(); () }
     deg.unpersist()
     out

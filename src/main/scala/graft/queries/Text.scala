@@ -1247,7 +1247,7 @@ object Text {
       val st = Tables.documents(s, d)
         .select(col("source"), explode(TF.shingleHashes(col("text"), 3)).as("sh"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       val ns = st.groupBy("source").agg(count(lit(1)).as("n"))
       val out = st.alias("a")
         .join(st.alias("b"),
@@ -1377,7 +1377,7 @@ object Text {
           sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
           round(sum(when(keep, 1L).otherwise(0L)).cast("double") /
             count(lit(1)), 6).as("keep_rate"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       base.unpersist()
       raw.unpersist()
       out
@@ -1480,7 +1480,7 @@ object Text {
         .select(col("doc_id"), filter(
           split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " "),
           t => t =!= "").as("ts"))
-        .localCheckpoint(true)
+        .transform(graft.util.Staged.materialize)
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw")).cache()
       val bg = toks.filter(size(col("ts")) >= 2)

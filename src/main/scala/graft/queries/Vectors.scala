@@ -403,15 +403,23 @@ object Vectors {
       // same persisted index the ANN queries serve from
       val bucketed = graft.warehouse.VectorStage.lsh(s, d)
         .select(col("vec_id"), col("embedding"), col("bucket"))
-      val lshCand = score(bucketed.join(broadcast(
-        bucketed.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-            col("bucket"))), Seq("bucket"))).cache()
+      val lshCand = graft.util.Staged.materialize(
+        score(bucketed.join(broadcast(
+          bucketed.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+              col("bucket"))), Seq("bucket"))))
       val assigned = graft.warehouse.VectorStage.ivf(s, d)
-      val ivfCand = score(assigned.join(broadcast(
-        assigned.filter(col("vec_id") < NQ)
-          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-            col("cell"))), Seq("cell"))).cache()
+      // r21: the three candidate sets are materialized EAGERLY instead
+      // of lazily cached — each fed 2-3 consumers inside the one final
+      // action (count agg + top-k∩truth broadcast build + the ADC
+      // derivation), which raced to populate the same InMemoryRelation
+      // partitions (the q_source_overlap pathology). One settled job
+      // per set, then cheap reads.
+      val ivfCand = graft.util.Staged.materialize(
+        score(assigned.join(broadcast(
+          assigned.filter(col("vec_id") < NQ)
+            .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+              col("cell"))), Seq("cell"))))
       // IVF-PQ: the SAME cell candidates, ranked by the quantized ADC
       // distance instead of the exact cosine — the recall delta between
       // the ivf and ivfpq rows IS the quantization cost at identical
@@ -427,14 +435,13 @@ object Vectors {
       // corpus-side sv view lived only in the index build)
       val qsv = pqSubvectors(emb.filter(col("vec_id") < NQ))
         .select(col("vec_id").as("qid"), col("m"), col("svec"))
-      val adc = ivfCand.select("qid", "nid")
+      val adc = graft.util.Staged.materialize(ivfCand.select("qid", "nid")
         .join(qsv, Seq("qid"))
         .join(codes, Seq("nid", "m"))
         .join(broadcast(cbDf), Seq("m", "code"))
         .groupBy("qid", "nid")
         .agg(sum(round(VF.d2Spark(col("svec"), col("cvec")), 9)
-          .cast(DecimalType(28, 12))).cast("double").as("approx"))
-        .cache()
+          .cast(DecimalType(28, 12))).cast("double").as("approx")))
       val wPq = Window.partitionBy("qid").orderBy(asc("approx"), asc("nid"))
       val pqRetrieved = adc.withColumn("rn", row_number().over(wPq))
         .filter(col("rn") <= TopK).select("qid", "nid")
@@ -452,8 +459,9 @@ object Vectors {
       val out = audit("ivf", ivfCand, topk(ivfCand))
         .unionByName(audit("ivfpq", adc, pqRetrieved))
         .unionByName(audit("lsh", lshCand, topk(lshCand)))
-      graft.util.Staged.checkpointRelease("q_ann_recall", out,
-        lshCand, ivfCand, adc)
+      // the candidate sets are checkpoints, not caches — nothing to
+      // unpersist; their blocks are reclaimed by the ContextCleaner
+      graft.util.Staged.checkpointRelease("q_ann_recall", out)
     },
     Some {
       val sigDuck = (0 until 8).map(p =>

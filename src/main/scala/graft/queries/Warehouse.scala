@@ -346,6 +346,18 @@ object Warehouse {
         Graph.capDegree(raw, "ok", "pk", 64))
       val nb = b.agg(countDistinct("ok").as("n")) // 1 row — broadcast scalar
       val freq = b.groupBy("pk").agg(count(lit(1)).as("f"))
+      // r21 measured-and-rejected (VERDICT #5 asked for the A/B): pairs
+      // from a grouped basket array — collect_list(pk) per order, then
+      // a map-side explode of the C(basket,2) combinations via nested
+      // transform/slice lambdas — ships b ONCE instead of the self-
+      // join's two ok-keyed exchanges, but measured ~13% SLOWER solo
+      // at sf0.1 (2.55 → 2.94 s medians, quiet box, alternating runs):
+      // the higher-order array lambdas evaluate interpreted per
+      // element where the self-join's pair stream stays inside
+      // whole-stage codegen, and at this basket size the b-side
+      // exchange it saves is small next to the pair-agg volume. The
+      // self-join stays; the Σ C(basket,2) partial agg is the query's
+      // honest remaining cost.
       val pairs = b.alias("a")
         .join(b.alias("c"), col("a.ok") === col("c.ok") && col("a.pk") < col("c.pk"))
         .groupBy(col("a.pk").as("pa"), col("c.pk").as("pb"))
@@ -596,8 +608,11 @@ object Warehouse {
       // production volumes grow the modulus with the data (guide §6 —
       // sensible output file sizing). Results are unchanged (bucket is
       // layout, not content; the gate output has no bucket column).
-      val buckets = graft.warehouse.Staging.bucketsFor(
-        s, d, Seq("events"), expansion = 8)
+      // r21 (VERDICT #1): the sizing bytes come from `ev`'s OWN
+      // resolved file index — no per-invocation getContentSummary walk
+      // on the timed path; identical bytes, identical width.
+      val buckets = graft.warehouse.Staging.bucketsForRelation(
+        Seq(ev), expansion = 8)
       (0 until 3).foreach { r =>
         graft.warehouse.GoldStage.refreshHourly(
           ev.filter(pmod(col("event_id"), lit(3)) === r), path, buckets)

@@ -63,7 +63,7 @@ object Sources {
     // the SOURCE, not lineage). A pipeline without retry semantics
     // should write `clean` to a staging sink instead.
     val clean = raw.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record").localCheckpoint(true)
+      .drop("_corrupt_record").transform(graft.util.Staged.materialize)
     raw.unpersist()
     clean
   }

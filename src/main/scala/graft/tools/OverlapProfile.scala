@@ -77,7 +77,7 @@ object OverlapProfile {
       }
       // variant B: eager stage, then consume settled blocks
       val staged = t("staged: materialize") {
-        distinctShingles().localCheckpoint(true)
+        distinctShingles().transform(graft.util.Staged.materialize)
       }
       t("staged: pair join + topk") {
         graft.util.Staged

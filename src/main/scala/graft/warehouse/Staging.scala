@@ -112,6 +112,41 @@ object Staging {
       val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
+    widthFor(bytes, expansion, bucketBytes, min, max)
+  }
+
+  /** [[bucketsFor]] from a DataFrame's OWN resolved file index instead
+    * of a fresh filesystem probe (r21, VERDICT r20 #1): the scan
+    * relation already carries the snapshot's total data-file bytes —
+    * listed once when the relation resolved, shared with the scan
+    * itself, answered from manifest metadata on manifest-backed tables.
+    * `getContentSummary` by contrast is an uncached O(files) recursive
+    * walk per call — fine on a local fs, an RPC storm on an object
+    * store — which matters for the one caller that sizes buckets
+    * INSIDE a timed query path (q_gold_incremental). Bytes are
+    * identical to the path probe (both sum the data files' lengths),
+    * so the chosen width — and the table layout — cannot move.
+    * Falls back to 0 (→ `min`) for non-file-backed plans.
+    */
+  def bucketsForRelation(dfs: Seq[org.apache.spark.sql.DataFrame],
+      expansion: Double, bucketBytes: Long = 128L << 20,
+      min: Int = 8, max: Int = 4096): Int = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val bytes = dfs.map(_.queryExecution.logical.collectFirst {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.sizeInBytes
+        case r => r.sizeInBytes
+      }
+    }.getOrElse(0L)).sum
+    widthFor(bytes, expansion, bucketBytes, min, max)
+  }
+
+  /** Shared rounding: one bucket per `bucketBytes` of `bytes ×
+    * expansion`, rounded UP to a power of two, clamped to [min, max].
+    */
+  private def widthFor(bytes: Long, expansion: Double, bucketBytes: Long,
+      min: Int, max: Int): Int = {
     val want = math.ceil(bytes * expansion / bucketBytes).toLong
     val pow2 = java.lang.Long.highestOneBit(math.max(want, 1L)) *
       (if (java.lang.Long.bitCount(math.max(want, 1L)) > 1) 2L else 1L)

@@ -325,12 +325,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("q_bloom_join: bit membership probes are broadcast semi-joins") {
-    // the fact side must stay map-only: occupied-bit sets and the dim
-    // broadcast; the only single-partition bits are the 1-row counts
-    val p = plan("q_bloom_join")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("q_bloom_join: one map-only pass over orders — 3 broadcast LEFT marker joins, no SMJ") {
+    // r20 single-pass shape: the three counts (total / exact-semi /
+    // bloom-pass) fold into ONE scan of orders flowing through three
+    // broadcast LeftOuter marker joins into one aggregation — the fact
+    // side stays map-only; the only single-partition bits are the
+    // 1-row counts
+    val p = plan("q_bloom_join").split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(p.contains("LeftOuter"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // exactly one scan of the fact table
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
   test("q_edit_neardup: pair space is a blocked equi-join, never a nested loop") {
